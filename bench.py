@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: the north-star workload from BASELINE.md.
+
+Workload: Haldane model, ``wf_array.solve_on_grid`` on a 301x301 BZ grid
+plus ``berry_flux`` (Chern number) -- the reference (PythTB 1.8.0, pure
+NumPy, serial k-loop) takes 12.74 s on one CPU core of this container
+(BASELINE.md).  We run the identical computation with pythtb_tpu's
+fused device pipeline (single compiled XLA program:
+assemble H(k) -> batched analytic 2x2 eigh -> periodic-gauge extension
+-> link determinants -> plaquette phases -> sum) and report wall time of
+a steady-state run (one warm-up to populate the compile cache).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <secs>, "unit": "s", "vs_baseline": <speedup>}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SECONDS = 12.74  # reference north star (BASELINE.md)
+GRID = 301
+
+
+def main():
+    import jax
+
+    import pythtb_tpu as ptt
+    from pythtb_tpu import flows
+
+    backend = jax.default_backend()
+
+    # Haldane parameters from examples/haldane.py:23-40 (see BASELINE.md)
+    lat = [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]]
+    orb = [[1.0 / 3.0, 1.0 / 3.0], [2.0 / 3.0, 2.0 / 3.0]]
+    m = ptt.tb_model(2, 2, lat, orb)
+    delta, t, t2 = 0.2, -1.0, 0.15 * np.exp(1.0j * np.pi / 2.0)
+    m.set_onsite([-delta, delta])
+    for lv in ([0, 0], [1, 0], [0, 1]):
+        m.set_hop(t, 0, 1, lv)
+    for lv in ([1, 0], [-1, 1], [0, -1]):
+        m.set_hop(t2, 0, 0, lv)
+    for lv in ([1, 0], [-1, 1], [0, -1]):
+        m.set_hop(t2.conjugate(), 1, 1, lv)
+
+    # warm-up (compile)
+    t0 = time.perf_counter()
+    chern = flows.chern_number(m, [0], nk=(GRID, GRID), start_k=(-0.5, -0.5))
+    compile_and_first = time.perf_counter() - t0
+
+    # steady state
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chern = flows.chern_number(m, [0], nk=(GRID, GRID), start_k=(-0.5, -0.5))
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+
+    err = abs(abs(chern) - 1.0)
+    print(
+        "backend=%s first(+compile)=%.3fs steady=%.4fs chern=%.8f (|err|=%.2e)"
+        % (backend, compile_and_first, wall, chern, err),
+        file=sys.stderr,
+    )
+    if err > 1e-3:
+        print("WARNING: Chern number off (%.6f)" % chern, file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "haldane_chern_301x301_wall",
+                "value": round(wall, 6),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_SECONDS / wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

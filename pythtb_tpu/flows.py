@@ -1,0 +1,104 @@
+"""Fused end-to-end device pipelines.
+
+These compose assembly -> diagonalization -> gauge fixups -> Berry
+quantities into a single compiled XLA program with no host round-trips.
+They compute exactly the same mathematical objects as the
+``wf_array``-based API (solve_on_grid + impose_pbc + berry_flux /
+berry_phase; reference /root/reference/pythtb.py:2421-2532, 2674-2749,
+3068-3205) but keep everything resident on device -- the right shape for
+TPU, where host<->device transfers ride a tunnel.
+
+Shardable: wrap calls in ``pythtb_tpu.parallel.use_mesh(mesh)`` and the
+k-grid batch axis is sharded over the mesh; XLA inserts the halo
+exchanges for neighbor overlaps and the psum for the flux reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config
+from .core import BlochData, ModelStatic
+from .ops.berry import _dets, _overlap, _wrap
+from .ops.eigh import eigh_batched
+from .ops.hamiltonian import assemble
+from .parallel import mesh as pmesh
+
+__all__ = ["berry_flux_grid", "chern_number"]
+
+
+def _solve_grid_states(static: ModelStatic, data: BlochData, kpts, occ, n0, n1):
+    """Solve the interior grid and return occ states (n0-1, n1-1, nocc, F)."""
+    H = assemble(static, data, kpts)
+    _, v = eigh_batched(H)  # (B, nsta, nsta); rows are states
+    v = v[:, occ, :]  # (B, nocc, F); F = nsta (spin flattened)
+    return v.reshape(n0 - 1, n1 - 1, len(occ), static.nsta)
+
+
+def _extend_pbc(w, phase0, phase1):
+    """Append the wrapped-around row/column with periodic-gauge phases,
+    in the same sequential order as wf_array.solve_on_grid (first
+    direction 0, then direction 1 including the new row)."""
+    w = jnp.concatenate([w, w[:1] * phase0[None, None, None, :]], axis=0)
+    w = jnp.concatenate([w, w[:, :1] * phase1[None, None, None, :]], axis=1)
+    return w
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _chern_jit(static: ModelStatic, data: BlochData, kpts, occ, n0, n1, phase0_ri, phase1_ri):
+    from .utils.xfer import unpack_cplx
+
+    w = _solve_grid_states(static, data, kpts, occ, n0, n1)
+    w = _extend_pbc(w, unpack_cplx(phase0_ri), unpack_cplx(phase1_ri))
+    Dr = _dets(_overlap(w[:-1, :, :, :], w[1:, :, :, :]))
+    Du = _dets(_overlap(w[:, :-1, :, :], w[:, 1:, :, :]))
+    plaq = -jnp.angle(
+        Dr[:, :-1] * Du[1:, :] * jnp.conj(Dr[:, 1:]) * jnp.conj(Du[:-1, :])
+    )
+    return jnp.sum(plaq)
+
+
+def _grid_inputs(model, nk, start_k):
+    n0, n1 = int(nk[0]), int(nk[1])
+    static, data = model._get_finalized()
+    if static.dim_k != 2:
+        raise ValueError("chern_number requires a model with dim_k == 2")
+    a0 = start_k[0] + np.arange(n0 - 1, dtype=np.float64) / float(n0 - 1)
+    a1 = start_k[1] + np.arange(n1 - 1, dtype=np.float64) / float(n1 - 1)
+    g0, g1 = np.meshgrid(a0, a1, indexing="ij")
+    kpts = np.stack([g0.reshape(-1), g1.reshape(-1)], axis=-1)
+    phases = []
+    for d in range(2):
+        ffac = np.exp(-2.0j * np.pi * model._orb[:, model._per[d]])
+        if model._nspin == 2:
+            ffac = np.repeat(ffac, 2)
+        phases.append(ffac)
+    return static, data, kpts, (n0, n1), phases
+
+
+def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
+    """Total Berry flux of ``occ`` bands over the BZ on an (n0 x n1)
+    grid, computed fully on device.  Equals
+    ``wf_array(model, nk).solve_on_grid(start_k); wf.berry_flux(occ)``.
+    """
+    static, data, kpts, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k)
+    if mesh is None:
+        mesh = pmesh.current_mesh()
+    if mesh is not None:
+        nd = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        if kpts.shape[0] % nd == 0:
+            kpts = pmesh.shard_batch(kpts, mesh)
+    occ = tuple(int(o) for o in occ)
+    from .utils.xfer import host_pack
+
+    out = _chern_jit(static, data, kpts, occ, n0, n1, host_pack(p0), host_pack(p1))
+    return float(out)
+
+
+def chern_number(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
+    """Chern number of the ``occ`` bands (flux / 2 pi)."""
+    return berry_flux_grid(model, occ, nk, start_k, mesh) / (2.0 * np.pi)

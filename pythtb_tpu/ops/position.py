@@ -1,0 +1,66 @@
+"""Position-operator matrix elements and hybrid Wannier functions.
+
+Batched device equivalents of the reference's per-k loops
+(/root/reference/pythtb.py:2034-2279): with the diagonal-position
+approximation, ``X[n, m] = sum_f conj(u_n[f]) * pos[f] * u_m[f]``
+(pythtb.py:2091-2107), its diagonal is the position expectation, and its
+eigen-decomposition gives hybrid-Wannier centers/functions
+(pythtb.py:2243-2277).  All functions broadcast over arbitrary leading
+(grid) axes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..utils.xfer import host_pack, host_unpack, pack_cplx, unpack_cplx
+from .eigh import eigh_batched, eigvalsh_batched
+
+__all__ = [
+    "position_matrix_host",
+    "position_hwf_host",
+]
+
+
+def _xmat(w, pos):
+    """w (..., nb, F) complex, pos (F,) float -> X (..., nb, nb) complex."""
+    return jnp.einsum("...nf,f,...mf->...nm", jnp.conj(w), pos.astype(w.dtype), w)
+
+
+@jax.jit
+def _pos_matrix_jit(wfs_packed, pos):
+    return pack_cplx(_xmat(unpack_cplx(wfs_packed), pos))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _pos_hwf_jit(wfs_packed, pos, want_evec, orbital_basis):
+    w = unpack_cplx(wfs_packed)
+    X = _xmat(w, pos)
+    if not want_evec:
+        return eigvalsh_batched(X)
+    hwfc, hwf = eigh_batched(X)  # hwf rows are states (ascending centers)
+    if orbital_basis:
+        # express each HWF on the orbital basis: hwf_orb[h] = sum_b hwf[h,b] u_b
+        # (pythtb.py:2262-2277)
+        hwf = jnp.einsum("...hb,...bf->...hf", hwf, w)
+    return hwfc, pack_cplx(hwf)
+
+
+def position_matrix_host(wfs: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Host wrapper.  wfs (..., nb, F) complex, pos (F,) -> (..., nb, nb)."""
+    return host_unpack(_pos_matrix_jit(host_pack(wfs), np.asarray(pos, np.float64)))
+
+
+def position_hwf_host(wfs, pos, want_evec=False, orbital_basis=False):
+    """Host wrapper for hybrid-Wannier centers (and functions)."""
+    pos = np.asarray(pos, np.float64)
+    if not want_evec:
+        out = _pos_hwf_jit(host_pack(wfs), pos, False, False)
+        return np.asarray(out, dtype=np.float64)
+    hwfc, hwf = _pos_hwf_jit(host_pack(wfs), pos, True, bool(orbital_basis))
+    return np.asarray(hwfc, dtype=np.float64), host_unpack(hwf)

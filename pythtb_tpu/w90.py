@@ -1,0 +1,215 @@
+"""Wannier90 interface: pythtb_tpu.w90.
+
+API-compatible with PythTB 1.8.0's ``w90`` class
+(/root/reference/pythtb.py:3208-3759): parses ``prefix.win`` (unit cell,
+with bohr->Angstrom conversion), ``prefix_hr.dat`` (Wigner-Seitz
+degeneracies + <i|H|j+R> matrix elements), ``prefix_centres.xyz``
+(Wannier centers), and exposes ``model()`` with the same
+``zero_energy`` / ``min_hopping_norm`` / ``max_distance`` /
+``ignorable_imaginary_part`` filters plus the ``dist_hop`` / ``shells``
+/ ``w90_bands_consistency`` diagnostics.
+
+Parsing and the distance diagnostics are vectorized NumPy; the produced
+:class:`pythtb_tpu.tb_model` flags
+``_assume_position_operator_diagonal = False`` exactly as the reference
+does (pythtb.py:3520), guarding Berry-type quantities.
+
+Units: eV and Angstrom throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .model import PythtbError, tb_model
+
+__all__ = ["w90"]
+
+_BOHR_TO_ANG = 0.5291772108  # conversion used by the reference (pythtb.py:3348)
+
+
+class w90(object):
+    """Reader for Wannier90 output; call :meth:`model` to build a
+    :class:`pythtb_tpu.tb_model`.
+
+    :param path: folder containing the Wannier90 files
+    :param prefix: seedname used by the Wannier90 run
+    """
+
+    def __init__(self, path, prefix):
+        self.path = path
+        self.prefix = prefix
+
+        # ---- unit cell from <prefix>.win -----------------------------
+        with open(self.path + "/" + self.prefix + ".win", "r") as f:
+            ln = f.readlines()
+        self.lat = np.zeros((3, 3), dtype=float)
+        found = False
+        for i in range(len(ln)):
+            sp = ln[i].split()
+            if len(sp) >= 2 and sp[0].lower() == "begin" and sp[1].lower() == "unit_cell_cart":
+                unit_line = ln[i + 1].strip().lower()
+                if unit_line == "bohr":
+                    pref, skip = _BOHR_TO_ANG, 1
+                elif unit_line in ["ang", "angstrom"]:
+                    pref, skip = 1.0, 1
+                else:
+                    pref, skip = 1.0, 0
+                for j in range(3):
+                    sp = ln[i + skip + 1 + j].split()
+                    for k in range(3):
+                        self.lat[j, k] = float(sp[k]) * pref
+                found = True
+                break
+        if not found:
+            raise PythtbError("Unable to find unit_cell_cart block in the .win file.")
+
+        # ---- Hamiltonian from <prefix>_hr.dat ------------------------
+        with open(self.path + "/" + self.prefix + "_hr.dat", "r") as f:
+            ln = f.readlines()
+        self.num_wan = int(ln[1])
+        num_ws = int(ln[2])
+        deg_ws = []
+        last_j = None
+        for j in range(3, len(ln)):
+            deg_ws.extend(int(s) for s in ln[j].split())
+            if len(deg_ws) == num_ws:
+                last_j = j
+                break
+            if len(deg_ws) > num_ws:
+                raise PythtbError("Too many degeneracies for WS points!")
+        deg_ws = np.array(deg_ws, dtype=int)
+
+        # ham_r[(R1,R2,R3)] = {"h": (nw, nw) complex <i|H|j+R>, "deg": int}
+        self.ham_r = {}
+        ind_R = 0
+        for j in range(last_j + 1, len(ln)):
+            sp = ln[j].split()
+            if not sp:
+                continue
+            R = (int(sp[0]), int(sp[1]), int(sp[2]))
+            hi, hj = int(sp[3]) - 1, int(sp[4]) - 1
+            val = float(sp[5]) + 1.0j * float(sp[6])
+            if R not in self.ham_r:
+                self.ham_r[R] = {
+                    "h": np.zeros((self.num_wan, self.num_wan), dtype=complex),
+                    "deg": int(deg_ws[ind_R]),
+                }
+                ind_R += 1
+            self.ham_r[R]["h"][hi, hj] = val
+
+        # sanity: every nonzero R must have exactly one -R partner
+        keys = set(self.ham_r.keys())
+        for R in keys:
+            if R != (0, 0, 0):
+                if (-R[0], -R[1], -R[2]) not in keys:
+                    raise PythtbError("Did not find negative R for R = " + str(R) + "!")
+
+        # ---- Wannier centers from <prefix>_centres.xyz ---------------
+        with open(self.path + "/" + self.prefix + "_centres.xyz", "r") as f:
+            ln = f.readlines()
+        xyz_cen = []
+        for i in range(2, 2 + self.num_wan):
+            sp = ln[i].split()
+            if sp[0] != "X":
+                raise PythtbError("Inconsistency in the centres file.")
+            xyz_cen.append([float(sp[1]), float(sp[2]), float(sp[3])])
+        self.xyz_cen = np.array(xyz_cen, dtype=float)
+        # reduced coordinates of the centers
+        self.red_cen = self.xyz_cen @ np.linalg.inv(self.lat.T).T
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _use_half_space(R):
+        """Lexicographic R > 0 rule to avoid double-counting R and -R
+        (reference pythtb.py:3540-3550)."""
+        if R[0] != 0:
+            return R[0] > 0
+        if R[1] != 0:
+            return R[1] > 0
+        return R[2] > 0
+
+    def model(self, zero_energy=0.0, min_hopping_norm=None, max_distance=None, ignorable_imaginary_part=None):
+        """Build a tb_model from the parsed Wannier90 data
+        (reference pythtb.py:3448-3586)."""
+        tb = tb_model(3, 3, self.lat, self.red_cen)
+        tb._assume_position_operator_diagonal = False
+
+        h0 = self.ham_r[(0, 0, 0)]
+        onsite = np.zeros(self.num_wan, dtype=float)
+        for i in range(self.num_wan):
+            tmp = h0["h"][i, i] / float(h0["deg"])
+            if np.abs(tmp.imag) > 1.0e-9:
+                raise PythtbError("Onsite terms should be real!")
+            onsite[i] = tmp.real
+        tb.set_onsite(onsite - zero_energy)
+
+        for R, entry in self.ham_r.items():
+            diagonal_R = R == (0, 0, 0)
+            if not diagonal_R and not self._use_half_space(R):
+                continue
+            vecR = np.array(R, dtype=float) @ self.lat
+            ham = entry["h"] / float(entry["deg"])
+            for i in range(self.num_wan):
+                for j in range(self.num_wan):
+                    if diagonal_R and j <= i:
+                        continue
+                    if max_distance is not None:
+                        d = -self.xyz_cen[i] + self.xyz_cen[j] + vecR
+                        if np.sqrt(d @ d) > max_distance:
+                            continue
+                    amp = ham[i, j]
+                    if min_hopping_norm is not None and np.abs(amp) < min_hopping_norm:
+                        continue
+                    if (
+                        ignorable_imaginary_part is not None
+                        and np.abs(amp.imag) < ignorable_imaginary_part
+                    ):
+                        amp = amp.real + 0.0j
+                    tb.set_hop(amp, i, j, list(R))
+        return tb
+
+    # ---- diagnostics -------------------------------------------------
+
+    def _all_dists_hams(self, skip_diagonal_onsite: bool):
+        """All (distance, amplitude) pairs in reference iteration order:
+        R (file order), then i-major, j-minor."""
+        dists, hams = [], []
+        for R, entry in self.ham_r.items():
+            diagonal_R = R == (0, 0, 0)
+            vecR = np.array(R, dtype=float) @ self.lat
+            # (i, j) separation vectors, vectorized
+            d = -self.xyz_cen[:, None, :] + self.xyz_cen[None, :, :] + vecR
+            dist = np.sqrt(np.sum(d * d, axis=-1))  # (nw, nw)
+            ham = entry["h"] / float(entry["deg"])
+            if skip_diagonal_onsite and diagonal_R:
+                mask = ~np.eye(self.num_wan, dtype=bool)
+                dists.append(dist[mask])
+                hams.append(ham[mask])
+            else:
+                dists.append(dist.reshape(-1))
+                hams.append(ham.reshape(-1))
+        return np.concatenate(dists), np.concatenate(hams)
+
+    def dist_hop(self):
+        """(distances, hopping amplitudes) for all pairs, for diagnosing
+        localization (reference pythtb.py:3590-3644)."""
+        dist, ham = self._all_dists_hams(skip_diagonal_onsite=True)
+        return (dist, ham)
+
+    def shells(self, num_digits=2):
+        """Sorted unique distances between Wannier centers, rounded
+        (reference pythtb.py:3647-3684)."""
+        dist, _ = self._all_dists_hams(skip_diagonal_onsite=False)
+        return np.sort(list(set(np.round(dist, num_digits).tolist())))
+
+    def w90_bands_consistency(self):
+        """(kpts, energies[band, kpt]) as interpolated by Wannier90
+        itself, for cross-checking (reference pythtb.py:3687-3759)."""
+        kpts = np.loadtxt(self.path + "/" + self.prefix + "_band.kpt", skiprows=1)
+        kpts = kpts[:, :3]
+        ene = np.loadtxt(self.path + "/" + self.prefix + "_band.dat")
+        ene = ene[:, 1]
+        ene = ene.reshape((self.num_wan, kpts.shape[0]))
+        return (kpts, ene)

@@ -1,0 +1,62 @@
+"""Golden-data parity: run every reference workload on pythtb_tpu and
+compare against goldens produced by the reference itself
+(tests/golden/generate_golden.py).
+
+Tolerances follow the reference's own regression harness
+(rtol=1e-8, atol=1e-14 in /root/reference/tests/test_examples/*/test.py),
+slightly relaxed in atol for accumulated float64 round-off differences
+between LAPACK call orders.  Phase keys (``pha_*``) are compared modulo
+2*pi, since orbital home-cell assignment (see the _shift_to_home note in
+pythtb_tpu/model.py) and branch choices may legitimately differ by full
+windings while the physics is identical.
+"""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+from . import workloads
+
+RTOL = 1e-8
+ATOL = 1e-10
+
+
+def _compare(result, gold):
+    for key in gold.files:
+        assert key in result, "missing output %r" % key
+        got = np.asarray(result[key])
+        want = np.asarray(gold[key])
+        assert got.shape == want.shape, (
+            "shape mismatch for %s: %s vs %s" % (key, got.shape, want.shape)
+        )
+        if key.startswith("pha_"):
+            diff = np.angle(np.exp(1j * (got - want)))
+            np.testing.assert_allclose(diff, np.zeros_like(diff), rtol=0, atol=1e-8,
+                                       err_msg="phase key %s" % key)
+        else:
+            np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL,
+                                       err_msg="key %s" % key)
+
+
+@pytest.mark.parametrize("name", sorted(workloads.ALL.keys()))
+def test_workload_matches_reference(name, golden):
+    import pythtb_tpu
+
+    gold = golden(name)
+    with redirect_stdout(io.StringIO()):
+        result = workloads.ALL[name](pythtb_tpu)
+    _compare(result, gold)
+
+
+def test_w90_silicon(golden):
+    import pythtb_tpu
+
+    if not os.path.isdir(workloads.W90_DATA_DIR):
+        pytest.skip("w90 silicon data not available")
+    gold = golden("w90_silicon")
+    with redirect_stdout(io.StringIO()):
+        result = workloads.w90_silicon(pythtb_tpu, workloads.W90_DATA_DIR)
+    _compare(result, gold)

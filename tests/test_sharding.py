@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on a virtual 8-device CPU mesh.
+
+conftest.py sets --xla_force_host_platform_device_count=8, so these run
+anywhere.  They validate that sharding the k-batch over a
+jax.sharding.Mesh produces bit-identical physics to the single-device
+path (pure data parallelism over k; see pythtb_tpu/parallel/mesh.py).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+import pythtb_tpu as ptt
+from pythtb_tpu.parallel import auto_mesh, use_mesh
+
+from . import zoo
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return auto_mesh(8)
+
+
+def test_solve_all_sharded_matches(mesh8):
+    m = zoo.haldane(ptt)
+    k = m.k_uniform_mesh([13, 11])  # 143 points: not divisible by 8 -> padding
+    base = m.solve_all(k)
+    with use_mesh(mesh8):
+        sharded = m.solve_all(k)
+    np.testing.assert_allclose(base, sharded, atol=1e-13)
+
+
+def test_solve_all_vectors_sharded(mesh8):
+    m = zoo.kane_mele(ptt, "odd")
+    k = m.k_uniform_mesh([5, 5])
+    e0, v0 = m.solve_all(k, eig_vectors=True)
+    with use_mesh(mesh8):
+        e1, v1 = m.solve_all(k, eig_vectors=True)
+    np.testing.assert_allclose(e0, e1, atol=1e-13)
+    # gauge-invariant check on vectors: band projectors
+    P0 = np.einsum("bko,bkp->kop", v0.reshape(4, 25, 4).conj(), v0.reshape(4, 25, 4))
+    P1 = np.einsum("bko,bkp->kop", v1.reshape(4, 25, 4).conj(), v1.reshape(4, 25, 4))
+    np.testing.assert_allclose(P0, P1, atol=1e-12)
+
+
+def test_chern_sharded(mesh8):
+    m = zoo.haldane(ptt)
+    wf0 = ptt.wf_array(m, [17, 17])
+    wf0.solve_on_grid([-0.5, -0.5])
+    c0 = wf0.berry_flux([0]) / (2.0 * np.pi)
+    with use_mesh(mesh8):
+        wf1 = ptt.wf_array(m, [17, 17])
+        wf1.solve_on_grid([-0.5, -0.5])
+        c1 = wf1.berry_flux([0]) / (2.0 * np.pi)
+    np.testing.assert_allclose(c0, c1, atol=1e-12)
+    np.testing.assert_allclose(abs(c1), 1.0, atol=1e-6)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multi-chip dry-run must compile and execute."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    mod.dryrun_multichip(8)
