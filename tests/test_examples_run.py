@@ -1,0 +1,54 @@
+"""Smoke-run every example script headlessly (CPU backend).
+
+The reference ships its examples as both documentation and workload
+definitions (/root/reference/examples/, SURVEY.md section 2b); this
+checks ours all execute end to end.  Figures land in a tmpdir.
+"""
+
+import io
+import os
+import pathlib
+import runpy
+from contextlib import redirect_stdout
+
+import pytest
+
+EXAMPLES_DIR = pathlib.Path(__file__).resolve().parents[1] / "examples"
+W90_DIR = "/root/reference/website/local/w90_example/example_a"
+
+FAST = [
+    "simple", "0dim", "trestle", "checkerboard", "graphene", "buckled_layer",
+    "haldane", "haldane_bp", "cone", "supercell", "visualize", "edge",
+    "bn_ribbon_berry", "3site_cycle", "haldane_fin",
+]
+SLOW = ["kane_mele", "haldane_hwf", "3site_cycle_fin", "cubic_slab_hwf", "chern_tpu"]
+W90 = ["w90", "w90_quick"]
+
+
+def _run(name, tmp_path, monkeypatch):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    monkeypatch.chdir(tmp_path)
+    script = EXAMPLES_DIR / (name + ".py")
+    with redirect_stdout(io.StringIO()) as out:
+        runpy.run_path(str(script), run_name="__main__")
+    assert "Done." in out.getvalue()
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_example_fast(name, tmp_path, monkeypatch):
+    _run(name, tmp_path, monkeypatch)
+
+
+@pytest.mark.parametrize("name", SLOW)
+def test_example_slow(name, tmp_path, monkeypatch):
+    _run(name, tmp_path, monkeypatch)
+
+
+@pytest.mark.parametrize("name", W90)
+def test_example_w90(name, tmp_path, monkeypatch):
+    if not os.path.isdir(W90_DIR):
+        pytest.skip("silicon Wannier90 data not available")
+    monkeypatch.setenv("W90_SILICON", W90_DIR)
+    _run(name, tmp_path, monkeypatch)
