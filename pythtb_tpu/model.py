@@ -502,6 +502,22 @@ class tb_model(object):
                 "Basis must be either 'wavefunction', 'bloch', or 'orbital'"
             )
 
+    # -- persistence -----------------------------------------------------
+
+    def save(self, path):
+        """Serialize this model to a compressed .npz file (safe, no
+        pickle).  See :mod:`pythtb_tpu.utils.serialization`."""
+        from .utils.serialization import save_model
+
+        save_model(self, path)
+
+    @staticmethod
+    def load(path):
+        """Load a model previously written with :meth:`save`."""
+        from .utils.serialization import load_model
+
+        return load_model(path)
+
     # -- model surgery ---------------------------------------------------
 
     def cut_piece(self, num, fin_dir, glue_edgs=False):

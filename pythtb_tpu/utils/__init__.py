@@ -1,2 +1,2 @@
 """Host-side utilities for pythtb_tpu."""
-from . import continuity, xfer  # noqa: F401
+from . import continuity, profiling, serialization, xfer  # noqa: F401

@@ -1,0 +1,93 @@
+"""Model serialization: save/load tb_model objects to .npz.
+
+The reference has no persistence layer -- its docs tell users to pickle
+models themselves (/root/reference/examples/w90.py:33-38).  Here models
+round-trip through a single compressed .npz holding plain arrays, which
+is portable, versioned, and safe (no pickle).  Useful for caching
+Wannier90 imports and large supercell constructions.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+__all__ = ["save_model", "load_model"]
+
+_FORMAT_VERSION = 1
+
+
+def save_model(model, path):
+    """Write a tb_model to ``path`` (.npz)."""
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "dim_k": int(model._dim_k),
+        "dim_r": int(model._dim_r),
+        "per": [int(p) for p in model._per],
+        "nspin": int(model._nspin),
+        "norb": int(model._norb),
+        "position_operator_diagonal": bool(model._assume_position_operator_diagonal),
+    }
+    nhop = len(model._hoppings)
+    if model._nspin == 1:
+        amps = np.array([h[0] for h in model._hoppings], dtype=complex).reshape(nhop)
+    else:
+        amps = np.array([h[0] for h in model._hoppings], dtype=complex).reshape(nhop, 2, 2)
+    hi = np.array([h[1] for h in model._hoppings], dtype=np.int64)
+    hj = np.array([h[2] for h in model._hoppings], dtype=np.int64)
+    if model._dim_k != 0:
+        hR = np.array([h[3] for h in model._hoppings], dtype=np.int64).reshape(
+            nhop, model._dim_r
+        )
+    else:
+        hR = np.zeros((nhop, 0), dtype=np.int64)
+    np.savez_compressed(
+        path,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        lat=model._lat,
+        orb=model._orb,
+        site_energies=model._site_energies,
+        site_specified=model._site_energies_specified,
+        hop_amps=amps,
+        hop_i=hi,
+        hop_j=hj,
+        hop_R=hR,
+    )
+
+
+def load_model(path):
+    """Read a tb_model previously written by :func:`save_model`."""
+    from ..model import tb_model
+
+    with np.load(path) as f:
+        meta = json.loads(bytes(f["meta"]).decode())
+        if meta.get("format_version", 0) > _FORMAT_VERSION:
+            raise ValueError(
+                "model file written by a newer pythtb_tpu (format %s)"
+                % meta["format_version"]
+            )
+        m = tb_model(
+            meta["dim_k"],
+            meta["dim_r"],
+            lat=f["lat"],
+            orb=f["orb"],
+            per=meta["per"],
+            nspin=meta["nspin"],
+        )
+        m._assume_position_operator_diagonal = meta["position_operator_diagonal"]
+        m._site_energies = np.array(f["site_energies"])
+        m._site_energies_specified = np.array(f["site_specified"])
+        amps, hi, hj, hR = f["hop_amps"], f["hop_i"], f["hop_j"], f["hop_R"]
+        for n in range(hi.shape[0]):
+            amp = amps[n] if meta["nspin"] == 2 else complex(amps[n])
+            if meta["dim_k"] == 0:
+                h = [amp, int(hi[n]), int(hj[n])]
+                R = None
+            else:
+                R = np.array(hR[n], dtype=int)
+                h = [amp, int(hi[n]), int(hj[n]), R]
+            m._hop_index[m._hop_key(h[1], h[2], R)] = len(m._hoppings)
+            m._hoppings.append(h)
+    m._invalidate()
+    return m
