@@ -64,6 +64,22 @@ def main():
         % (backend, compile_and_first, wall, chern, err),
         file=sys.stderr,
     )
+
+    # secondary: the same workload through the PythTB-compatible
+    # wf_array API (device-resident storage; reported to stderr only)
+    def wf_pipeline():
+        wf = ptt.wf_array(m, [GRID, GRID])
+        wf.solve_on_grid([-0.5, -0.5])
+        return wf.berry_flux([0]) / (2.0 * np.pi)
+
+    wf_pipeline()
+    t0 = time.perf_counter()
+    chern2 = wf_pipeline()
+    print(
+        "wf_array-API pipeline: %.4fs (chern=%.8f)"
+        % (time.perf_counter() - t0, chern2),
+        file=sys.stderr,
+    )
     if err > 1e-3:
         print("WARNING: Chern number off (%.6f)" % chern, file=sys.stderr)
 

@@ -48,8 +48,37 @@ def _extend_pbc(w, phase0, phase1):
     return w
 
 
+def _device_grid(n0, n1, start):
+    """Interior BZ grid built on device from iota -- only the two start
+    scalars cross the host boundary (k-point coordinates are an affine
+    function of grid indices; shipping 2*B floats through a tunneled
+    runtime would dominate the wall time)."""
+    ftype = config.float_dtype()
+    i = jax.lax.broadcasted_iota(ftype, (n0 - 1, n1 - 1), 0) / (n0 - 1) + start[0]
+    j = jax.lax.broadcasted_iota(ftype, (n0 - 1, n1 - 1), 1) / (n1 - 1) + start[1]
+    return jnp.stack([i.reshape(-1), j.reshape(-1)], axis=-1)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _chern_jit(static: ModelStatic, data: BlochData, occ, n0, n1, start, phase0_ri, phase1_ri):
+    from .utils.xfer import unpack_cplx
+
+    kpts = _device_grid(n0, n1, start)
+    w = _solve_grid_states(static, data, kpts, occ, n0, n1)
+    w = _extend_pbc(w, unpack_cplx(phase0_ri), unpack_cplx(phase1_ri))
+    Dr = _dets(_overlap(w[:-1, :, :, :], w[1:, :, :, :]))
+    Du = _dets(_overlap(w[:, :-1, :, :], w[:, 1:, :, :]))
+    plaq = -jnp.angle(
+        Dr[:, :-1] * Du[1:, :] * jnp.conj(Dr[:, 1:]) * jnp.conj(Du[:-1, :])
+    )
+    return jnp.sum(plaq)
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4, 5))
-def _chern_jit(static: ModelStatic, data: BlochData, kpts, occ, n0, n1, phase0_ri, phase1_ri):
+def _chern_sharded_jit(static: ModelStatic, data: BlochData, kpts, occ, n0, n1, phase0_ri, phase1_ri):
+    """Variant taking an (already sharded) explicit k-batch: used under a
+    device mesh, where GSPMD partitions the batch and inserts the halo
+    exchanges / flux psum."""
     from .utils.xfer import unpack_cplx
 
     w = _solve_grid_states(static, data, kpts, occ, n0, n1)
@@ -88,14 +117,19 @@ def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
     static, data, kpts, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k)
     if mesh is None:
         mesh = pmesh.current_mesh()
+    occ = tuple(int(o) for o in occ)
+    from .utils.xfer import host_pack
+
     if mesh is not None:
         nd = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         if kpts.shape[0] % nd == 0:
             kpts = pmesh.shard_batch(kpts, mesh)
-    occ = tuple(int(o) for o in occ)
-    from .utils.xfer import host_pack
-
-    out = _chern_jit(static, data, kpts, occ, n0, n1, host_pack(p0), host_pack(p1))
+        out = _chern_sharded_jit(
+            static, data, kpts, occ, n0, n1, host_pack(p0), host_pack(p1)
+        )
+    else:
+        start = np.asarray(start_k, dtype=np.float64)
+        out = _chern_jit(static, data, occ, n0, n1, start, host_pack(p0), host_pack(p1))
     return float(out)
 
 

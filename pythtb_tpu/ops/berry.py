@@ -19,22 +19,27 @@ in one compiled program:
   log-depth associative scan.  Only the final tiny (nocc, nocc) product
   returns to host, where its (non-Hermitian) eigenvalues are taken.
 
-Boundary convention: wavefunction arrays cross the host<->device
-boundary ri-packed (trailing [re, im] axis); see utils/xfer.
+Band selection (``occ``) and axis arrangement happen *inside* the jitted
+programs (static arguments), so a device-resident wf_array feeds these
+kernels with zero host round-trips.  Wavefunction arrays cross the
+host<->device boundary ri-packed (trailing [re, im] axis); see
+utils/xfer.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.xfer import host_pack, host_unpack, pack_cplx, unpack_cplx
+from ..utils.xfer import host_unpack, pack_cplx, unpack_cplx
 
 __all__ = [
-    "flux_plane_host",
-    "berry_phase_traced_host",
-    "berry_loop_products_host",
+    "berry_phase_traced",
+    "berry_loop_products",
+    "berry_flux_planes",
 ]
 
 
@@ -58,35 +63,13 @@ def _overlap(wa, wb):
     return jnp.einsum("...nf,...mf->...nm", jnp.conj(wa), wb)
 
 
-# ---------------------------------------------------------------------------
-# Berry flux over a plane
-# ---------------------------------------------------------------------------
-
-
-@jax.jit
-def _flux_plane_jit(wfs_packed):
-    """Plaquette Berry phases on (..., n0, n1, S, F) ri-packed states.
-
-    Returns (..., n0-1, n1-1) float, each entry the reference's
-    4-link plaquette loop phase (pythtb.py:3840-3865).
-    """
-    w = unpack_cplx(wfs_packed)  # (..., n0, n1, S, F)
-    # link determinants, each computed once
-    Dr = _dets(_overlap(w[..., :-1, :, :, :], w[..., 1:, :, :, :]))  # (...,n0-1,n1)
-    Du = _dets(_overlap(w[..., :, :-1, :, :], w[..., :, 1:, :, :]))  # (...,n0,n1-1)
-    loop = (
-        Dr[..., :, :-1]
-        * Du[..., 1:, :]
-        * jnp.conj(Dr[..., :, 1:])
-        * jnp.conj(Du[..., :-1, :])
-    )
-    return -jnp.angle(loop)
-
-
-def flux_plane_host(wfs: np.ndarray) -> np.ndarray:
-    """Host wrapper: wfs (..., n0, n1, S, F) complex -> plaquette phases."""
-    out = _flux_plane_jit(host_pack(wfs))
-    return np.asarray(out, dtype=np.float64)
+def _prep(wfs_packed, occ, nspin, dim_arr):
+    """unpack + select states + flatten orbital/spin -> (grid..., nocc, F)."""
+    w = unpack_cplx(wfs_packed)  # (grid..., S, norb[, spin])
+    if nspin == 2:
+        w = w.reshape(w.shape[: dim_arr + 1] + (-1,))
+    idx = (slice(None),) * dim_arr + (jnp.array(occ),)
+    return w[idx]
 
 
 # ---------------------------------------------------------------------------
@@ -94,22 +77,22 @@ def flux_plane_host(wfs: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def _berry_traced_jit(wfs_packed):
-    """Traced Berry phase along axis 0 of (L, B, S, F) ri-packed states.
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _berry_traced_jit(wfs_packed, occ, dir, nspin, dim_arr):
+    w = _prep(wfs_packed, occ, nspin, dim_arr)
+    w = jnp.moveaxis(w, dir, 0)  # (L, rest..., nocc, F)
+    ovr = _overlap(w[:-1], w[1:])
+    ang = jnp.angle(_dets(ovr))  # (L-1, rest...)
+    return -_wrap(jnp.sum(ang, axis=0))  # (rest...)
 
-    Returns (B,) float: -angle(det(prod_links M)) per string, computed as
-    the wrapped sum of per-link det angles.
+
+def berry_phase_traced(wfs_packed, occ, dir, nspin, dim_arr) -> np.ndarray:
+    """Traced Berry phase of states ``occ`` along grid axis ``dir``.
+
+    wfs_packed: ri-packed (grid..., S, norb[, spin], 2) array (host or
+    device).  Returns a float64 array over the remaining grid axes.
     """
-    w = unpack_cplx(wfs_packed)
-    ovr = _overlap(w[:-1], w[1:])  # (L-1, B, S, S)
-    ang = jnp.angle(_dets(ovr))  # (L-1, B)
-    return -_wrap(jnp.sum(ang, axis=0))
-
-
-def berry_phase_traced_host(wfs: np.ndarray) -> np.ndarray:
-    """Host wrapper: wfs (L, B, S, F) complex -> (B,) float64 phases."""
-    out = _berry_traced_jit(host_pack(wfs))
+    out = _berry_traced_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
     return np.asarray(out, dtype=np.float64)
 
 
@@ -124,21 +107,55 @@ def _unitarize(M):
     return U @ Vh
 
 
-@jax.jit
-def _berry_products_jit(wfs_packed):
-    """Ordered product of unitarized link overlaps along axis 0.
-
-    wfs (L, B, S, F) ri-packed -> (B, S, S) ri-packed product matrices
-    (the reference's ``prd`` at pythtb.py:3824-3826, one per string).
-    """
-    w = unpack_cplx(wfs_packed)
-    ovr = _overlap(w[:-1], w[1:])  # (L-1, B, S, S)
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _berry_products_jit(wfs_packed, occ, dir, nspin, dim_arr):
+    w = _prep(wfs_packed, occ, nspin, dim_arr)
+    w = jnp.moveaxis(w, dir, 0)
+    ovr = _overlap(w[:-1], w[1:])  # (L-1, rest..., S, S)
     Wl = _unitarize(ovr)
     # ordered chain product prd = W_0 @ W_1 @ ... via log-depth scan
-    prod = jax.lax.associative_scan(lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), Wl)
+    prod = jax.lax.associative_scan(
+        lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), Wl
+    )
     return pack_cplx(prod[-1])
 
 
-def berry_loop_products_host(wfs: np.ndarray) -> np.ndarray:
-    """Host wrapper: wfs (L, B, S, F) complex -> (B, S, S) complex products."""
-    return host_unpack(_berry_products_jit(host_pack(wfs)))
+def berry_loop_products(wfs_packed, occ, dir, nspin, dim_arr) -> np.ndarray:
+    """Ordered product of unitarized link overlaps along ``dir``
+    (the reference's ``prd``, pythtb.py:3824-3826), one (nocc, nocc)
+    complex matrix per string, shaped (rest..., nocc, nocc)."""
+    out = _berry_products_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
+    return host_unpack(out)
+
+
+# ---------------------------------------------------------------------------
+# Berry flux over planes
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _berry_flux_jit(wfs_packed, occ, d0, d1, nspin, dim_arr, individual):
+    w = _prep(wfs_packed, occ, nspin, dim_arr)
+    # arrange grid axes as (rest..., d0, d1): matches the reference's
+    # transpose + slice loops (pythtb.py:3135-3196)
+    w = jnp.moveaxis(w, (d0, d1), (dim_arr - 2, dim_arr - 1))
+    Dr = _dets(_overlap(w[..., :-1, :, :, :], w[..., 1:, :, :, :]))
+    Du = _dets(_overlap(w[..., :, :-1, :, :], w[..., :, 1:, :, :]))
+    plaq = -jnp.angle(
+        Dr[..., :, :-1]
+        * Du[..., 1:, :]
+        * jnp.conj(Dr[..., :, 1:])
+        * jnp.conj(Du[..., :-1, :])
+    )
+    if individual:
+        return plaq  # (rest..., n0-1, n1-1)
+    return jnp.sum(plaq, axis=(-2, -1))  # (rest...)
+
+
+def berry_flux_planes(wfs_packed, occ, d0, d1, nspin, dim_arr, individual):
+    """Plaquette Berry phases (or their plane sums) over the (d0, d1)
+    planes of a grid of states."""
+    out = _berry_flux_jit(
+        wfs_packed, tuple(occ), int(d0), int(d1), nspin, dim_arr, bool(individual)
+    )
+    return np.asarray(out, dtype=np.float64)

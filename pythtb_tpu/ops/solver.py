@@ -1,10 +1,20 @@
-"""Jitted end-to-end k-batch solver: assemble H(k) -> diagonalize.
+"""Jitted end-to-end k-batch solvers: assemble H(k) -> diagonalize.
 
 This is the compiled replacement for the reference's hot loop
-``solve_all`` (/root/reference/pythtb.py:955-1079, loop at 1047): one
-traced program handles the whole k-batch, optionally sharded over a
-device mesh (pure data parallelism over k; see
+``solve_all`` (/root/reference/pythtb.py:955-1079, loop at 1047) and for
+``wf_array.solve_on_grid``'s nested loops (pythtb.py:2472-2527): one
+traced program handles the whole k-batch / k-grid, optionally sharded
+over a device mesh (pure data parallelism over k; see
 :mod:`pythtb_tpu.parallel.mesh`).
+
+Two families:
+
+* ``solve_kpts`` / ``hamiltonian_kpts`` -- arbitrary host-provided
+  k-lists (bands along paths, user meshes);
+* ``solve_grid_device`` -- uniform BZ grids built **on device** from
+  iota (only scalars cross the host boundary) with the periodic-gauge
+  boundary slices appended in-program; feeds device-resident wf_array
+  storage with zero host round-trips.
 
 Host-facing entry points accept/return NumPy (complex eigenvectors are
 ri-packed across the device boundary and re-joined on host).
@@ -21,11 +31,11 @@ import numpy as np
 from .. import config
 from ..core import BlochData, ModelStatic
 from ..parallel import mesh as pmesh
-from ..utils.xfer import host_unpack, pack_cplx
+from ..utils.xfer import host_unpack, pack_cplx, unpack_cplx
 from .eigh import eigh_batched, eigvalsh_batched
 from .hamiltonian import assemble
 
-__all__ = ["solve_kpts", "hamiltonian_kpts"]
+__all__ = ["solve_kpts", "hamiltonian_kpts", "solve_grid_device"]
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -98,3 +108,65 @@ def solve_kpts(static: ModelStatic, data: BlochData, k_list, eig_vectors=False, 
     w = np.asarray(w, dtype=np.float64)[:nkp]
     v = host_unpack(v)[:nkp]
     return w, v
+
+
+# ---------------------------------------------------------------------------
+# Device-built uniform grids with periodic-gauge extension
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phases_ri):
+    """Solve on a uniform grid of shape ``interior`` (per-dim sizes
+    n_d - 1) anchored at ``start``, then append the wrapped boundary
+    slice per dimension with periodic-gauge phases, sequentially in
+    dimension order (matching wf_array.solve_on_grid + impose_pbc;
+    reference pythtb.py:2472-2527, 2728-2747).
+
+    Returns (min_gaps (nsta-1,) float, wfs_packed (*mesh, nsta, norb[,spin], 2)).
+    """
+    ftype = config.float_dtype()
+    dim = len(interior)
+    # k-grid from iota: only `start` crosses the host boundary
+    cols = []
+    for d in range(dim):
+        ax = jax.lax.broadcasted_iota(ftype, tuple(interior), d)
+        cols.append(ax / float(interior[d]) + start[d])
+    kpts = jnp.stack([c.reshape(-1) for c in cols], axis=-1)  # (B, dim)
+
+    H = assemble(static, data, kpts)
+    evals, v = eigh_batched(H)  # (B, nsta), (B, nsta, nsta)
+    if static.nspin == 2:
+        v = v.reshape(v.shape[0], static.nsta, static.norb, 2)
+    w = v.reshape(tuple(interior) + v.shape[1:])
+
+    phases = unpack_cplx(phases_ri)  # (dim, norb[, spin])
+    for d in range(dim):
+        first = jax.lax.slice_in_dim(w, 0, 1, axis=d)
+        w = jnp.concatenate([w, first * phases[d]], axis=d)
+    # minimum direct gaps, reduced on device (only nsta-1 floats leave)
+    if static.nsta > 1:
+        min_gaps = jnp.min(evals[:, 1:] - evals[:, :-1], axis=0)
+    else:
+        min_gaps = jnp.zeros((0,), evals.dtype)
+    return min_gaps, pack_cplx(w)
+
+
+def solve_grid_device(static: ModelStatic, data: BlochData, mesh_sizes, start_k, orb, per, nspin):
+    """Device-resident uniform-grid solve.
+
+    Returns (min_gaps (nsta-1,) float64 on host, wfs_packed device array
+    of shape (*mesh_sizes, nsta, norb[, spin], 2)).
+    """
+    interior = tuple(int(m) - 1 for m in mesh_sizes)
+    start = np.asarray(start_k, dtype=np.float64).reshape(len(interior))
+    phases = []
+    for d in range(len(interior)):
+        ffac = np.exp(-2.0j * np.pi * np.asarray(orb)[:, per[d]])
+        if nspin == 2:
+            ffac = np.repeat(ffac[:, None], 2, axis=1)
+        phases.append(ffac)
+    phases = np.stack(phases, axis=0)
+    phases_ri = np.stack([phases.real, phases.imag], axis=-1)
+    min_gaps, wfs = _solve_grid_jit(static, data, interior, start, phases_ri)
+    return np.asarray(min_gaps, dtype=np.float64), wfs

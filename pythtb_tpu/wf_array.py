@@ -6,30 +6,35 @@ complex array of states over a 1-4 dimensional k/parameter grid, with
 periodic-gauge boundary fixups, Berry phases / Wilson loops, Berry
 fluxes, and position-operator wrappers.
 
-TPU-native differences:
+TPU-native design: storage is **device-resident with a lazy host
+view**.  ``solve_on_grid`` builds the k-grid on device (iota), solves
+the whole mesh in one compiled call, and appends the periodic-gauge
+boundary slices in-program -- the wavefunctions never leave the device
+unless the user indexes them.  Berry quantities consume the device copy
+directly (band selection and axis arrangement happen inside the jitted
+kernels), so a solve -> berry_flux pipeline transfers only scalars.
+Host-side mutation (``wf[i, j] = evec``, ``impose_pbc``) transparently
+materializes the NumPy view and invalidates the device copy, preserving
+exact reference semantics (including mutation through views returned by
+``wf[key]``).
 
-* ``solve_on_grid`` builds the whole interior k-mesh and diagonalizes it
-  in ONE batched device call (the reference loops ``solve_one`` point by
-  point, pythtb.py:2472-2527);
-* ``berry_phase`` batches all strings of a mesh direction through one
-  compiled Wilson-loop program (ops/berry.py) instead of looping;
-* ``berry_flux`` computes every link determinant exactly once on device
-  (the reference recomputes interior links twice, pythtb.py:3852-3863);
-* phase-continuity branch fixing stays on host and replicates the
-  reference's greedy algorithms decision-for-decision
-  (utils/continuity.py).
+Phase-continuity branch fixing stays on host and replicates the
+reference's greedy algorithms decision-for-decision
+(utils/continuity.py).
 """
 
 from __future__ import annotations
 
 import copy as _copy
 
+import jax
 import numpy as np
 
 from .model import PythtbError, _is_int, _offdiag_approximation_warning_and_stop
 from .ops import berry as _berry
 from .ops import solver as _solver
 from .utils import continuity as _cont
+from .utils.xfer import host_pack, host_unpack
 
 __all__ = ["wf_array"]
 
@@ -63,16 +68,61 @@ class wf_array(object):
         wfs_dim = list(self._mesh_arr) + [self._nsta_arr, self._norb]
         if self._nspin == 2:
             wfs_dim += [self._nspin]
-        # _wfs[k1_index, ..., state, orb(, spin)]
-        self._wfs = np.zeros(tuple(wfs_dim), dtype=complex)
+        # host storage: _wfs[k1_index, ..., state, orb(, spin)]
+        self._host = np.zeros(tuple(wfs_dim), dtype=complex)
+        self._host_valid = True
+        # device storage: ri-packed twin of _host
+        self._dev = None
+        self._dev_valid = False
+
+    # -- storage management ---------------------------------------------
+
+    def _sync_host(self):
+        if not self._host_valid:
+            self._host = host_unpack(np.asarray(self._dev))
+            self._host_valid = True
+
+    def _host_rw(self):
+        """Host array for mutation; device copy becomes stale."""
+        self._sync_host()
+        self._dev_valid = False
+        return self._host
+
+    def _host_ro(self):
+        """Host array for read-only use; device copy stays valid."""
+        self._sync_host()
+        return self._host
+
+    def _packed(self):
+        """Device-resident ri-packed storage (uploads host if stale)."""
+        if not self._dev_valid:
+            self._dev = jax.device_put(host_pack(self._host_ro()))
+            self._dev_valid = True
+        return self._dev
+
+    def _set_device(self, wfs_packed):
+        self._dev = wfs_packed
+        self._dev_valid = True
+        self._host_valid = False
+
+    @property
+    def _wfs(self):
+        """Reference-compatible mutable host view of the stored states."""
+        return self._host_rw()
+
+    @_wfs.setter
+    def _wfs(self, value):
+        self._host = np.asarray(value, dtype=complex)
+        self._host_valid = True
+        self._dev_valid = False
 
     # -- population -----------------------------------------------------
 
     def solve_on_grid(self, start_k):
         """Solve the model on a uniform grid covering the BZ (inclusive of
-        both endpoints, with the last point set by ``impose_pbc``), in a
-        single batched device call.  Returns the minimum direct gap per
-        band pair (reference pythtb.py:2421-2532)."""
+        both endpoints, with the last point fixed by the periodic gauge),
+        entirely on device.  Returns the minimum direct gap per band pair
+        (reference pythtb.py:2421-2532)."""
         if self._dim_arr != self._model._dim_k:
             raise PythtbError(
                 "If using solve_on_grid method, dimension of wf_array must equal "
@@ -87,70 +137,65 @@ class wf_array(object):
             raise PythtbError("Wrong dimensionality!")
         self._start_k = start_k
 
-        mesh = [int(m) for m in self._mesh_arr]
-        interior = [m - 1 for m in mesh]
-        axes = [
-            np.asarray(start_k[d], dtype=float)
-            + np.arange(interior[d], dtype=float) / float(mesh[d] - 1)
-            for d in range(self._dim_arr)
-        ]
-        grids = np.meshgrid(*axes, indexing="ij")
-        kpts = np.stack([g.reshape(-1) for g in grids], axis=-1)
-
         static, data = self._model._get_finalized()
-        evals, evecs = _solver.solve_kpts(static, data, kpts, eig_vectors=True)
-        # scatter into the interior of the storage array
-        tail = evecs.shape[1:]
-        self._wfs[tuple(slice(0, n) for n in interior)] = evecs.reshape(
-            tuple(interior) + tail
+        min_gaps, wfs_packed = _solver.solve_grid_device(
+            static,
+            data,
+            [int(m) for m in self._mesh_arr],
+            start_k,
+            self._orb,
+            self._model._per,
+            self._nspin,
         )
-        # direct gaps on the interior grid
+        self._set_device(wfs_packed)
         if self._nsta_arr <= 1:
-            all_gaps = None
-        else:
-            ev = evals.reshape(tuple(interior) + (self._nsta_arr,))
-            all_gaps = ev[..., 1:] - ev[..., :-1]
-        # periodic-gauge boundary, sequentially per direction
-        for d in range(self._dim_arr):
-            self.impose_pbc(d, self._model._per[d])
-        if all_gaps is not None:
-            return all_gaps.min(axis=tuple(range(self._dim_arr)))
-        return None
+            return None
+        return min_gaps
 
     def solve_on_one_point(self, kpt, mesh_indices):
         """Solve at one k-point and store at mesh_indices
         (reference pythtb.py:2534-2566)."""
         _, evec = self._model.solve_one(kpt, eig_vectors=True)
+        host = self._host_rw()
         if _is_int(mesh_indices):
-            self._wfs[(mesh_indices,)] = evec
+            host[(mesh_indices,)] = evec
         else:
-            self._wfs[tuple(mesh_indices)] = evec
+            host[tuple(mesh_indices)] = evec
 
     # -- array utilities ------------------------------------------------
+
+    def _copy_shell(self):
+        """Deep copy without duplicating device buffers."""
+        self._sync_host()
+        dev, dev_valid = self._dev, self._dev_valid
+        self._dev, self._dev_valid = None, False
+        new = _copy.deepcopy(self)
+        self._dev, self._dev_valid = dev, dev_valid
+        return new
 
     def choose_states(self, subset):
         """New wf_array keeping only the given state indices
         (reference pythtb.py:2568-2607)."""
-        wf_new = _copy.deepcopy(self)
         subset = np.array(subset, dtype=int)
         if subset.ndim != 1:
             raise PythtbError("Parameter subset must be a one-dimensional array.")
+        wf_new = self._copy_shell()
         wf_new._nsta_arr = subset.shape[0]
         idx = (slice(None),) * self._dim_arr + (subset,)
-        wf_new._wfs = wf_new._wfs[idx]
+        wf_new._wfs = wf_new._host[idx]
         return wf_new
 
     def empty_like(self, nsta_arr=None):
         """New uninitialized wf_array of the same shape (optionally with a
         different number of states; reference pythtb.py:2609-2642)."""
-        wf_new = _copy.deepcopy(self)
+        wf_new = self._copy_shell()
         if nsta_arr is not None:
             wf_new._nsta_arr = nsta_arr
-            shape = list(wf_new._wfs.shape)
+            shape = list(wf_new._host.shape)
             shape[self._dim_arr] = nsta_arr
             wf_new._wfs = np.empty(tuple(shape), dtype=complex)
         else:
-            wf_new._wfs = np.empty_like(wf_new._wfs)
+            wf_new._wfs = np.empty_like(wf_new._host)
         return wf_new
 
     def __check_key(self, key):
@@ -170,11 +215,13 @@ class wf_array(object):
 
     def __getitem__(self, key):
         self.__check_key(key)
-        return self._wfs[key]
+        # the returned object is a mutable NumPy view (reference
+        # semantics), so the device copy must be considered stale
+        return self._host_rw()[key]
 
     def __setitem__(self, key, value):
         self.__check_key(key)
-        self._wfs[key] = np.array(value, dtype=complex)
+        self._host_rw()[key] = np.array(value, dtype=complex)
 
     # -- boundary conditions --------------------------------------------
 
@@ -195,18 +242,20 @@ class wf_array(object):
             phase = np.zeros((self._norb, 2), dtype=complex)
             phase[:, 0] = ffac
             phase[:, 1] = ffac
+        host = self._host_rw()
         first = (slice(None),) * mesh_dir + (0, Ellipsis)
         last = (slice(None),) * mesh_dir + (-1, Ellipsis)
-        self._wfs[last] = self._wfs[first] * phase
+        host[last] = host[first] * phase
 
     def impose_loop(self, mesh_dir):
         """Copy the first slice along mesh_dir onto the last (closed
         non-winding loops; reference pythtb.py:2751-2791)."""
         if mesh_dir < 0 or mesh_dir >= self._dim_arr:
             raise PythtbError("Wrong value of mesh_dir.")
+        host = self._host_rw()
         first = (slice(None),) * mesh_dir + (0, Ellipsis)
         last = (slice(None),) * mesh_dir + (-1, Ellipsis)
-        self._wfs[last] = self._wfs[first]
+        host[last] = host[first]
 
     # -- internal helpers -----------------------------------------------
 
@@ -224,19 +273,13 @@ class wf_array(object):
         if self._model._assume_position_operator_diagonal is False:
             _offdiag_approximation_warning_and_stop()
 
-    def _flat_states(self, wfs):
-        """(..., S, norb[, spin]) -> (..., S, F) with orb/spin flattened."""
-        if self._nspin == 2:
-            return wfs.reshape(wfs.shape[:-2] + (wfs.shape[-2] * 2,))
-        return wfs
-
     # -- position wrappers ----------------------------------------------
 
     def _key_occ_states(self, key, occ):
         occ = self._occ_index(occ)
         if _is_int(key):
             key = (key,)
-        return self._wfs[tuple(key)][occ]
+        return self._host_ro()[tuple(key)][occ]
 
     def position_matrix(self, key, occ, dir):
         """Position matrix at one grid point for the given states
@@ -274,23 +317,19 @@ class wf_array(object):
         if self._dim_arr > 3:
             raise PythtbError("Wrong dimensionality!")
 
-        # strings along `dir`; all other axes batched
-        w = np.moveaxis(self._wfs, dir, 0)  # (L, rest..., S, orb[,spin])
-        rest_shape = w.shape[1 : self._dim_arr]
-        w = w[(slice(None),) * self._dim_arr + (occ,)]
-        w = self._flat_states(w)
-        L = w.shape[0]
-        B = int(np.prod(rest_shape)) if rest_shape else 1
-        w = w.reshape(L, B, len(occ), w.shape[-1])
-
+        wp = self._packed()
         if not berry_evals:
-            pha = _berry.berry_phase_traced_host(w)  # (B,)
-            ret = pha.reshape(rest_shape) if rest_shape else float(pha[0])
+            ret = _berry.berry_phase_traced(
+                wp, occ, dir, self._nspin, self._dim_arr
+            )
+            if self._dim_arr == 1:
+                ret = float(ret)
         else:
-            prd = _berry.berry_loop_products_host(w)  # (B, S, S)
+            prd = _berry.berry_loop_products(
+                wp, occ, dir, self._nspin, self._dim_arr
+            )  # (rest..., S, S)
             evals = np.linalg.eigvals(prd)
-            pha = np.sort(-np.angle(evals), axis=-1)  # ascending per string
-            ret = pha.reshape(rest_shape + (len(occ),))
+            ret = np.sort(-np.angle(evals), axis=-1)  # ascending per string
 
         if self._dim_arr > 1 or berry_evals:
             ret = np.array(ret, dtype=float)
@@ -342,19 +381,10 @@ class wf_array(object):
         if self._dim_arr not in (2, 3, 4):
             raise PythtbError("Wrong dimensionality!")
 
-        # arrange grid axes as (rest..., d0, d1), select states, flatten
-        ld = [d for d in range(self._dim_arr) if d not in (dirs[0], dirs[1])]
-        w = np.moveaxis(self._wfs, (dirs[0], dirs[1]), (self._dim_arr - 2, self._dim_arr - 1))
-        # moveaxis above put d0, d1 last among grid axes; remaining axes
-        # keep their relative order, matching the reference's transpose
-        w = w[(slice(None),) * self._dim_arr + (occ,)]
-        w = self._flat_states(w)
-        plaq = _berry.flux_plane_host(w)  # (rest..., n0-1, n1-1)
-
-        if self._dim_arr == 2:
-            if individual_phases:
-                return plaq
-            return plaq.sum()
-        if individual_phases:
-            return plaq
-        return plaq.sum(axis=(-2, -1))
+        out = _berry.berry_flux_planes(
+            self._packed(), occ, dirs[0], dirs[1], self._nspin, self._dim_arr,
+            individual_phases,
+        )
+        if self._dim_arr == 2 and not individual_phases:
+            return float(out)
+        return out
