@@ -24,6 +24,27 @@ RTOL = 1e-8
 ATOL = 1e-10
 
 
+def _match_phase_sets(got, want, key):
+    """Compare multiband phase lists as *sets* on the unit circle.
+
+    Wilson-loop eigenphases exactly at the +-pi branch cut can land on
+    either side depending on ~1e-16 rounding, which permutes the sorted
+    output (SURVEY.md hard-part #2).  Greedy nearest-neighbor matching
+    on the circle makes the comparison branch-independent."""
+    got2 = got.reshape(-1, got.shape[-1])
+    want2 = want.reshape(-1, want.shape[-1])
+    for row in range(got2.shape[0]):
+        avail = list(range(got2.shape[1]))
+        for w in want2[row]:
+            dists = [abs(np.angle(np.exp(1j * (got2[row, k] - w)))) for k in avail]
+            k_best = int(np.argmin(dists))
+            assert dists[k_best] < 1e-8, (
+                "phase-set key %s row %d: no match for %r in %r"
+                % (key, row, w, got2[row])
+            )
+            avail.pop(k_best)
+
+
 def _compare(result, gold):
     for key in gold.files:
         assert key in result, "missing output %r" % key
@@ -32,7 +53,9 @@ def _compare(result, gold):
         assert got.shape == want.shape, (
             "shape mismatch for %s: %s vs %s" % (key, got.shape, want.shape)
         )
-        if key.startswith("pha_"):
+        if key.startswith("pha_ev"):
+            _match_phase_sets(got, want, key)
+        elif key.startswith("pha_"):
             diff = np.angle(np.exp(1j * (got - want)))
             np.testing.assert_allclose(diff, np.zeros_like(diff), rtol=0, atol=1e-8,
                                        err_msg="phase key %s" % key)

@@ -221,6 +221,64 @@ def reduced_and_removed(mod):
     return out
 
 
+def berry_3d(mod):
+    """3-D wf_array: Berry phases (all contin/berry_evals combinations)
+    and fluxes over every plane orientation, exercising the reference's
+    hard-coded per-rank loops (pythtb.py:3000-3027, 3152-3202)."""
+    lat = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    orb = [[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]
+    m = mod.tb_model(3, 3, lat, orb)
+    m.set_onsite([-0.7, 0.7])
+    m.set_hop(-1.0, 0, 1, [0, 0, 0])
+    m.set_hop(-0.3, 0, 1, [-1, 0, 0])
+    m.set_hop(-0.25, 0, 1, [0, -1, 0])
+    m.set_hop(-0.2, 0, 1, [0, 0, -1])
+    m.set_hop(0.1j, 0, 0, [1, 0, 0])
+    m.set_hop(-0.1j, 1, 1, [1, 0, 0])
+    wf = mod.wf_array(m, [7, 6, 5])
+    gaps = wf.solve_on_grid([0.0, 0.0, 0.0])
+    out = {"gaps": gaps}
+    for d in range(3):
+        out["pha_bp_d%d" % d] = np.asarray(wf.berry_phase([0], d, contin=False))
+        out["pha_bp_d%d_contin" % d] = np.asarray(wf.berry_phase([0], d, contin=True))
+        out["pha_ev_d%d" % d] = np.asarray(
+            wf.berry_phase([0, 1], d, contin=False, berry_evals=True)
+        )
+    out["pha_ev_contin_d1"] = np.asarray(
+        wf.berry_phase([0, 1], 1, contin=True, berry_evals=True)
+    )
+    for dirs in ([0, 1], [1, 2], [0, 2], [1, 0]):
+        out["flux_%d%d" % tuple(dirs)] = np.asarray(wf.berry_flux([0], dirs=dirs))
+    out["pha_plaq_12"] = wf.berry_flux([0], dirs=[1, 2], individual_phases=True)
+    return out
+
+
+def berry_4d(mod):
+    """4-D wf_array filled manually ((k1, k2) x (p1, p2) parameter grid),
+    berry_flux over k-planes for every parameter point
+    (pythtb.py:3187-3202)."""
+    m = zoo.haldane(mod)
+    n1, n2, np1, np2 = 5, 5, 3, 2
+    wf = mod.wf_array(m, [n1, n2, np1, np2])
+    for i1 in range(np1):
+        for i2 in range(np2):
+            # parameters shift the grid origin (gauge-shifted copies)
+            for a in range(n1):
+                for b in range(n2):
+                    kpt = [
+                        -0.5 + a / (n1 - 1.0) + 0.01 * i1,
+                        -0.5 + b / (n2 - 1.0) + 0.02 * i2,
+                    ]
+                    _, evec = m.solve_one(kpt, eig_vectors=True)
+                    wf[a, b, i1, i2] = evec
+    out = {
+        "flux_k": np.asarray(wf.berry_flux([0], dirs=[0, 1])),
+        "pha_plaq_k": wf.berry_flux([0], dirs=[0, 1], individual_phases=True),
+        "flux_mixed": np.asarray(wf.berry_flux([0], dirs=[1, 2])),
+    }
+    return out
+
+
 def w90_silicon(mod, data_dir):
     """Wannier90 silicon import (examples/w90.py)."""
     si = mod.w90(data_dir, "silicon")
@@ -250,6 +308,8 @@ ALL = {
     "three_site_pump": three_site_pump,
     "slab_hwf": slab_hwf,
     "reduced_and_removed": reduced_and_removed,
+    "berry_3d": berry_3d,
+    "berry_4d": berry_4d,
 }
 
 W90_DATA_DIR = "/root/reference/website/local/w90_example/example_a"
