@@ -60,7 +60,10 @@ def _dets(M):
 
 def _overlap(wa, wb):
     """ovr[..., n, m] = <wa[..., n, :] | wb[..., m, :]> (pythtb.py:3813-3817)."""
-    return jnp.einsum("...nf,...mf->...nm", jnp.conj(wa), wb)
+    return jnp.einsum(
+        "...nf,...mf->...nm", jnp.conj(wa), wb,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _prep(wfs_packed, occ, nspin, dim_arr):
@@ -115,7 +118,10 @@ def _berry_products_jit(wfs_packed, occ, dir, nspin, dim_arr):
     Wl = _unitarize(ovr)
     # ordered chain product prd = W_0 @ W_1 @ ... via log-depth scan
     prod = jax.lax.associative_scan(
-        lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), Wl
+        lambda a, b: jnp.einsum(
+            "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
+        ),
+        Wl,
     )
     return pack_cplx(prod[-1])
 

@@ -18,6 +18,7 @@ ri-packed floats happens in the solver wrappers.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,8 +36,9 @@ def _phases(static: ModelStatic, rv, kpts):
     if static.dim_k == 0 or static.nhop == 0:
         B = kpts.shape[0]
         return jnp.ones((B, static.nhop), dtype=ctype)
-    ang = (2.0 * np.pi) * (
-        jnp.asarray(kpts, ftype) @ jnp.asarray(rv, ftype).T
+    ang = (2.0 * np.pi) * jnp.dot(
+        jnp.asarray(kpts, ftype), jnp.asarray(rv, ftype).T,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (B, nhop)
     return jnp.asarray(jnp.cos(ang), ctype) + 1j * jnp.asarray(jnp.sin(ang), ctype)
 
@@ -64,6 +66,12 @@ def assemble(static: ModelStatic, data: BlochData, kpts):
     if static.nhop == 0:
         return jnp.broadcast_to(diag, (B, nsta, nsta)).astype(ctype)
 
+    if static.nspin == 1:
+        from .pallas_assemble import assemble_pallas_nspin1, pallas_available
+
+        if pallas_available(static, B):
+            return assemble_pallas_nspin1(static, data, kpts, diag)
+
     ph = _phases(static, data.rv, kpts)  # (B, nhop) complex
     amps = unpack_cplx(jnp.asarray(data.amps))  # (nhop,) or (nhop,2,2)
 
@@ -76,8 +84,8 @@ def assemble(static: ModelStatic, data: BlochData, kpts):
             )
             # vals @ P + conj(vals) @ PT, done as two *real* matmuls:
             #   Re part couples to (P + PT), Im part to (P - PT).
-            Hr = jnp.real(vals) @ (P + PT)
-            Hi = jnp.imag(vals) @ (P - PT)
+            Hr = jnp.dot(jnp.real(vals), P + PT, precision=jax.lax.Precision.HIGHEST)
+            Hi = jnp.dot(jnp.imag(vals), P - PT, precision=jax.lax.Precision.HIGHEST)
             H = (jnp.asarray(Hr, ctype) + 1j * jnp.asarray(Hi, ctype)).reshape(
                 B, n, n
             )
@@ -98,8 +106,8 @@ def assemble(static: ModelStatic, data: BlochData, kpts):
         PTc = jnp.asarray(PT, ctype)
         # direct term lands at (i, j) with spin block [s, t];
         # conjugate term lands at (j, i) with spin block conj^T.
-        Hdir = jnp.einsum("bhst,hp->bpst", vals, Pc)
-        Hcj = jnp.einsum("bhst,hp->bpts", jnp.conj(vals), PTc)
+        Hdir = jnp.einsum("bhst,hp->bpst", vals, Pc, precision=jax.lax.Precision.HIGHEST)
+        Hcj = jnp.einsum("bhst,hp->bpts", jnp.conj(vals), PTc, precision=jax.lax.Precision.HIGHEST)
         Hblk = (Hdir + Hcj).reshape(B, n, n, 2, 2)
     else:
         Hblk = jnp.zeros((B, n, n, 2, 2), dtype=ctype)

@@ -29,7 +29,10 @@ __all__ = [
 
 def _xmat(w, pos):
     """w (..., nb, F) complex, pos (F,) float -> X (..., nb, nb) complex."""
-    return jnp.einsum("...nf,f,...mf->...nm", jnp.conj(w), pos.astype(w.dtype), w)
+    return jnp.einsum(
+        "...nf,f,...mf->...nm", jnp.conj(w), pos.astype(w.dtype), w,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @jax.jit
@@ -47,7 +50,9 @@ def _pos_hwf_jit(wfs_packed, pos, want_evec, orbital_basis):
     if orbital_basis:
         # express each HWF on the orbital basis: hwf_orb[h] = sum_b hwf[h,b] u_b
         # (pythtb.py:2262-2277)
-        hwf = jnp.einsum("...hb,...bf->...hf", hwf, w)
+        hwf = jnp.einsum(
+            "...hb,...bf->...hf", hwf, w, precision=jax.lax.Precision.HIGHEST
+        )
     return hwfc, pack_cplx(hwf)
 
 
