@@ -136,3 +136,32 @@ def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
 def chern_number(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
     """Chern number of the ``occ`` bands (flux / 2 pi)."""
     return berry_flux_grid(model, occ, nk, start_k, mesh) / (2.0 * np.pi)
+
+
+def energy_fn(model):
+    """Differentiable band-energy function (a capability the NumPy
+    reference cannot offer): returns ``(fn, params0)`` where
+    ``fn(params, kpts) -> evals (B, nsta)`` is a pure jittable function
+    of ``params = {"amps": ..., "diag": ...}`` -- the model's hopping
+    amplitudes and site-energy matrix as ri-packed float arrays
+    (see :class:`~pythtb_tpu.core.BlochData`).  Gradients flow through
+    assembly and the eigensolver, enabling fits of tight-binding
+    parameters to target bands, band-gap sensitivity analysis, etc.
+
+    Example::
+
+        fn, p0 = flows.energy_fn(model)
+        gap = lambda p: fn(p, kpts)[:, 1].min() - fn(p, kpts)[:, 0].max()
+        dgap = jax.grad(gap)(p0)["amps"]
+    """
+    from .ops.eigh import eigvalsh_batched
+
+    static, data0 = model._get_finalized()
+    params0 = {"amps": jnp.asarray(data0.amps), "diag": jnp.asarray(data0.diag)}
+
+    def fn(params, kpts):
+        data = data0._replace(amps=params["amps"], diag=params["diag"])
+        H = assemble(static, data, jnp.asarray(kpts))
+        return eigvalsh_batched(H)
+
+    return fn, params0

@@ -263,6 +263,9 @@ class tb_model(object):
         vals = [onsite_en] if ind_i is not None else list(onsite_en)
         for t, v in zip(targets, vals):
             blk = self._val_to_block(v)
+            if self._nspin == 1 and np.ndim(blk) == 0:
+                # imaginary part already verified negligible above
+                blk = float(np.real(blk))
             if mode == "add":
                 self._site_energies[t] += blk
             else:
