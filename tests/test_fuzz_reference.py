@@ -1,0 +1,155 @@
+"""Randomized differential testing against the live reference.
+
+Random models (dimensions, periodicity subsets, spin structure, random
+hopping tables incl. out-of-cell orbitals and far R vectors) are built
+identically through both implementations; spectra and Berry quantities
+must agree to float64 round-off, and *invalid* constructions must be
+rejected by both.  This catches semantic drift in corners the curated
+workloads miss.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+import pythtb_tpu as ptt
+
+
+def _build_random(mod, rng_seed):
+    """Build one random model; returns (model, log) where log records
+    which mutation attempts raised (for cross-implementation checks)."""
+    rng = np.random.RandomState(rng_seed)
+    dim_r = rng.randint(1, 4)
+    dim_k = rng.randint(0, dim_r + 1)
+    per = sorted(rng.choice(dim_r, size=dim_k, replace=False).tolist())
+    nspin = 1 if rng.rand() < 0.7 else 2
+    norb = rng.randint(1, 5)
+    lat = np.eye(dim_r) + 0.25 * rng.randn(dim_r, dim_r)
+    if dim_r > 0 and np.linalg.det(lat) < 0:
+        lat[0] *= -1.0
+    if abs(np.linalg.det(lat)) < 0.1:
+        lat = np.eye(dim_r)
+    orb = rng.uniform(-0.2, 1.2, size=(norb, dim_r))
+
+    log = []
+    m = mod.tb_model(dim_k, dim_r, lat.tolist(), orb.tolist(), per=per, nspin=nspin)
+
+    def attempt(desc, fn):
+        try:
+            fn()
+            log.append((desc, "ok"))
+        except Exception:
+            log.append((desc, "raise"))
+
+    # onsite
+    if nspin == 1:
+        ons = rng.randn(norb)
+    else:
+        ons = [rng.randn(4) for _ in range(norb)]
+    attempt("onsite", lambda: m.set_onsite(list(ons)))
+
+    # random hoppings (some invalid on purpose)
+    n_try = rng.randint(2, 12)
+    for t in range(n_try):
+        i = rng.randint(norb)
+        j = rng.randint(norb)
+        if dim_k > 0:
+            R = rng.randint(-2, 3, size=dim_r)
+        else:
+            R = None
+        if nspin == 1:
+            amp = rng.randn() + 1j * rng.randn()
+        else:
+            amp = rng.randn(4) + 1j * np.concatenate([[0.0], rng.randn(3)]) * 0
+        mode = rng.choice(["set", "add", "reset"])
+        acp = bool(rng.rand() < 0.3)
+        attempt(
+            "hop%d" % t,
+            lambda i=i, j=j, R=R, amp=amp, mode=mode, acp=acp: m.set_hop(
+                amp, i, j, None if R is None else list(R), mode=mode,
+                allow_conjugate_pair=acp,
+            ),
+        )
+    return m, log
+
+
+SEEDS = list(range(24))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_model_matches_reference(seed, ref):
+    with redirect_stdout(io.StringIO()):
+        m_ref, log_ref = _build_random(ref, seed)
+        m_tpu, log_tpu = _build_random(ptt, seed)
+    assert log_ref == log_tpu, "mutation accept/reject behavior diverged"
+
+    rng = np.random.RandomState(seed + 1000)
+    if m_ref._dim_k == 0:
+        e_ref = m_ref.solve_all()
+        e_tpu = m_tpu.solve_all()
+    else:
+        kpts = rng.randn(7, m_ref._dim_k)
+        e_ref = m_ref.solve_all(kpts)
+        e_tpu = m_tpu.solve_all(kpts)
+    np.testing.assert_allclose(e_ref, e_tpu, atol=2e-12, rtol=1e-9)
+
+    # Berry quantities on a small grid (2D only, keep it fast)
+    if m_ref._dim_k == 2 and m_ref._nsta >= 2:
+        with redirect_stdout(io.StringIO()):
+            wr = ref.wf_array(m_ref, [5, 5])
+            wr.solve_on_grid([0.0, 0.0])
+            wt = ptt.wf_array(m_tpu, [5, 5])
+            wt.solve_on_grid([0.0, 0.0])
+        # all-states quantities are invariant under any degenerate-subspace
+        # gauge, so they compare safely even for accidentally-degenerate
+        # random models
+        pr = wr.berry_phase("All", 1, contin=False)
+        pt = wt.berry_phase("All", 1, contin=False)
+        np.testing.assert_allclose(
+            np.angle(np.exp(1j * (pr - pt))), 0.0, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            wr.berry_flux("All"), wt.berry_flux("All"), atol=1e-9
+        )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_surgery_matches_reference(seed, ref):
+    """Random chains of cut_piece / make_supercell / remove_orb on a 2D
+    model must produce identical spectra."""
+    rng = np.random.RandomState(seed)
+    with redirect_stdout(io.StringIO()):
+        m_ref, _ = _build_random(ref, 100 + seed)
+        m_tpu, _ = _build_random(ptt, 100 + seed)
+    if m_ref._dim_k != 2 or m_ref._dim_r != 2:
+        pytest.skip("surgery fuzz targets dim_k=dim_r=2 models")
+
+    ops = rng.choice(["cut", "sc", "rm"], size=2)
+    for op in ops:
+        with redirect_stdout(io.StringIO()):
+            if op == "cut" and m_ref._dim_k > 0:
+                num = rng.randint(2, 4)
+                fdir = m_ref._per[rng.randint(len(m_ref._per))]
+                glue = bool(rng.rand() < 0.3)
+                m_ref = m_ref.cut_piece(num, fdir, glue_edgs=glue)
+                m_tpu = m_tpu.cut_piece(num, fdir, glue_edgs=glue)
+            elif op == "sc" and m_ref._dim_k == 2:
+                sc = [[2, 1], [0, 1]] if rng.rand() < 0.5 else [[1, -1], [1, 1]]
+                # to_home=False: the reference snapshot's home-cell shift is
+                # buggy (SURVEY hard-part #3) and pythtb_tpu implements the
+                # documented intent instead, which is observable through
+                # subsequent finite cuts of out-of-cell orbitals
+                m_ref = m_ref.make_supercell(sc, to_home=False)
+                m_tpu = m_tpu.make_supercell(sc, to_home=False)
+            elif op == "rm" and m_ref._norb > 1:
+                kill = [int(rng.randint(m_ref._norb))]
+                m_ref = m_ref.remove_orb(kill)
+                m_tpu = m_tpu.remove_orb(kill)
+    if m_ref._dim_k == 0:
+        e_ref, e_tpu = m_ref.solve_all(), m_tpu.solve_all()
+    else:
+        kpts = rng.randn(5, m_ref._dim_k)
+        e_ref, e_tpu = m_ref.solve_all(kpts), m_tpu.solve_all(kpts)
+    np.testing.assert_allclose(e_ref, e_tpu, atol=1e-10, rtol=1e-8)

@@ -123,3 +123,28 @@ def test_choose_states_consistency():
     np.testing.assert_allclose(
         wf.berry_flux([0]), sub.berry_flux("All"), atol=1e-12
     )
+
+
+def test_shift_to_home_documented_intent():
+    """pythtb_tpu implements make_supercell's documented to_home behavior
+    (reference docstring pythtb.py:1448-1451): ALL orbitals end up with
+    reduced coordinates in [0, 1) along periodic directions, with hop
+    R-vectors refolded so the spectrum is exactly unchanged.  (The
+    reference snapshot's implementation has an indentation bug and does
+    not actually do this; see SURVEY.md hard-part #3.)"""
+    m = ptt.tb_model(
+        2, 2, [[1.0, 0.0], [0.0, 1.0]],
+        [[0.1, 0.2], [1.3, -0.4], [0.6, 2.2]],  # two orbitals out of cell
+    )
+    m.set_onsite([0.0, 0.3, -0.3])
+    m.set_hop(0.5, 0, 1, [1, 0])
+    m.set_hop(0.25 + 0.1j, 1, 2, [0, 1])
+    m.set_hop(-0.4, 2, 0, [1, 1])
+    sc_home = m.make_supercell([[2, 0], [0, 1]], to_home=True, to_home_suppress_warning=True)
+    sc_raw = m.make_supercell([[2, 0], [0, 1]], to_home=False)
+    # documented: all reduced coords in [0, 1) along periodic dirs
+    assert np.all(sc_home._orb >= 0.0 - 1e-12)
+    assert np.all(sc_home._orb < 1.0 + 1e-12)
+    # physics identical either way
+    k = np.random.RandomState(3).rand(6, 2)
+    np.testing.assert_allclose(sc_home.solve_all(k), sc_raw.solve_all(k), atol=1e-12)
