@@ -255,3 +255,17 @@ def test_display_and_visualize_run():
     assert fig is not None
     fig2, ax2 = m.visualize(0, 1, draw_hoppings=True)
     assert ax2 is not None
+
+
+def test_k_uniform_mesh_matches_reference_layout(ref):
+    """Mesh ordering/values identical to the reference for 1-3D."""
+    import io
+    from contextlib import redirect_stdout
+
+    for dims, mesh in [((1, 1), [5]), ((2, 2), [4, 3]), ((3, 3), [3, 2, 4])]:
+        with redirect_stdout(io.StringIO()):
+            mr = ref.tb_model(dims[0], dims[1])
+            mt = ptt.tb_model(dims[0], dims[1])
+        np.testing.assert_array_equal(
+            mr.k_uniform_mesh(mesh), mt.k_uniform_mesh(mesh)
+        )

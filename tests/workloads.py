@@ -279,6 +279,28 @@ def berry_4d(mod):
     return out
 
 
+def berry_4d_grid(mod):
+    """dim_k=4 model solved on a 4-D grid via solve_on_grid, flux over
+    k-planes (exercises the rank-4 grid solver and pbc fixups)."""
+    lat = np.eye(4).tolist()
+    orb = [[0.0] * 4, [0.3, 0.1, 0.2, 0.4]]
+    m = mod.tb_model(4, 4, lat, orb)
+    m.set_onsite([-0.6, 0.6])
+    m.set_hop(-1.0, 0, 1, [0, 0, 0, 0])
+    m.set_hop(-0.5, 0, 1, [-1, 0, 0, 0])
+    m.set_hop(-0.35, 0, 1, [0, -1, 0, 0])
+    m.set_hop(0.2j, 0, 0, [0, 0, 1, 0])
+    m.set_hop(-0.2j, 1, 1, [0, 0, 1, 0])
+    m.set_hop(0.15, 0, 1, [0, 0, 0, -1])
+    wf = mod.wf_array(m, [4, 4, 3, 3])
+    gaps = wf.solve_on_grid([0.0, 0.0, 0.0, 0.0])
+    out = {"gaps": gaps}
+    out["flux_01"] = np.asarray(wf.berry_flux([0], dirs=[0, 1]))
+    out["flux_23"] = np.asarray(wf.berry_flux([0], dirs=[2, 3]))
+    out["pha_plaq_01"] = wf.berry_flux([0], dirs=[0, 1], individual_phases=True)
+    return out
+
+
 def w90_silicon(mod, data_dir):
     """Wannier90 silicon import (examples/w90.py)."""
     si = mod.w90(data_dir, "silicon")
@@ -310,6 +332,7 @@ ALL = {
     "reduced_and_removed": reduced_and_removed,
     "berry_3d": berry_3d,
     "berry_4d": berry_4d,
+    "berry_4d_grid": berry_4d_grid,
 }
 
 W90_DATA_DIR = "/root/reference/website/local/w90_example/example_a"
