@@ -23,7 +23,7 @@ import numpy as np
 
 from . import config
 from .core import BlochData, ModelStatic
-from .ops.berry import _dets, _overlap, _wrap
+from .ops.berry import _dets, _overlap
 from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
