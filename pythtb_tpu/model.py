@@ -505,6 +505,45 @@ class tb_model(object):
                 "Basis must be either 'wavefunction', 'bloch', or 'orbital'"
             )
 
+    # -- diagnostics -----------------------------------------------------
+
+    def validate(self, k_list=None, tol=1.0e-9):
+        """Debug-mode invariant checks (the reference performs a subset
+        of these inline on every solve, pythtb.py:935, 2110; here they
+        are an explicit opt-in so the hot path stays assert-free).
+
+        Verifies: finite lattice/orbital/hopping data, in-range hopping
+        indices, and Hermiticity of the assembled Bloch Hamiltonian at
+        the given k-points (default: a small random sample).  Raises
+        :class:`PythtbError` on violation; returns self for chaining.
+        """
+        if not np.all(np.isfinite(self._lat)):
+            raise PythtbError("Lattice vectors contain non-finite entries")
+        if not np.all(np.isfinite(self._orb)):
+            raise PythtbError("Orbital coordinates contain non-finite entries")
+        if not np.all(np.isfinite(np.asarray(self._site_energies))):
+            raise PythtbError("Site energies contain non-finite entries")
+        for h in self._hoppings:
+            if not (0 <= h[1] < self._norb and 0 <= h[2] < self._norb):
+                raise PythtbError("Hopping with out-of-range orbital index")
+            if not np.all(np.isfinite(np.asarray(h[0], dtype=complex))):
+                raise PythtbError("Hopping amplitude is non-finite")
+        if self._dim_k == 0:
+            H = self.gen_ham()[None]
+        elif k_list is None:
+            rng = np.random.RandomState(0)
+            H = self.gen_ham(rng.rand(4, self._dim_k))
+        else:
+            H = self.gen_ham(k_list)
+        herm = np.abs(H - np.conj(np.swapaxes(H, -1, -2))).max()
+        if herm > tol:
+            raise PythtbError(
+                "Assembled Hamiltonian is not Hermitian (max dev %.3e)" % herm
+            )
+        if not np.all(np.isfinite(H.view(np.float64))):
+            raise PythtbError("Assembled Hamiltonian contains non-finite entries")
+        return self
+
     # -- persistence -----------------------------------------------------
 
     def save(self, path):

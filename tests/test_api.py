@@ -269,3 +269,14 @@ def test_k_uniform_mesh_matches_reference_layout(ref):
         np.testing.assert_array_equal(
             mr.k_uniform_mesh(mesh), mt.k_uniform_mesh(mesh)
         )
+
+
+def test_validate_passes_and_catches_corruption():
+    m = zoo.haldane(ptt)
+    assert m.validate() is m
+    zoo.molecule(ptt).validate()
+    # corrupt an amplitude behind the API's back
+    m._hoppings[0][0] = np.nan + 0j
+    m._invalidate()
+    with pytest.raises(PythtbError):
+        m.validate()
