@@ -24,6 +24,8 @@ from .eigh import eigh_batched, eigvalsh_batched
 __all__ = [
     "position_matrix_host",
     "position_hwf_host",
+    "position_matrix_packed",
+    "position_hwf_packed",
 ]
 
 
@@ -54,6 +56,55 @@ def _pos_hwf_jit(wfs_packed, pos, want_evec, orbital_basis):
             "...hb,...bf->...hf", hwf, w, precision=jax.lax.Precision.HIGHEST
         )
     return hwfc, pack_cplx(hwf)
+
+
+def _prep_states(wfs_packed, occ, nspin, dim_arr):
+    """unpack + select states + flatten orbital/spin (grid..., nocc, F)."""
+    w = unpack_cplx(wfs_packed)
+    if nspin == 2:
+        w = w.reshape(w.shape[: dim_arr + 1] + (-1,))
+    idx = (slice(None),) * dim_arr + (jnp.array(occ),)
+    return w[idx]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _pos_matrix_packed_jit(wfs_packed, pos, occ, nspin, dim_arr):
+    w = _prep_states(wfs_packed, occ, nspin, dim_arr)
+    return pack_cplx(_xmat(w, pos))
+
+
+def position_matrix_packed(wfs_packed, pos, occ, nspin, dim_arr):
+    """Grid-batched position matrices from (device) packed storage."""
+    out = _pos_matrix_packed_jit(
+        wfs_packed, jnp.asarray(pos), occ, nspin, dim_arr
+    )
+    return host_unpack(out)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _pos_hwf_packed_jit(wfs_packed, pos, occ, nspin, dim_arr, want_evec, orbital_basis):
+    w = _prep_states(wfs_packed, occ, nspin, dim_arr)
+    X = _xmat(w, pos)
+    if not want_evec:
+        return eigvalsh_batched(X)
+    hwfc, hwf = eigh_batched(X)
+    if orbital_basis:
+        hwf = jnp.einsum(
+            "...hb,...bf->...hf", hwf, w, precision=jax.lax.Precision.HIGHEST
+        )
+    return hwfc, pack_cplx(hwf)
+
+
+def position_hwf_packed(wfs_packed, pos, occ, nspin, dim_arr, want_evec, orbital_basis):
+    """Grid-batched hybrid-Wannier centers/functions from packed storage."""
+    out = _pos_hwf_packed_jit(
+        wfs_packed, jnp.asarray(pos), occ, nspin, dim_arr,
+        bool(want_evec), bool(orbital_basis),
+    )
+    if not want_evec:
+        return np.asarray(out, dtype=np.float64)
+    hwfc, hwf = out
+    return np.asarray(hwfc, dtype=np.float64), host_unpack(hwf)
 
 
 def position_matrix_host(wfs: np.ndarray, pos: np.ndarray) -> np.ndarray:

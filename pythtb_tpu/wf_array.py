@@ -330,6 +330,56 @@ class wf_array(object):
             self._key_occ_states(key, occ), dir, hwf_evec, basis
         )
 
+    # -- batched position ops (pythtb_tpu extensions) --------------------
+
+    def position_expectation_all(self, occ, dir):
+        """Position expectations of the ``occ`` states at EVERY grid
+        point in one batched device call: returns
+        ``(mesh..., nocc)`` float.  TPU-native replacement for looping
+        :meth:`position_expectation` over the grid (cf.
+        examples/haldane_hwf.py)."""
+        self._check_w90()
+        self._model._check_position_dir(dir)
+        occ = self._occ_index(occ)
+        from .ops import position as _pos
+
+        X = _pos.position_matrix_packed(
+            self._packed(), self._model._pos_weights(dir), tuple(occ),
+            self._nspin, self._dim_arr,
+        )
+        out = np.real(np.diagonal(X, axis1=-2, axis2=-1))
+        return np.array(out, dtype=float)
+
+    def position_hwf_all(self, occ, dir, hwf_evec=False, basis="wavefunction"):
+        """Hybrid-Wannier centers (and functions) at EVERY grid point in
+        one batched device call.  Returns ``hwfc`` of shape
+        ``(mesh..., nocc)`` (plus ``hwf`` of shape
+        ``(mesh..., nocc, nocc)`` for basis='wavefunction'/'bloch' or
+        ``(mesh..., nocc, norb[, spin])`` for basis='orbital' when
+        ``hwf_evec``).  TPU-native replacement for looping
+        :meth:`position_hwf` over the grid (cf.
+        examples/cubic_slab_hwf.py)."""
+        self._check_w90()
+        self._model._check_position_dir(dir)
+        occ = self._occ_index(occ)
+        from .ops import position as _pos
+
+        basis = basis.lower().strip()
+        if basis not in ("wavefunction", "bloch", "orbital"):
+            raise PythtbError(
+                "Basis must be either 'wavefunction', 'bloch', or 'orbital'"
+            )
+        out = _pos.position_hwf_packed(
+            self._packed(), self._model._pos_weights(dir), tuple(occ),
+            self._nspin, self._dim_arr, hwf_evec, basis == "orbital",
+        )
+        if not hwf_evec:
+            return out
+        hwfc, hwf = out
+        if basis == "orbital" and self._nspin == 2:
+            hwf = hwf.reshape(hwf.shape[:-1] + (self._norb, 2))
+        return hwfc, hwf
+
     # -- Berry phases ----------------------------------------------------
 
     def berry_phase(self, occ="All", dir=None, contin=True, berry_evals=False):
