@@ -37,15 +37,13 @@ print("VB max %.3f < CB min %.3f" % (evals[:nl].max(), evals[nl + 1 :].min()))
 nk = 9
 bloch = wf_array(slab, [nk, nk])
 bloch.solve_on_grid([0.0, 0.0])
+# hybrid Wannier functions for the whole grid in ONE batched device call
+# (the per-point equivalent is bloch.position_hwf([ix, iy], ...) per point)
+hwfc, hwf_grid = bloch.position_hwf_all(
+    occ=list(range(nl)), dir=2, hwf_evec=True, basis="orbital"
+)
 hwf_arr = bloch.empty_like(nsta_arr=nl)
-hwfc = np.zeros([nk, nk, nl])
-for ix in range(nk):
-    for iy in range(nk):
-        val, vec = bloch.position_hwf(
-            [ix, iy], occ=list(range(nl)), dir=2, hwf_evec=True, basis="orbital"
-        )
-        hwfc[ix, iy] = val
-        hwf_arr[ix, iy] = vec
+hwf_arr._wfs = hwf_grid.astype(complex)
 hwf_arr.impose_pbc(0, 0)
 hwf_arr.impose_pbc(1, 1)
 
