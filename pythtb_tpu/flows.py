@@ -39,6 +39,17 @@ def _solve_grid_states(static: ModelStatic, data: BlochData, kpts, occ, n0, n1):
     return v.reshape(n0 - 1, n1 - 1, len(occ), static.nsta)
 
 
+def _total_flux(w):
+    """Sum of plaquette Berry phases of an extended (n0, n1, nocc, F)
+    grid of states (link determinants computed once each)."""
+    Dr = _dets(_overlap(w[:-1, :, :, :], w[1:, :, :, :]))
+    Du = _dets(_overlap(w[:, :-1, :, :], w[:, 1:, :, :]))
+    plaq = -jnp.angle(
+        Dr[:, :-1] * Du[1:, :] * jnp.conj(Dr[:, 1:]) * jnp.conj(Du[:-1, :])
+    )
+    return jnp.sum(plaq)
+
+
 def _extend_pbc(w, phase0, phase1):
     """Append the wrapped-around row/column with periodic-gauge phases,
     in the same sequential order as wf_array.solve_on_grid (first
@@ -66,12 +77,7 @@ def _chern_jit(static: ModelStatic, data: BlochData, occ, n0, n1, start, phase0_
     kpts = _device_grid(n0, n1, start)
     w = _solve_grid_states(static, data, kpts, occ, n0, n1)
     w = _extend_pbc(w, unpack_cplx(phase0_ri), unpack_cplx(phase1_ri))
-    Dr = _dets(_overlap(w[:-1, :, :, :], w[1:, :, :, :]))
-    Du = _dets(_overlap(w[:, :-1, :, :], w[:, 1:, :, :]))
-    plaq = -jnp.angle(
-        Dr[:, :-1] * Du[1:, :] * jnp.conj(Dr[:, 1:]) * jnp.conj(Du[:-1, :])
-    )
-    return jnp.sum(plaq)
+    return _total_flux(w)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 5))
@@ -83,12 +89,7 @@ def _chern_sharded_jit(static: ModelStatic, data: BlochData, kpts, occ, n0, n1, 
 
     w = _solve_grid_states(static, data, kpts, occ, n0, n1)
     w = _extend_pbc(w, unpack_cplx(phase0_ri), unpack_cplx(phase1_ri))
-    Dr = _dets(_overlap(w[:-1, :, :, :], w[1:, :, :, :]))
-    Du = _dets(_overlap(w[:, :-1, :, :], w[:, 1:, :, :]))
-    plaq = -jnp.angle(
-        Dr[:, :-1] * Du[1:, :] * jnp.conj(Dr[:, 1:]) * jnp.conj(Du[:-1, :])
-    )
-    return jnp.sum(plaq)
+    return _total_flux(w)
 
 
 def _grid_inputs(model, nk, start_k):

@@ -148,6 +148,18 @@ class tb_model(object):
 
     # -- internals ------------------------------------------------------
 
+    def __deepcopy__(self, memo):
+        """Deep copy skipping the derived ``_finalized`` device cache
+        (recomputable; can hold a multi-MB dense pattern matrix)."""
+        new = self.__class__.__new__(self.__class__)
+        memo[id(self)] = new
+        for key, value in self.__dict__.items():
+            if key == "_finalized":
+                new._finalized = None
+            else:
+                new.__dict__[key] = _copy.deepcopy(value, memo)
+        return new
+
     def _invalidate(self):
         self._finalized = None
 
@@ -402,6 +414,11 @@ class tb_model(object):
                 return _solver.solve_kpts(static, data, None, False)[0]
             w, v = _solver.solve_kpts(static, data, None, True)
             return w[0], v[0]
+        if self._dim_k == 0:
+            raise PythtbError(
+                "k-vector of wrong shape: this model has dim_k=0, call "
+                "solve_all() without a k_list"
+            )
         static, data = self._get_finalized()
         if not eig_vectors:
             w = _solver.solve_kpts(static, data, k_list, False)
@@ -429,6 +446,10 @@ class tb_model(object):
         (orb, spin) flattened.  Extension of the reference's private
         ``_gen_ham`` (pythtb.py:874-925), batched.
         """
+        if k_list is None and self._dim_k != 0:
+            raise PythtbError("Have to provide a k-vector!")
+        if k_list is not None and self._dim_k == 0:
+            raise PythtbError("k-vector of wrong shape (model has dim_k=0)!")
         static, data = self._get_finalized()
         H = _solver.hamiltonian_kpts(static, data, k_list)
         if k_list is None:

@@ -40,6 +40,7 @@ __all__ = [
     "berry_phase_traced",
     "berry_loop_products",
     "berry_flux_planes",
+    "prep_states",
 ]
 
 
@@ -66,13 +67,18 @@ def _overlap(wa, wb):
     )
 
 
-def _prep(wfs_packed, occ, nspin, dim_arr):
-    """unpack + select states + flatten orbital/spin -> (grid..., nocc, F)."""
+def prep_states(wfs_packed, occ, nspin, dim_arr):
+    """unpack + select states + flatten orbital/spin -> (grid..., nocc, F).
+
+    Shared by the Berry and position engines."""
     w = unpack_cplx(wfs_packed)  # (grid..., S, norb[, spin])
     if nspin == 2:
         w = w.reshape(w.shape[: dim_arr + 1] + (-1,))
     idx = (slice(None),) * dim_arr + (jnp.array(occ),)
     return w[idx]
+
+
+_prep = prep_states
 
 
 # ---------------------------------------------------------------------------

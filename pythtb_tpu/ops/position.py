@@ -59,12 +59,9 @@ def _pos_hwf_jit(wfs_packed, pos, want_evec, orbital_basis):
 
 
 def _prep_states(wfs_packed, occ, nspin, dim_arr):
-    """unpack + select states + flatten orbital/spin (grid..., nocc, F)."""
-    w = unpack_cplx(wfs_packed)
-    if nspin == 2:
-        w = w.reshape(w.shape[: dim_arr + 1] + (-1,))
-    idx = (slice(None),) * dim_arr + (jnp.array(occ),)
-    return w[idx]
+    from .berry import prep_states
+
+    return prep_states(wfs_packed, occ, nspin, dim_arr)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))

@@ -61,7 +61,14 @@ def _solve_vecs_jit(static: ModelStatic, data: BlochData, kpts):
 def _prep_kpts(static: ModelStatic, k_list, mesh):
     """Validate/convert the k-list; pad the batch for sharding."""
     if static.dim_k == 0:
+        if k_list is not None:
+            raise ValueError(
+                "k-vector of wrong shape: this model has dim_k=0 "
+                "(no k-points should be provided)"
+            )
         kpts = np.zeros((1, 0), dtype=np.float64)
+    elif k_list is None:
+        raise ValueError("Have to provide a k-vector (model has dim_k=%d)!" % static.dim_k)
     else:
         kpts = np.asarray(k_list, dtype=np.float64)
         if kpts.ndim == 1:

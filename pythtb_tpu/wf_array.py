@@ -74,6 +74,11 @@ class wf_array(object):
         # device storage: ri-packed twin of _host
         self._dev = None
         self._dev_valid = False
+        # once a live NumPy view of _host has been handed out (wf[key] /
+        # the _wfs property), external code can mutate storage at any
+        # later time without notice, so device uploads must never be
+        # cached again for this object
+        self._views_exposed = False
 
     # -- storage management ---------------------------------------------
 
@@ -82,10 +87,12 @@ class wf_array(object):
             self._host = host_unpack(np.asarray(self._dev))
             self._host_valid = True
 
-    def _host_rw(self):
+    def _host_rw(self, exposes_view=False):
         """Host array for mutation; device copy becomes stale."""
         self._sync_host()
         self._dev_valid = False
+        if exposes_view:
+            self._views_exposed = True
         return self._host
 
     def _host_ro(self):
@@ -94,11 +101,18 @@ class wf_array(object):
         return self._host
 
     def _packed(self):
-        """Device-resident ri-packed storage (uploads host if stale)."""
-        if not self._dev_valid:
-            self._dev = jax.device_put(host_pack(self._host_ro()))
+        """Device-resident ri-packed storage (uploads host if stale).
+
+        The upload is cached only while no external views of the host
+        array exist; afterwards every device op re-uploads, so writes
+        through old views are always honored."""
+        if self._dev_valid:
+            return self._dev
+        dev = jax.device_put(host_pack(self._host_ro()))
+        if not self._views_exposed:
+            self._dev = dev
             self._dev_valid = True
-        return self._dev
+        return dev
 
     def _set_device(self, wfs_packed):
         self._dev = wfs_packed
@@ -108,7 +122,7 @@ class wf_array(object):
     @property
     def _wfs(self):
         """Reference-compatible mutable host view of the stored states."""
-        return self._host_rw()
+        return self._host_rw(exposes_view=True)
 
     @_wfs.setter
     def _wfs(self, value):
@@ -200,6 +214,8 @@ class wf_array(object):
         self._dev, self._dev_valid = None, False
         new = _copy.deepcopy(self)
         self._dev, self._dev_valid = dev, dev_valid
+        # the copy owns a fresh host buffer no external view points at
+        new._views_exposed = False
         return new
 
     def choose_states(self, subset):
@@ -245,8 +261,9 @@ class wf_array(object):
     def __getitem__(self, key):
         self.__check_key(key)
         # the returned object is a mutable NumPy view (reference
-        # semantics), so the device copy must be considered stale
-        return self._host_rw()[key]
+        # semantics) that can outlive this call, so device uploads are
+        # never cached again for this object
+        return self._host_rw(exposes_view=True)[key]
 
     def __setitem__(self, key, value):
         self.__check_key(key)

@@ -280,3 +280,45 @@ def test_validate_passes_and_catches_corruption():
     m._invalidate()
     with pytest.raises(PythtbError):
         m.validate()
+
+
+def test_view_mutation_after_device_op_is_honored():
+    """Writes through a wf[key] view that outlives a device-consuming
+    op must affect subsequent Berry quantities (code-review finding)."""
+    m = zoo.haldane(ptt)
+    wf = ptt.wf_array(m, [7, 7])
+    wf.solve_on_grid([0.0, 0.0])
+    view = wf[3, 3]                    # live view escapes
+    p0 = wf.berry_flux([0], individual_phases=True)  # device op caches?
+    tmp = np.array(view)
+    view[0, :] = tmp[1, :]             # swap bands through the old view
+    view[1, :] = tmp[0, :]
+    p1 = wf.berry_flux([0], individual_phases=True)
+    assert np.abs(p1 - p0).max() > 0.1
+
+
+def test_dim0_model_rejects_k_list():
+    m = zoo.molecule(ptt)
+    with pytest.raises(PythtbError):
+        m.solve_all([[0.0, 0.0, 0.0]])
+    with pytest.raises(PythtbError):
+        m.gen_ham([[0.0, 0.0, 0.0]])
+
+
+def test_gen_ham_requires_k_for_periodic():
+    m = zoo.haldane(ptt)
+    with pytest.raises(PythtbError):
+        m.gen_ham(None)
+
+
+def test_deepcopy_drops_finalized_cache():
+    import copy
+
+    m = zoo.haldane(ptt)
+    m.solve_one([0.1, 0.2])            # populate the cache
+    assert m._finalized is not None
+    m2 = copy.deepcopy(m)
+    assert m2._finalized is None
+    np.testing.assert_allclose(
+        m.solve_one([0.3, 0.4]), m2.solve_one([0.3, 0.4]), atol=1e-13
+    )
