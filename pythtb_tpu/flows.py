@@ -160,6 +160,7 @@ def energy_fn(model):
     static, data0 = model._get_finalized()
     params0 = {"amps": jnp.asarray(data0.amps), "diag": jnp.asarray(data0.diag)}
 
+    @jax.jit
     def fn(params, kpts):
         data = data0._replace(amps=params["amps"], diag=params["diag"])
         H = assemble(static, data, jnp.asarray(kpts))

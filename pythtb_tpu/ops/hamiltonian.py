@@ -32,15 +32,15 @@ __all__ = ["assemble"]
 def _phases(static: ModelStatic, rv, kpts):
     """Per-(k, hopping) Bloch phase factors exp(2j*pi*k.rv), (B, nhop)."""
     ftype = config.float_dtype()
-    ctype = config.complex_dtype()
     if static.dim_k == 0 or static.nhop == 0:
         B = kpts.shape[0]
-        return jnp.ones((B, static.nhop), dtype=ctype)
+        ones = jnp.ones((B, static.nhop), dtype=ftype)
+        return jax.lax.complex(ones, jnp.zeros_like(ones))
     ang = (2.0 * np.pi) * jnp.dot(
         jnp.asarray(kpts, ftype), jnp.asarray(rv, ftype).T,
         precision=jax.lax.Precision.HIGHEST,
     )  # (B, nhop)
-    return jnp.asarray(jnp.cos(ang), ctype) + 1j * jnp.asarray(jnp.sin(ang), ctype)
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
 
 
 def assemble(static: ModelStatic, data: BlochData, kpts):
@@ -86,9 +86,7 @@ def assemble(static: ModelStatic, data: BlochData, kpts):
             #   Re part couples to (P + PT), Im part to (P - PT).
             Hr = jnp.dot(jnp.real(vals), P + PT, precision=jax.lax.Precision.HIGHEST)
             Hi = jnp.dot(jnp.imag(vals), P - PT, precision=jax.lax.Precision.HIGHEST)
-            H = (jnp.asarray(Hr, ctype) + 1j * jnp.asarray(Hi, ctype)).reshape(
-                B, n, n
-            )
+            H = jax.lax.complex(Hr, Hi).reshape(B, n, n)
         else:
             H = jnp.zeros((B, n, n), dtype=ctype)
             H = H.at[:, data.ii, data.jj].add(vals)

@@ -184,8 +184,8 @@ def assemble_pallas_nspin1(static, data, kpts, diag, interpret=False):
         interpret=interpret,
     )(k32, rv, amps, psym, pasym)
 
-    ctype = config.complex_dtype()
-    H = (
-        jnp.asarray(hr[:B, :n2], ctype) + 1j * jnp.asarray(hi[:B, :n2], ctype)
+    ftype = config.float_dtype()
+    H = jax.lax.complex(
+        jnp.asarray(hr[:B, :n2], ftype), jnp.asarray(hi[:B, :n2], ftype)
     ).reshape(B, n, n)
     return H + diag[None]

@@ -36,9 +36,16 @@ def pack_cplx(z):
 
 
 def unpack_cplx(x):
-    """Inside-jit: ri-packed float array -> complex array."""
-    return jnp.asarray(x[..., 0], config.complex_dtype()) + 1j * jnp.asarray(
-        x[..., 1], config.complex_dtype()
+    """ri-packed float array -> complex array.
+
+    Built with ``lax.complex`` (no complex python constants), so it is
+    safe both inside jit and in eager mode on TPU runtimes that cannot
+    device_put complex scalars."""
+    import jax
+
+    ftype = config.float_dtype()
+    return jax.lax.complex(
+        jnp.asarray(x[..., 0], ftype), jnp.asarray(x[..., 1], ftype)
     )
 
 

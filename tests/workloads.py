@@ -221,6 +221,26 @@ def reduced_and_removed(mod):
     return out
 
 
+def bn_ribbon(mod):
+    """BN ribbon Berry phase before/after change_nonperiodic_vector
+    (reference tests/test_examples/boron_nitride/bn_ribbon_berry)."""
+    bn = zoo.graphene(mod, delta=0.4)
+    ribbon = bn.cut_piece(3, 1, glue_edgs=False)
+    out = {}
+    for tag, model in [
+        ("orig", ribbon),
+        ("perp", ribbon.change_nonperiodic_vector(1, to_home_suppress_warning=True)),
+    ]:
+        numk = 41
+        k_vec = model.k_path([[-0.5], [0.5]], numk, report=False)[0]
+        out["evals_" + tag] = model.solve_all(k_vec)
+        wf = mod.wf_array(model, [numk])
+        wf.solve_on_grid([0.0])
+        n_occ = out["evals_" + tag].shape[0] // 2
+        out["pha_" + tag] = np.asarray(wf.berry_phase(range(n_occ), dir=0))
+    return out
+
+
 def berry_3d(mod):
     """3-D wf_array: Berry phases (all contin/berry_evals combinations)
     and fluxes over every plane orientation, exercising the reference's
@@ -330,6 +350,7 @@ ALL = {
     "three_site_pump": three_site_pump,
     "slab_hwf": slab_hwf,
     "reduced_and_removed": reduced_and_removed,
+    "bn_ribbon": bn_ribbon,
     "berry_3d": berry_3d,
     "berry_4d": berry_4d,
     "berry_4d_grid": berry_4d_grid,

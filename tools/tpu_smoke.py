@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""TPU smoke suite: key workloads on the real accelerator (f32).
+
+The pytest suite pins the CPU backend for float64 reference parity;
+this script exercises the same physics on the default (TPU) backend
+with f32-appropriate tolerances.  Exits nonzero on any failure.
+
+Run from the repo root:  python tools/tpu_smoke.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def haldane():
+    import pythtb_tpu as ptt
+
+    lat = [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]]
+    orb = [[1.0 / 3.0, 1.0 / 3.0], [2.0 / 3.0, 2.0 / 3.0]]
+    m = ptt.tb_model(2, 2, lat, orb)
+    t2 = 0.15j
+    m.set_onsite([-0.2, 0.2])
+    for lv in ([0, 0], [1, 0], [0, 1]):
+        m.set_hop(-1.0, 0, 1, lv)
+    for lv in ([1, 0], [-1, 1], [0, -1]):
+        m.set_hop(t2, 0, 0, lv)
+    for lv in ([1, 0], [-1, 1], [0, -1]):
+        m.set_hop(np.conj(t2), 1, 1, lv)
+    return m
+
+
+def main():
+    import jax
+
+    import pythtb_tpu as ptt
+    from pythtb_tpu import flows
+
+    failures = []
+
+    def check(name, ok, detail=""):
+        status = "ok" if ok else "FAIL"
+        print("[%s] %-38s %s" % (status, name, detail), flush=True)
+        if not ok:
+            failures.append(name)
+
+    print("backend:", jax.default_backend(), flush=True)
+    m = haldane()
+
+    # 1. fused Chern
+    t0 = time.perf_counter()
+    c = flows.chern_number(m, [0], nk=(301, 301), start_k=(-0.5, -0.5))
+    dt = time.perf_counter() - t0
+    check("fused chern 301", abs(abs(c) - 1.0) < 1e-4, "c=%.7f %.2fs" % (c, dt))
+
+    # 2. wf_array pipeline + Wilson loops
+    wf = ptt.wf_array(m, [41, 41])
+    gaps = wf.solve_on_grid([-0.5, -0.5])
+    check("solve_on_grid gaps", abs(gaps.min() - 1.169) < 2e-2, "gap=%.4f" % gaps.min())
+    c2 = wf.berry_flux([0]) / (2 * np.pi)
+    check("wf_array chern", abs(abs(c2) - 1.0) < 1e-4, "c=%.7f" % c2)
+    flow = wf.berry_phase([0], 1, contin=True)
+    check("berry_phase winding", abs(abs(flow[-1] - flow[0]) - 2 * np.pi) < 1e-3,
+          "winding=%.5f" % (flow[-1] - flow[0]))
+
+    # 3. silicon w90 (pallas assembly path) vs Wannier90 interpolation
+    try:
+        si = ptt.w90("/root/reference/website/local/w90_example/example_a", "silicon")
+        model = si.model()
+        kpts, ene = si.w90_bands_consistency()
+        dev = np.abs(model.solve_all(kpts) - ene).max()
+        check("silicon vs wannier90", dev < 5e-4, "max dev %.2e eV" % dev)
+    except FileNotFoundError:
+        print("[skip] silicon data not available", flush=True)
+
+    # 4. finite model dense eigh
+    fin = m.cut_piece(10, 0).cut_piece(10, 1)
+    ev = fin.solve_all()
+    check("finite model eigh", ev.shape == (200,) and np.all(np.diff(ev) >= -1e-4),
+          "E0=%.5f" % ev[0])
+
+    # 5. serialization round trip
+    import tempfile, os
+
+    p = os.path.join(tempfile.mkdtemp(), "m.npz")
+    m.save(p)
+    m2 = ptt.tb_model.load(p)
+    k = m.k_uniform_mesh([5, 5])
+    check("save/load round trip",
+          np.abs(m.solve_all(k) - m2.solve_all(k)).max() < 1e-6)
+
+    # 6. autodiff gradient (finite-difference check, f32 tolerances)
+    import jax.numpy as jnp
+
+    fn, p0 = flows.energy_fn(m)
+    kp = np.array([[0.13, 0.27]])
+
+    def e0(params):
+        return fn(params, kp)[0, 0]
+
+    g = jax.grad(e0)(p0)["amps"]
+    h = 1e-2
+    amps_p = np.array(p0["amps"]); amps_p[0, 0] += h
+    amps_m = np.array(p0["amps"]); amps_m[0, 0] -= h
+    fd = (e0({**p0, "amps": jnp.asarray(amps_p)}) - e0({**p0, "amps": jnp.asarray(amps_m)})) / (2 * h)
+    check("autodiff vs finite diff", abs(float(g[0, 0]) - float(fd)) < 1e-3,
+          "grad=%.5f fd=%.5f" % (float(g[0, 0]), float(fd)))
+
+    print("\n%d checks failed" % len(failures), flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
