@@ -31,7 +31,7 @@ Public API (PythTB-compatible): :class:`tb_model`, :class:`wf_array`,
 from .model import tb_model, PythtbError
 from .wf_array import wf_array
 from .w90 import w90
-from . import parallel
+from . import models, parallel
 
 __version__ = "0.1.0"
 # feature parity target (the reference release this framework mirrors)
@@ -41,6 +41,7 @@ __all__ = [
     "tb_model",
     "wf_array",
     "w90",
+    "models",
     "parallel",
     "PythtbError",
     "__version__",

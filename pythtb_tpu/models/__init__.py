@@ -1,0 +1,38 @@
+"""Model zoo: ready-made tight-binding models.
+
+Canonical models from the tight-binding / band-topology literature,
+parameterized and documented, covering every model family used by the
+reference examples (/root/reference/examples/, SURVEY.md section 2b)
+plus the Fu-Kane-Mele 3D strong topological insulator.
+
+Every constructor returns a fresh :class:`pythtb_tpu.tb_model` that can
+be further edited (``mode="reset"/"add"``), cut, super-celled, etc.
+"""
+
+from .library import (
+    bn,
+    chain,
+    checkerboard,
+    cscl,
+    fu_kane_mele,
+    graphene,
+    haldane,
+    kane_mele,
+    molecule_nh3,
+    three_site_chain,
+    trestle,
+)
+
+__all__ = [
+    "chain",
+    "molecule_nh3",
+    "trestle",
+    "checkerboard",
+    "graphene",
+    "bn",
+    "haldane",
+    "kane_mele",
+    "three_site_chain",
+    "cscl",
+    "fu_kane_mele",
+]

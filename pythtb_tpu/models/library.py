@@ -1,0 +1,172 @@
+"""Model constructors (see package docstring)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..model import tb_model
+
+_HONEYCOMB_LAT = [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]]
+_HONEYCOMB_ORB = [[1.0 / 3.0, 1.0 / 3.0], [2.0 / 3.0, 2.0 / 3.0]]
+
+
+def chain(t=-1.0, onsite=0.0):
+    """1-D monatomic chain with nearest-neighbor hopping."""
+    m = tb_model(1, 1, [[1.0]], [[0.0]])
+    m.set_onsite([onsite])
+    m.set_hop(t, 0, 0, [1])
+    return m
+
+
+def molecule_nh3(delta=0.5, t=1.0):
+    """Zero-dimensional NH3-like molecule (dim_k=0, four orbitals)."""
+    sq32 = np.sqrt(3.0) / 2.0
+    orb = [
+        [(2.0 / 3.0) * sq32, 0.0, 0.0],
+        [(-1.0 / 3.0) * sq32, 0.5, 0.0],
+        [(-1.0 / 3.0) * sq32, -0.5, 0.0],
+        [0.0, 0.0, 1.0],
+    ]
+    m = tb_model(0, 3, np.eye(3).tolist(), orb)
+    m.set_onsite([-delta, -delta, -delta, delta])
+    for i in range(4):
+        for j in range(i + 1, 4):
+            m.set_hop(t, i, j)
+    return m
+
+
+def trestle(t1=0.8 + 0.6j, t2=2.0):
+    """Trestle ladder: 1-D periodicity embedded in 2-D space with a
+    complex rung hopping."""
+    m = tb_model(1, 2, [[2.0, 0.0], [0.0, 1.0]], [[0.0, 0.0], [0.5, 1.0]], per=[0])
+    m.set_hop(t2, 0, 0, [1, 0])
+    m.set_hop(t2, 1, 1, [1, 0])
+    m.set_hop(t1, 0, 1, [0, 0])
+    m.set_hop(t1, 1, 0, [1, 0])
+    return m
+
+
+def checkerboard(delta=1.1, t=0.6):
+    """Two-band checkerboard lattice."""
+    m = tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0], [0.5, 0.5]])
+    m.set_onsite([-delta, delta])
+    for lv in ([0, 0], [1, 0], [0, 1], [1, 1]):
+        m.set_hop(t, 1, 0, lv)
+    return m
+
+
+def graphene(t=-1.0, delta=0.0):
+    """Honeycomb lattice with nearest-neighbor hopping; ``delta``
+    staggers the sublattice energies (gapped graphene / h-BN-like)."""
+    m = tb_model(2, 2, _HONEYCOMB_LAT, _HONEYCOMB_ORB)
+    m.set_onsite([-delta, delta])
+    m.set_hop(t, 0, 1, [0, 0])
+    m.set_hop(t, 1, 0, [1, 0])
+    m.set_hop(t, 1, 0, [0, 1])
+    return m
+
+
+def bn(t=-1.0, delta=0.4):
+    """Boron nitride: gapped honeycomb (an alias of graphene(delta>0))."""
+    return graphene(t=t, delta=delta)
+
+
+def haldane(delta=0.2, t=-1.0, t2=0.15 * np.exp(1.0j * np.pi / 2.0)):
+    """Haldane Chern insulator (PRL 61, 2015 (1988)): honeycomb with a
+    complex second-neighbor hopping.  With the defaults the lower band
+    carries Chern number +1."""
+    m = tb_model(2, 2, _HONEYCOMB_LAT, _HONEYCOMB_ORB)
+    m.set_onsite([-delta, delta])
+    for lv in ([0, 0], [1, 0], [0, 1]):
+        m.set_hop(t, 0, 1, lv)
+    for lv in ([1, 0], [-1, 1], [0, -1]):
+        m.set_hop(t2, 0, 0, lv)
+    for lv in ([1, 0], [-1, 1], [0, -1]):
+        m.set_hop(np.conj(t2), 1, 1, lv)
+    return m
+
+
+def kane_mele(esite=1.0, thop=1.0, spin_orb=0.3, rashba=0.25):
+    """Kane-Mele quantum spin Hall model (PRL 95, 146802 (2005)).
+
+    ``esite=1.0`` (default) is the topological ("odd" Z2) phase for the
+    default couplings; ``esite=2.5`` is trivial."""
+    m = tb_model(2, 2, _HONEYCOMB_LAT, _HONEYCOMB_ORB, nspin=2)
+    sx = np.array([0.0, 1.0, 0.0, 0.0])
+    sy = np.array([0.0, 0.0, 1.0, 0.0])
+    sz = np.array([0.0, 0.0, 0.0, 1.0])
+    m.set_onsite([esite, -esite])
+    for lv in ([0, 0], [0, -1], [-1, 0]):
+        m.set_hop(thop, 0, 1, lv)
+    # intrinsic SOC: second-neighbor +- i lambda sigma_z
+    m.set_hop(-1.0j * spin_orb * sz, 0, 0, [0, 1])
+    m.set_hop(1.0j * spin_orb * sz, 0, 0, [1, 0])
+    m.set_hop(-1.0j * spin_orb * sz, 0, 0, [1, -1])
+    m.set_hop(1.0j * spin_orb * sz, 1, 1, [0, 1])
+    m.set_hop(-1.0j * spin_orb * sz, 1, 1, [1, 0])
+    m.set_hop(1.0j * spin_orb * sz, 1, 1, [1, -1])
+    # Rashba term along the three nearest-neighbor bonds
+    r3h = np.sqrt(3.0) / 2.0
+    m.set_hop(1.0j * rashba * (0.5 * sx - r3h * sy), 0, 1, [0, 0], mode="add")
+    m.set_hop(1.0j * rashba * (-1.0 * sx), 0, 1, [0, -1], mode="add")
+    m.set_hop(1.0j * rashba * (0.5 * sx + r3h * sy), 0, 1, [-1, 0], mode="add")
+    return m
+
+
+def three_site_chain(lmbd, t=-1.3, delta=2.0):
+    """Three-site chain at pumping parameter ``lmbd`` in [0, 1): cycling
+    lmbd adiabatically pumps one unit of charge (Chern number 1 in
+    (k, lambda) space) through the lowest band."""
+    m = tb_model(1, 1, [[1.0]], [[0.0], [1.0 / 3.0], [2.0 / 3.0]])
+    m.set_hop(t, 0, 1, [0])
+    m.set_hop(t, 1, 2, [0])
+    m.set_hop(t, 2, 0, [1])
+    m.set_onsite(
+        [delta * (-1.0) * np.cos(2.0 * np.pi * (lmbd - i / 3.0)) for i in range(3)]
+    )
+    return m
+
+
+def cscl(delta=1.0, ta=0.4, tb=0.7):
+    """CsCl-structure (bcc motif) two-band model with two inequivalent
+    nearest-neighbor hopping strengths; insulating for the defaults.
+    The bulk of the cubic-slab hybrid-Wannier workloads."""
+    m = tb_model(3, 3, np.eye(3).tolist(), [[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    m.set_onsite([-delta, delta])
+    for lvec in ([-1, 0, 0], [0, 0, -1], [-1, -1, 0], [0, -1, -1]):
+        m.set_hop(ta, 0, 1, lvec)
+    for lvec in ([0, 0, 0], [0, -1, 0], [-1, -1, -1], [-1, 0, -1]):
+        m.set_hop(tb, 0, 1, lvec)
+    return m
+
+
+def fu_kane_mele(t=1.0, soc=0.125, m=0.0, beta=0.0):
+    """Fu-Kane-Mele diamond-lattice model (PRL 98, 106803 (2007)): the
+    canonical 3-D strong topological insulator.
+
+    Diamond lattice (fcc cell), spin-independent nearest-neighbor
+    hopping with the [000] bond strengthened to ``3 t + dt``
+    (``dt = m cos(beta)``), plus spin-dependent second-neighbor
+    hoppings ``i soc (S . d)`` with bond-dependent spin direction, and
+    an optional staggered Zeeman field ``m sin(beta) (1,1,1)``.
+    """
+    lat = [[0.0, 1.0, 1.0], [1.0, 0.0, 1.0], [1.0, 1.0, 0.0]]
+    orb = [[0.0, 0.0, 0.0], [0.25, 0.25, 0.25]]
+    model = tb_model(3, 3, lat, orb, nspin=2)
+
+    h = m * np.sin(beta) * np.array([1.0, 1.0, 1.0])
+    dt = m * np.cos(beta)
+    model.set_onsite([0.0] + list(h), 0)
+    model.set_onsite([0.0] + list(-h), 1)
+
+    for lvec in ([-1, 0, 0], [0, -1, 0], [0, 0, -1]):
+        model.set_hop(t, 0, 1, lvec)
+    model.set_hop(3.0 * t + dt, 0, 1, [0, 0, 0], mode="add")
+
+    lvec_list = ([1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 1, 0], [0, -1, 1], [1, 0, -1])
+    dir_list = ([0, 1, -1], [-1, 0, 1], [1, -1, 0], [1, 1, 0], [0, 1, 1], [1, 0, 1])
+    for lvec, sdir in zip(lvec_list, dir_list):
+        spin = np.array([0.0] + list(sdir), dtype=float)
+        model.set_hop(1.0j * soc * spin, 0, 0, lvec)
+        model.set_hop(-1.0j * soc * spin, 1, 1, lvec)
+    return model
