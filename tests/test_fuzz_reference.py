@@ -17,12 +17,14 @@ import pytest
 import pythtb_tpu as ptt
 
 
-def _build_random(mod, rng_seed):
+def _build_random(mod, rng_seed, force_2d=False):
     """Build one random model; returns (model, log) where log records
     which mutation attempts raised (for cross-implementation checks)."""
     rng = np.random.RandomState(rng_seed)
     dim_r = rng.randint(1, 4)
     dim_k = rng.randint(0, dim_r + 1)
+    if force_2d:
+        dim_r = dim_k = 2
     per = sorted(rng.choice(dim_r, size=dim_k, replace=False).tolist())
     nspin = 1 if rng.rand() < 0.7 else 2
     norb = rng.randint(1, 5)
@@ -153,3 +155,26 @@ def test_random_surgery_matches_reference(seed, ref):
         kpts = rng.randn(5, m_ref._dim_k)
         e_ref, e_tpu = m_ref.solve_all(kpts), m_tpu.solve_all(kpts)
     np.testing.assert_allclose(e_ref, e_tpu, atol=1e-10, rtol=1e-8)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_wilson_spectra_match_reference(seed, ref):
+    """Closed-loop Wilson spectra (berry_evals) of the FULL state set are
+    gauge invariant, so they compare safely on random (possibly
+    degenerate) models.  Matched as phase multisets on the circle."""
+    with redirect_stdout(io.StringIO()):
+        m_ref, _ = _build_random(ref, 300 + seed, force_2d=True)
+        m_tpu, _ = _build_random(ptt, 300 + seed, force_2d=True)
+    with redirect_stdout(io.StringIO()):
+        wr = ref.wf_array(m_ref, [6, 6]); wr.solve_on_grid([0.0, 0.0])
+        wt = ptt.wf_array(m_tpu, [6, 6]); wt.solve_on_grid([0.0, 0.0])
+    fr = wr.berry_phase("All", 0, contin=False, berry_evals=True)
+    ft = wt.berry_phase("All", 0, contin=False, berry_evals=True)
+    assert fr.shape == ft.shape
+    for row in range(fr.shape[0]):
+        avail = list(ft[row])
+        for want in fr[row]:
+            dists = [abs(np.angle(np.exp(1j * (got - want)))) for got in avail]
+            k = int(np.argmin(dists))
+            assert dists[k] < 1e-8, (row, want, ft[row])
+            avail.pop(k)
