@@ -190,7 +190,7 @@ class tb_model(object):
             hRs = [h[3] for h in self._hoppings] if self._dim_k != 0 else []
             if self._dim_k == 0:
                 hRs = [np.zeros(self._dim_r) for _ in self._hoppings]
-            self._finalized = core.finalize(
+            static, data = core.finalize(
                 self._dim_k,
                 self._dim_r,
                 self._per,
@@ -203,6 +203,13 @@ class tb_model(object):
                 hjs,
                 hRs,
             )
+            # commit the (all-real) arrays to device once; subsequent jit
+            # calls then skip the host->device upload (the dense pattern
+            # can be MBs, significant on tunneled runtimes)
+            import jax
+
+            data = jax.tree_util.tree_map(jax.device_put, data)
+            self._finalized = (static, data)
         return self._finalized
 
     def _val_to_block(self, val):
