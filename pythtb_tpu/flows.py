@@ -28,7 +28,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number"]
+__all__ = ["berry_flux_grid", "chern_number", "density_of_states", "energy_fn"]
 
 
 def _solve_grid_states(static: ModelStatic, data: BlochData, kpts, occ, n0, n1):
@@ -137,6 +137,53 @@ def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
 def chern_number(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
     """Chern number of the ``occ`` bands (flux / 2 pi)."""
     return berry_flux_grid(model, occ, nk, start_k, mesh) / (2.0 * np.pi)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _dos_jit(static: ModelStatic, data: BlochData, start, mesh_shape, n_energies, erange, sigma):
+    from .ops.eigh import eigvalsh_batched
+
+    ftype = config.float_dtype()
+    dim = len(mesh_shape)
+    cols = []
+    for d in range(dim):
+        ax = jax.lax.broadcasted_iota(ftype, tuple(mesh_shape), d)
+        cols.append(ax / float(mesh_shape[d]) + start[d])
+    kpts = jnp.stack([c.reshape(-1) for c in cols], axis=-1)
+    evals = eigvalsh_batched(assemble(static, data, kpts))  # (B, nsta)
+    e_grid = jnp.linspace(erange[0], erange[1], n_energies).astype(ftype)
+    sig = jnp.asarray(sigma, ftype)
+    # Gaussian-broadened DOS, normalized to states per unit cell
+    diff = (e_grid[:, None] - evals.reshape(-1)[None, :]) / sig
+    w = jnp.exp(-0.5 * diff * diff) / (sig * np.sqrt(2.0 * np.pi))
+    return e_grid, jnp.sum(w, axis=1) / evals.shape[0]
+
+
+def density_of_states(model, k_mesh, energies=None, sigma=0.1, n_energies=201):
+    """Gaussian-broadened density of states, computed fully on device
+    (an upstream wish-list feature, /root/reference/notes/TODO:71).
+
+    :param k_mesh: per-periodic-direction mesh sizes (Gamma-inclusive
+      uniform mesh, built on device)
+    :param energies: (emin, emax) energy window; defaults to the band
+      range padded by 3 sigma
+    :param sigma: Gaussian broadening width
+    :returns: (energy_grid, dos) with dos normalized to states per unit
+      cell (integrates to norb*nspin)
+    """
+    static, data = model._get_finalized()
+    if static.dim_k == 0 or len(k_mesh) != static.dim_k:
+        raise ValueError("k_mesh must give one size per periodic direction")
+    mesh_shape = tuple(int(n) for n in k_mesh)
+    start = np.zeros(static.dim_k, dtype=np.float64)
+    if energies is None:
+        probe = model.solve_all(model.k_uniform_mesh([max(4, n // 4) for n in mesh_shape]))
+        energies = (probe.min() - 3.0 * sigma, probe.max() + 3.0 * sigma)
+    e_grid, dos = _dos_jit(
+        static, data, start, mesh_shape, int(n_energies),
+        np.asarray(energies, dtype=np.float64), float(sigma),
+    )
+    return np.asarray(e_grid, dtype=np.float64), np.asarray(dos, dtype=np.float64)
 
 
 def energy_fn(model):

@@ -79,3 +79,20 @@ def test_fit_hopping_by_gradient_descent():
         p = {**p, "amps": p["amps"] - 0.5 * g["amps"]}
     fitted = np.array(p["amps"])[:, 0]  # real parts of the 3 hops
     np.testing.assert_allclose(fitted, target_t, atol=1e-3)
+
+
+def test_density_of_states():
+    """Device DOS: integrates to the number of states, vanishes in the
+    gap, matches a NumPy-broadening reference."""
+    m = zoo.haldane(ptt)
+    e, dos = flows.density_of_states(m, (24, 24), sigma=0.08, n_energies=301)
+    # integral = total states per cell (2 bands)
+    integral = np.trapezoid(dos, e)
+    np.testing.assert_allclose(integral, 2.0, rtol=2e-2)
+    # gapped region around E=0 (Haldane gap ~1.16)
+    assert dos[np.abs(e) < 0.3].max() < 1e-3
+    # against direct NumPy broadening of the same eigenvalues
+    evals = m.solve_all(m.k_uniform_mesh([24, 24])).reshape(-1)
+    ref = np.exp(-0.5 * ((e[:, None] - evals[None, :]) / 0.08) ** 2).sum(1)
+    ref /= 0.08 * np.sqrt(2 * np.pi) * (24 * 24)
+    np.testing.assert_allclose(dos, ref, atol=1e-8)
