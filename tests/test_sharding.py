@@ -71,3 +71,27 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_chern_hlo_contains_collectives(mesh8):
+    """The compiled sharded Chern program must actually communicate:
+    halo exchange (collective-permute) for neighbor overlaps and a psum
+    (all-reduce) for the flux sum are inserted by GSPMD."""
+    import re
+
+    from pythtb_tpu import flows
+    from pythtb_tpu.parallel import mesh as pmesh
+    from pythtb_tpu.utils.xfer import host_pack
+
+    m = zoo.haldane(ptt)
+    static, data, kpts, (n0, n1), (p0, p1) = flows._grid_inputs(m, (17, 17), (-0.5, -0.5))
+    kpts_sh = pmesh.shard_batch(kpts, mesh8)
+    lowered = flows._chern_sharded_jit.lower(
+        static, data, kpts_sh, (0,), n0, n1, host_pack(p0), host_pack(p1)
+    )
+    txt = lowered.compile().as_text()
+    colls = set(re.findall(
+        r"(all-reduce|all-gather|collective-permute|reduce-scatter|all-to-all)", txt
+    ))
+    assert "all-reduce" in colls, colls          # flux psum
+    assert "collective-permute" in colls, colls  # neighbor halo exchange
