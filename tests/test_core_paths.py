@@ -67,3 +67,39 @@ def test_solve_large_model_uses_scatter():
         cfg.PATTERN_MAX_ELEMS = old
         m._invalidate()
     np.testing.assert_allclose(e_default, e_scatter, atol=1e-12)
+
+
+def test_analytic_2x2_eigh_stress():
+    """Closed-form 2x2 Hermitian eigendecomposition vs LAPACK on random,
+    near-degenerate, and exactly-degenerate matrices."""
+    import jax
+    import jax.numpy as jnp
+
+    from pythtb_tpu.ops.eigh import eigh_batched
+
+    rng = np.random.RandomState(0)
+    B = 20000
+    a = rng.randn(B)
+    b = rng.randn(B)
+    c = rng.randn(B) + 1j * rng.randn(B)
+    # adversarial groups: near-degenerate (tiny c), tiny delta, exact degenerate
+    c[:2000] *= 1e-12
+    a[2000:4000] = b[2000:4000] + rng.randn(2000) * 1e-12
+    a[4000:5000] = b[4000:5000]
+    c[4000:5000] = 0.0
+    H = np.zeros((B, 2, 2), complex)
+    H[:, 0, 0] = a
+    H[:, 1, 1] = b
+    H[:, 0, 1] = c
+    H[:, 1, 0] = np.conj(c)
+
+    w, v = jax.jit(eigh_batched)(jnp.asarray(H))
+    w = np.asarray(w)
+    v = np.asarray(v)
+    w_ref = np.linalg.eigvalsh(H)
+    np.testing.assert_allclose(w, w_ref, atol=1e-12)
+    # rows are states: residual and orthonormality
+    resid = np.einsum("bij,bsj->bsi", H, v) - w[:, :, None] * v
+    assert np.abs(resid).max() < 1e-10
+    gram = np.einsum("bsi,bti->bst", v.conj(), v)
+    assert np.abs(gram - np.eye(2)).max() < 1e-12
