@@ -322,3 +322,60 @@ def test_deepcopy_drops_finalized_cache():
     np.testing.assert_allclose(
         m.solve_one([0.3, 0.4]), m2.solve_one([0.3, 0.4]), atol=1e-13
     )
+
+
+def test_impose_loop_copies_first_slice():
+    m = zoo.haldane(ptt)
+    wf = ptt.wf_array(m, [5, 4])
+    wf.solve_on_grid([0.0, 0.0])
+    before_first = np.array(wf[0, 1])
+    wf.impose_loop(0)
+    np.testing.assert_array_equal(wf[4, 1], before_first)
+    # along the second direction too
+    wf.impose_loop(1)
+    np.testing.assert_array_equal(wf[2, 3], wf[2, 0])
+
+
+def test_wf_array_position_matrix_wrapper():
+    m = zoo.haldane(ptt).cut_piece(4, 1, glue_edgs=False)
+    wf = ptt.wf_array(m, [5])
+    wf.solve_on_grid([0.0])
+    X = wf.position_matrix(2, [0, 1, 2], 1)
+    assert X.shape == (3, 3)
+    np.testing.assert_allclose(X, X.conj().T, atol=1e-9)
+    np.testing.assert_allclose(
+        np.real(np.diag(X)), wf.position_expectation(2, [0, 1, 2], 1), atol=1e-12
+    )
+
+
+def test_set_mesh_global_default():
+    import jax
+
+    from pythtb_tpu.parallel import auto_mesh, current_mesh, set_mesh
+
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs multiple devices")
+    m = zoo.haldane(ptt)
+    k = m.k_uniform_mesh([4, 4])
+    base = m.solve_all(k)
+    set_mesh(auto_mesh(2))
+    try:
+        assert current_mesh() is not None
+        np.testing.assert_allclose(m.solve_all(k), base, atol=1e-13)
+    finally:
+        set_mesh(None)
+    assert current_mesh() is None
+
+
+def test_profiler_trace_writes_files(tmp_path):
+    from pythtb_tpu.utils.profiling import trace
+
+    m = zoo.haldane(ptt)
+    with trace(str(tmp_path)):
+        m.solve_all(m.k_uniform_mesh([4, 4]))
+    import os
+
+    files = [f for _, _, fs in os.walk(tmp_path) for f in fs]
+    assert files, "no trace output written"
