@@ -23,7 +23,8 @@ import numpy as np
 
 from . import config
 from .core import BlochData, ModelStatic
-from .ops.berry import _dets, _overlap
+from .ops.berry import plaquette_phases
+from .ops.solver import device_uniform_grid, extend_pbc_seq
 from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
@@ -41,42 +42,18 @@ def _solve_grid_states(static: ModelStatic, data: BlochData, kpts, occ, n0, n1):
 
 def _total_flux(w):
     """Sum of plaquette Berry phases of an extended (n0, n1, nocc, F)
-    grid of states (link determinants computed once each)."""
-    Dr = _dets(_overlap(w[:-1, :, :, :], w[1:, :, :, :]))
-    Du = _dets(_overlap(w[:, :-1, :, :], w[:, 1:, :, :]))
-    plaq = -jnp.angle(
-        Dr[:, :-1] * Du[1:, :] * jnp.conj(Dr[:, 1:]) * jnp.conj(Du[:-1, :])
-    )
-    return jnp.sum(plaq)
-
-
-def _extend_pbc(w, phase0, phase1):
-    """Append the wrapped-around row/column with periodic-gauge phases,
-    in the same sequential order as wf_array.solve_on_grid (first
-    direction 0, then direction 1 including the new row)."""
-    w = jnp.concatenate([w, w[:1] * phase0[None, None, None, :]], axis=0)
-    w = jnp.concatenate([w, w[:, :1] * phase1[None, None, None, :]], axis=1)
-    return w
-
-
-def _device_grid(n0, n1, start):
-    """Interior BZ grid built on device from iota -- only the two start
-    scalars cross the host boundary (k-point coordinates are an affine
-    function of grid indices; shipping 2*B floats through a tunneled
-    runtime would dominate the wall time)."""
-    ftype = config.float_dtype()
-    i = jax.lax.broadcasted_iota(ftype, (n0 - 1, n1 - 1), 0) / (n0 - 1) + start[0]
-    j = jax.lax.broadcasted_iota(ftype, (n0 - 1, n1 - 1), 1) / (n1 - 1) + start[1]
-    return jnp.stack([i.reshape(-1), j.reshape(-1)], axis=-1)
+    grid (shared flux-orientation convention lives in
+    ops.berry.plaquette_phases)."""
+    return jnp.sum(plaquette_phases(w))
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _chern_jit(static: ModelStatic, data: BlochData, occ, n0, n1, start, phase0_ri, phase1_ri):
     from .utils.xfer import unpack_cplx
 
-    kpts = _device_grid(n0, n1, start)
+    kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
     w = _solve_grid_states(static, data, kpts, occ, n0, n1)
-    w = _extend_pbc(w, unpack_cplx(phase0_ri), unpack_cplx(phase1_ri))
+    w = extend_pbc_seq(w, [unpack_cplx(phase0_ri), unpack_cplx(phase1_ri)])
     return _total_flux(w)
 
 
@@ -88,7 +65,7 @@ def _chern_sharded_jit(static: ModelStatic, data: BlochData, kpts, occ, n0, n1, 
     from .utils.xfer import unpack_cplx
 
     w = _solve_grid_states(static, data, kpts, occ, n0, n1)
-    w = _extend_pbc(w, unpack_cplx(phase0_ri), unpack_cplx(phase1_ri))
+    w = extend_pbc_seq(w, [unpack_cplx(phase0_ri), unpack_cplx(phase1_ri)])
     return _total_flux(w)
 
 
@@ -119,6 +96,10 @@ def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
     if mesh is None:
         mesh = pmesh.current_mesh()
     occ = tuple(int(o) for o in occ)
+    if occ and (min(occ) < 0 or max(occ) >= static.nsta):
+        raise IndexError(
+            "occ indices %s out of range for %d states" % (sorted(set(occ)), static.nsta)
+        )
     from .utils.xfer import host_pack
 
     if mesh is not None:
@@ -144,12 +125,7 @@ def _dos_jit(static: ModelStatic, data: BlochData, start, mesh_shape, n_energies
     from .ops.eigh import eigvalsh_batched
 
     ftype = config.float_dtype()
-    dim = len(mesh_shape)
-    cols = []
-    for d in range(dim):
-        ax = jax.lax.broadcasted_iota(ftype, tuple(mesh_shape), d)
-        cols.append(ax / float(mesh_shape[d]) + start[d])
-    kpts = jnp.stack([c.reshape(-1) for c in cols], axis=-1)
+    kpts = device_uniform_grid(tuple(mesh_shape), start)
     evals = eigvalsh_batched(assemble(static, data, kpts))  # (B, nsta)
     e_grid = jnp.linspace(erange[0], erange[1], n_energies).astype(ftype)
     sig = jnp.asarray(sigma, ftype)

@@ -41,6 +41,7 @@ __all__ = [
     "berry_loop_products",
     "berry_flux_planes",
     "prep_states",
+    "plaquette_phases",
 ]
 
 
@@ -64,6 +65,20 @@ def _overlap(wa, wb):
     return jnp.einsum(
         "...nf,...mf->...nm", jnp.conj(wa), wb,
         precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def plaquette_phases(w):
+    """Plaquette Berry phases of (..., n0, n1, S, F) states, from link
+    determinants (each computed once; the single home of the flux
+    orientation convention).  Returns (..., n0-1, n1-1) float."""
+    Dr = _dets(_overlap(w[..., :-1, :, :, :], w[..., 1:, :, :, :]))
+    Du = _dets(_overlap(w[..., :, :-1, :, :], w[..., :, 1:, :, :]))
+    return -jnp.angle(
+        Dr[..., :, :-1]
+        * Du[..., 1:, :]
+        * jnp.conj(Dr[..., :, 1:])
+        * jnp.conj(Du[..., :-1, :])
     )
 
 
@@ -151,14 +166,7 @@ def _berry_flux_jit(wfs_packed, occ, d0, d1, nspin, dim_arr, individual):
     # arrange grid axes as (rest..., d0, d1): matches the reference's
     # transpose + slice loops (pythtb.py:3135-3196)
     w = jnp.moveaxis(w, (d0, d1), (dim_arr - 2, dim_arr - 1))
-    Dr = _dets(_overlap(w[..., :-1, :, :, :], w[..., 1:, :, :, :]))
-    Du = _dets(_overlap(w[..., :, :-1, :, :], w[..., :, 1:, :, :]))
-    plaq = -jnp.angle(
-        Dr[..., :, :-1]
-        * Du[..., 1:, :]
-        * jnp.conj(Dr[..., :, 1:])
-        * jnp.conj(Du[..., :-1, :])
-    )
+    plaq = plaquette_phases(w)
     if individual:
         return plaq  # (rest..., n0-1, n1-1)
     return jnp.sum(plaq, axis=(-2, -1))  # (rest...)

@@ -42,9 +42,9 @@ def _pos_matrix_jit(wfs_packed, pos):
     return pack_cplx(_xmat(unpack_cplx(wfs_packed), pos))
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _pos_hwf_jit(wfs_packed, pos, want_evec, orbital_basis):
-    w = unpack_cplx(wfs_packed)
+def _hwf_core(w, pos, want_evec, orbital_basis):
+    """Shared HWF body: X-matrix, eigendecomposition, optional
+    orbital-basis back-transform (pythtb.py:2243-2277)."""
     X = _xmat(w, pos)
     if not want_evec:
         return eigvalsh_batched(X)
@@ -56,6 +56,11 @@ def _pos_hwf_jit(wfs_packed, pos, want_evec, orbital_basis):
             "...hb,...bf->...hf", hwf, w, precision=jax.lax.Precision.HIGHEST
         )
     return hwfc, pack_cplx(hwf)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _pos_hwf_jit(wfs_packed, pos, want_evec, orbital_basis):
+    return _hwf_core(unpack_cplx(wfs_packed), pos, want_evec, orbital_basis)
 
 
 def _prep_states(wfs_packed, occ, nspin, dim_arr):
@@ -81,15 +86,7 @@ def position_matrix_packed(wfs_packed, pos, occ, nspin, dim_arr):
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _pos_hwf_packed_jit(wfs_packed, pos, occ, nspin, dim_arr, want_evec, orbital_basis):
     w = _prep_states(wfs_packed, occ, nspin, dim_arr)
-    X = _xmat(w, pos)
-    if not want_evec:
-        return eigvalsh_batched(X)
-    hwfc, hwf = eigh_batched(X)
-    if orbital_basis:
-        hwf = jnp.einsum(
-            "...hb,...bf->...hf", hwf, w, precision=jax.lax.Precision.HIGHEST
-        )
-    return hwfc, pack_cplx(hwf)
+    return _hwf_core(w, pos, want_evec, orbital_basis)
 
 
 def position_hwf_packed(wfs_packed, pos, occ, nspin, dim_arr, want_evec, orbital_basis):

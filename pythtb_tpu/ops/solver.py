@@ -35,7 +35,7 @@ from ..utils.xfer import host_unpack, pack_cplx, unpack_cplx
 from .eigh import eigh_batched, eigvalsh_batched
 from .hamiltonian import assemble
 
-__all__ = ["solve_kpts", "hamiltonian_kpts", "solve_grid_device"]
+__all__ = ["solve_kpts", "hamiltonian_kpts", "solve_grid_device", "device_uniform_grid", "extend_pbc_seq"]
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -122,6 +122,33 @@ def solve_kpts(static: ModelStatic, data: BlochData, k_list, eig_vectors=False, 
 # ---------------------------------------------------------------------------
 
 
+def device_uniform_grid(shape, start, denoms=None):
+    """Uniform grid built on device from iota: point[i_1..i_d, d] =
+    i_d / denoms[d] + start[d].  Only ``start`` crosses the host
+    boundary (shipping 2*B floats through a tunneled runtime would
+    dominate wall time)."""
+    ftype = config.float_dtype()
+    if denoms is None:
+        denoms = shape
+    cols = []
+    for d in range(len(shape)):
+        ax = jax.lax.broadcasted_iota(ftype, tuple(shape), d)
+        cols.append(ax / float(denoms[d]) + start[d])
+    return jnp.stack([c.reshape(-1) for c in cols], axis=-1)
+
+
+def extend_pbc_seq(w, phases):
+    """Append the wrapped-around boundary slice per grid dimension with
+    periodic-gauge phases, sequentially in dimension order (matching
+    wf_array.solve_on_grid + impose_pbc; reference pythtb.py:2472-2527,
+    2728-2747).  ``phases[d]`` broadcasts against the trailing
+    orbital(/spin) axes."""
+    for d in range(len(phases)):
+        first = jax.lax.slice_in_dim(w, 0, 1, axis=d)
+        w = jnp.concatenate([w, first * phases[d]], axis=d)
+    return w
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phases_ri):
     """Solve on a uniform grid of shape ``interior`` (per-dim sizes
@@ -132,15 +159,7 @@ def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phase
 
     Returns (min_gaps (nsta-1,) float, wfs_packed (*mesh, nsta, norb[,spin], 2)).
     """
-    ftype = config.float_dtype()
-    dim = len(interior)
-    # k-grid from iota: only `start` crosses the host boundary
-    cols = []
-    for d in range(dim):
-        ax = jax.lax.broadcasted_iota(ftype, tuple(interior), d)
-        cols.append(ax / float(interior[d]) + start[d])
-    kpts = jnp.stack([c.reshape(-1) for c in cols], axis=-1)  # (B, dim)
-
+    kpts = device_uniform_grid(tuple(interior), start)  # (B, dim)
     H = assemble(static, data, kpts)
     evals, v = eigh_batched(H)  # (B, nsta), (B, nsta, nsta)
     if static.nspin == 2:
@@ -148,9 +167,7 @@ def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phase
     w = v.reshape(tuple(interior) + v.shape[1:])
 
     phases = unpack_cplx(phases_ri)  # (dim, norb[, spin])
-    for d in range(dim):
-        first = jax.lax.slice_in_dim(w, 0, 1, axis=d)
-        w = jnp.concatenate([w, first * phases[d]], axis=d)
+    w = extend_pbc_seq(w, [phases[d] for d in range(len(interior))])
     # minimum direct gaps, reduced on device (only nsta-1 floats leave)
     if static.nsta > 1:
         min_gaps = jnp.min(evals[:, 1:] - evals[:, :-1], axis=0)

@@ -57,9 +57,18 @@ def save_model(model, path):
 
 
 def load_model(path):
-    """Read a tb_model previously written by :func:`save_model`."""
+    """Read a tb_model previously written by :func:`save_model`.
+
+    Mirrors np.savez's suffix handling: if ``path`` does not exist but
+    ``path + '.npz'`` does (savez appends the suffix), the latter is
+    opened, so save/load round-trip with the same path string.
+    """
+    import os
+
     from ..model import tb_model
 
+    if not os.path.exists(path) and os.path.exists(str(path) + ".npz"):
+        path = str(path) + ".npz"
     with np.load(path) as f:
         meta = json.loads(bytes(f["meta"]).decode())
         if meta.get("format_version", 0) > _FORMAT_VERSION:

@@ -84,7 +84,13 @@ class wf_array(object):
 
     def _sync_host(self):
         if not self._host_valid:
-            self._host = host_unpack(np.asarray(self._dev))
+            fresh = host_unpack(np.asarray(self._dev))
+            if self._host is not None and self._host.shape == fresh.shape:
+                # copy IN PLACE so NumPy views handed out earlier stay
+                # aliased to the storage (reference semantics)
+                np.copyto(self._host, fresh)
+            else:
+                self._host = fresh
             self._host_valid = True
 
     def _host_rw(self, exposes_view=False):
@@ -118,6 +124,13 @@ class wf_array(object):
         self._dev = wfs_packed
         self._dev_valid = True
         self._host_valid = False
+        if self._views_exposed:
+            # live views must observe the new data immediately (the
+            # reference writes into the same buffer), and can mutate it
+            # at any time afterwards -- so materialize in place now and
+            # never trust this device copy again
+            self._sync_host()
+            self._dev_valid = False
 
     @property
     def _wfs(self):
@@ -313,7 +326,15 @@ class wf_array(object):
             raise PythtbError(
                 'Parameter occ must be a one-dimensional array or string "All".'
             )
-        return occ
+        # validate here: jit-traced gathers CLAMP out-of-range indices,
+        # which would silently turn a band-index typo into a wrong
+        # topological invariant (the reference raises IndexError)
+        if occ.size and (occ.min() < -self._nsta_arr or occ.max() >= self._nsta_arr):
+            raise IndexError(
+                "occ indices %s out of range for %d states"
+                % (np.unique(occ).tolist(), self._nsta_arr)
+            )
+        return occ % self._nsta_arr if occ.size and occ.min() < 0 else occ
 
     def _check_w90(self):
         if self._model._assume_position_operator_diagonal is False:

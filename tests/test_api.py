@@ -379,3 +379,54 @@ def test_profiler_trace_writes_files(tmp_path):
 
     files = [f for _, _, fs in os.walk(tmp_path) for f in fs]
     assert files, "no trace output written"
+
+
+def test_occ_out_of_range_raises():
+    """Out-of-range band indices must raise, not clamp (jit gathers
+    would silently clamp; reference raises IndexError)."""
+    m = zoo.haldane(ptt)
+    wf = ptt.wf_array(m, [5, 5])
+    wf.solve_on_grid([0.0, 0.0])
+    with pytest.raises(IndexError):
+        wf.berry_phase([0, 5], 0)
+    with pytest.raises(IndexError):
+        wf.berry_flux([2])
+    ribbon = m.cut_piece(3, 1, glue_edgs=False)
+    wfr = ptt.wf_array(ribbon, [4])
+    wfr.solve_on_grid([0.0])
+    with pytest.raises(IndexError):
+        wfr.position_expectation_all([ribbon._nsta], 1)
+    from pythtb_tpu import flows
+
+    with pytest.raises(IndexError):
+        flows.chern_number(m, [7], nk=(5, 5))
+    # negative indices within range behave like NumPy
+    np.testing.assert_allclose(
+        wf.berry_phase([-1], 0), wf.berry_phase([1], 0), atol=1e-13
+    )
+
+
+def test_view_taken_before_solve_stays_live():
+    """A view handed out BEFORE solve_on_grid must alias the solved data
+    (the reference solves into the same buffer)."""
+    m = zoo.haldane(ptt)
+    wf = ptt.wf_array(m, [5, 5])
+    v = wf[2, 2]                      # all-zeros view, pre-solve
+    wf.solve_on_grid([0.0, 0.0])
+    assert np.abs(v).max() > 0.1, "old view did not observe solved data"
+    # writes through the pre-solve view must be honored by later ops
+    p0 = wf.berry_flux([0], individual_phases=True)
+    tmp = np.array(v)
+    v[0, :] = tmp[1, :]
+    v[1, :] = tmp[0, :]
+    p1 = wf.berry_flux([0], individual_phases=True)
+    assert np.abs(p1 - p0).max() > 0.1
+
+
+def test_save_load_suffixless_path(tmp_path):
+    m = zoo.haldane(ptt)
+    p = str(tmp_path / "model_no_suffix")
+    m.save(p)  # numpy appends .npz
+    m2 = ptt.tb_model.load(p)  # must find it anyway
+    k = m.k_uniform_mesh([3, 3])
+    np.testing.assert_allclose(m.solve_all(k), m2.solve_all(k), atol=1e-13)
