@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "density_of_states", "energy_fn"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "density_of_states", "energy_fn"]
 
 
 def _solve_grid_states(static: ModelStatic, data: BlochData, kpts, occ, n0, n1):
@@ -160,6 +160,52 @@ def density_of_states(model, k_mesh, energies=None, sigma=0.1, n_energies=201):
         np.asarray(energies, dtype=np.float64), float(sigma),
     )
     return np.asarray(e_grid, dtype=np.float64), np.asarray(dos, dtype=np.float64)
+
+
+def chern_fn(model, occ, nk=(31, 31), start_k=(-0.5, -0.5)):
+    """Vmappable/jittable Chern-number function of the model parameters.
+
+    Returns ``(fn, params0)`` where ``fn(params) -> chern`` is a pure
+    function of ``params = {"amps": ..., "diag": ...}`` (ri-packed float
+    arrays, see :func:`energy_fn`).  Because it is pure, it composes
+    with ``jax.vmap`` -- e.g. a whole topological phase diagram over a
+    grid of model parameters evaluates as ONE device program:
+
+        fn, p0 = flows.chern_fn(model, [0])
+        amps_grid = ...                      # (P, nhop, 2) parameter sweep
+        cherns = jax.vmap(lambda a: fn({"amps": a, "diag": p0["diag"]}))(amps_grid)
+
+    The model's hopping graph (which orbitals couple, with which lattice
+    vectors) is fixed; only amplitudes and site energies vary.
+    """
+    from .utils.xfer import host_pack, unpack_cplx
+
+    static, data0 = model._get_finalized()
+    if static.dim_k != 2:
+        raise ValueError("chern_fn requires a model with dim_k == 2")
+    occ = tuple(int(o) for o in occ)
+    if occ and (min(occ) < 0 or max(occ) >= static.nsta):
+        raise IndexError(
+            "occ indices %s out of range for %d states" % (sorted(set(occ)), static.nsta)
+        )
+    n0, n1 = int(nk[0]), int(nk[1])
+    phases = []
+    for d in range(2):
+        ffac = np.exp(-2.0j * np.pi * model._orb[:, model._per[d]])
+        if model._nspin == 2:
+            ffac = np.repeat(ffac, 2)
+        phases.append(jnp.asarray(host_pack(ffac)))
+    start = jnp.asarray(np.asarray(start_k, dtype=np.float64))
+    params0 = {"amps": jnp.asarray(data0.amps), "diag": jnp.asarray(data0.diag)}
+
+    def fn(params):
+        data = data0._replace(amps=params["amps"], diag=params["diag"])
+        kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
+        w = _solve_grid_states(static, data, kpts, occ, n0, n1)
+        w = extend_pbc_seq(w, [unpack_cplx(phases[0]), unpack_cplx(phases[1])])
+        return _total_flux(w) / (2.0 * np.pi)
+
+    return fn, params0
 
 
 def energy_fn(model):

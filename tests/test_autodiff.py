@@ -96,3 +96,40 @@ def test_density_of_states():
     ref = np.exp(-0.5 * ((e[:, None] - evals[None, :]) / 0.08) ** 2).sum(1)
     ref /= 0.08 * np.sqrt(2 * np.pi) * (24 * 24)
     np.testing.assert_allclose(dos, ref, atol=1e-8)
+
+
+def test_chern_fn_matches_chern_number():
+    m = zoo.haldane(ptt)
+    fn, p0 = flows.chern_fn(m, [0], nk=(15, 15))
+    c = float(fn(p0))
+    np.testing.assert_allclose(
+        c, flows.chern_number(m, [0], nk=(15, 15)), atol=1e-10
+    )
+
+
+def test_chern_fn_vmap_phase_diagram():
+    """The Haldane phase diagram over a parameter sweep in one vmapped
+    call: C = sign(phi) for |sin(phi)| large vs delta, C = 0 when the
+    staggered mass dominates."""
+    import jax
+
+    base = zoo.haldane(ptt)  # establishes the hopping graph
+    fn, p0 = flows.chern_fn(base, [0], nk=(13, 13))
+
+    # parameter sweep: vary t2 phase and the staggered onsite delta
+    phis = [np.pi / 2, -np.pi / 2, np.pi / 2]
+    deltas = [0.2, 0.2, 1.5]  # third point: trivial (delta > 3*sqrt(3)*t2)
+    amps_list, diag_list = [], []
+    for phi, delta in zip(phis, deltas):
+        m = zoo.haldane(ptt, delta=delta, phi=phi)
+        _, d = m._get_finalized()
+        amps_list.append(np.array(d.amps))
+        diag_list.append(np.array(d.diag))
+    params = {
+        "amps": np.stack(amps_list),
+        "diag": np.stack(diag_list),
+    }
+    cherns = jax.vmap(lambda a, dg: fn({"amps": a, "diag": dg}))(
+        params["amps"], params["diag"]
+    )
+    np.testing.assert_allclose(np.asarray(cherns), [1.0, -1.0, 0.0], atol=1e-6)
