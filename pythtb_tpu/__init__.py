@@ -29,6 +29,7 @@ Public API (PythTB-compatible): :class:`tb_model`, :class:`wf_array`,
 """
 
 from .model import tb_model, PythtbError
+from .utils.continuity import no_2pi
 from .wf_array import wf_array
 from .w90 import w90
 from . import models, parallel
@@ -43,6 +44,7 @@ __all__ = [
     "w90",
     "models",
     "parallel",
+    "no_2pi",
     "PythtbError",
     "__version__",
 ]

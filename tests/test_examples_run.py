@@ -29,6 +29,9 @@ def _run(name, tmp_path, monkeypatch):
     import matplotlib
 
     matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.close("all")  # figures accumulate across example runs otherwise
     monkeypatch.chdir(tmp_path)
     script = EXAMPLES_DIR / (name + ".py")
     with redirect_stdout(io.StringIO()) as out:
