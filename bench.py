@@ -15,6 +15,8 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -22,9 +24,38 @@ import numpy as np
 
 BASELINE_SECONDS = 12.74  # reference north star (BASELINE.md)
 GRID = 301
+CHILD_TIMEOUT_S = 520  # remote TPU compiles are flaky (3 s - 300 s observed)
 
 
 def main():
+    """Watchdog wrapper: the measurement runs in a child process because
+    the remote TPU compiler occasionally stalls for minutes; a fresh
+    process retry typically compiles in seconds."""
+    if "--child" in sys.argv:
+        run_benchmark()
+        return
+    for attempt in (1, 2):
+        try:
+            result = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                timeout=CHILD_TIMEOUT_S, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print("attempt %d timed out after %ds (remote compiler stall); %s"
+                  % (attempt, CHILD_TIMEOUT_S,
+                     "retrying in a fresh process" if attempt == 1 else "giving up"),
+                  file=sys.stderr)
+            continue
+        sys.stderr.write(result.stderr)
+        line = [l for l in result.stdout.splitlines() if l.startswith("{")]
+        if result.returncode == 0 and line:
+            print(line[-1])
+            return
+        print("attempt %d failed (rc=%d)" % (attempt, result.returncode), file=sys.stderr)
+    sys.exit(1)
+
+
+def run_benchmark():
     import jax
 
     import pythtb_tpu as ptt
