@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "density_of_states", "energy_fn"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "density_of_states", "energy_fn", "band_velocities"]
 
 
 def _solve_grid_states(static: ModelStatic, data: BlochData, kpts, occ, n0, n1):
@@ -206,6 +206,36 @@ def chern_fn(model, occ, nk=(31, 31), start_k=(-0.5, -0.5)):
         return _total_flux(w) / (2.0 * np.pi)
 
     return fn, params0
+
+
+def band_velocities(model, k_list):
+    """Band group velocities dE_n/dk at each k-point, by automatic
+    differentiation through assembly and the eigensolver (exact
+    Hellmann-Feynman derivatives -- no finite-difference stencils, no
+    band-crossing mismatch).
+
+    :param k_list: (nkp, dim_k) reduced k-points
+    :returns: (vels, evals) with vels[band, kpt, dir] = dE/dk in reduced
+      coordinates (chain with 2*pi * inv(lat_per)^T for Cartesian) and
+      evals[band, kpt] as in solve_all.
+    """
+    from .ops.eigh import eigvalsh_batched
+
+    static, data = model._get_finalized()
+    if static.dim_k == 0:
+        raise ValueError("band velocities require a periodic model")
+    kpts = np.asarray(k_list, dtype=np.float64)
+    if kpts.ndim == 1:
+        kpts = kpts[:, None] if static.dim_k == 1 else kpts[None, :]
+
+    def energies_one(k):
+        return eigvalsh_batched(assemble(static, data, k[None]))[0]
+
+    fn = jax.jit(jax.vmap(lambda k: (energies_one(k), jax.jacfwd(energies_one)(k))))
+    evals, vels = fn(jnp.asarray(kpts))
+    evals = np.asarray(evals, dtype=np.float64).T  # [band, kpt]
+    vels = np.moveaxis(np.asarray(vels, dtype=np.float64), 0, 1)  # [band, kpt, dir]
+    return vels, evals
 
 
 def energy_fn(model):

@@ -133,3 +133,28 @@ def test_chern_fn_vmap_phase_diagram():
         params["amps"], params["diag"]
     )
     np.testing.assert_allclose(np.asarray(cherns), [1.0, -1.0, 0.0], atol=1e-6)
+
+
+def test_band_velocities_1d_chain_analytic():
+    """1-D chain: E(k) = 2 t cos(2 pi k) -> dE/dk = -4 pi t sin(2 pi k)."""
+    t = -1.0
+    m = ptt.tb_model(1, 1, [[1.0]], [[0.0]])
+    m.set_hop(t, 0, 0, [1])
+    k = np.linspace(0.05, 0.95, 13)[:, None]
+    vels, evals = flows.band_velocities(m, k)
+    np.testing.assert_allclose(evals[0], 2 * t * np.cos(2 * np.pi * k[:, 0]), atol=1e-12)
+    np.testing.assert_allclose(
+        vels[0, :, 0], -4 * np.pi * t * np.sin(2 * np.pi * k[:, 0]), atol=1e-10
+    )
+
+
+def test_band_velocities_vs_finite_difference():
+    m = zoo.haldane(ptt)
+    k0 = np.array([[0.13, 0.29]])
+    vels, _ = flows.band_velocities(m, k0)
+    h = 1e-6
+    for d in range(2):
+        kp = k0.copy(); kp[0, d] += h
+        km = k0.copy(); km[0, d] -= h
+        fd = (m.solve_all(kp) - m.solve_all(km))[:, 0] / (2 * h)
+        np.testing.assert_allclose(vels[:, 0, d], fd, rtol=1e-5, atol=1e-6)
