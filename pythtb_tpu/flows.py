@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "density_of_states", "energy_fn", "band_velocities"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "density_of_states", "projected_dos", "energy_fn", "band_velocities"]
 
 
 def _solve_grid_states(static: ModelStatic, data: BlochData, kpts, occ, n0, n1):
@@ -160,6 +160,47 @@ def density_of_states(model, k_mesh, energies=None, sigma=0.1, n_energies=201):
         np.asarray(energies, dtype=np.float64), float(sigma),
     )
     return np.asarray(e_grid, dtype=np.float64), np.asarray(dos, dtype=np.float64)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _pdos_jit(static: ModelStatic, data: BlochData, start, mesh_shape, n_energies, erange, sigma):
+    ftype = config.float_dtype()
+    kpts = device_uniform_grid(tuple(mesh_shape), start)
+    H = assemble(static, data, kpts)
+    evals, v = eigh_batched(H)  # v: (B, nsta, F) rows = states
+    weights = jnp.abs(v) ** 2  # (B, nsta, F) orbital(/spin) weights
+    if static.nspin == 2:
+        weights = weights.reshape(weights.shape[0], static.nsta, static.norb, 2).sum(-1)
+    e_grid = jnp.linspace(erange[0], erange[1], n_energies).astype(ftype)
+    sig = jnp.asarray(sigma, ftype)
+    diff = (e_grid[:, None] - evals.reshape(-1)[None, :]) / sig
+    g = jnp.exp(-0.5 * diff * diff) / (sig * np.sqrt(2.0 * np.pi))  # (nE, B*nsta)
+    w_flat = weights.reshape(-1, weights.shape[-1])  # (B*nsta, norb)
+    pdos = jnp.dot(g, w_flat, precision=jax.lax.Precision.HIGHEST) / evals.shape[0]
+    return e_grid, pdos
+
+
+def projected_dos(model, k_mesh, energies=None, sigma=0.1, n_energies=201):
+    """Orbital-projected (Gaussian-broadened) density of states.
+
+    Like :func:`density_of_states` but resolved per orbital:
+    ``pdos[e, orb] = sum_kn |u_nk[orb]|^2 g(e - E_nk)`` (spin components
+    summed for nspin=2).  The orbital sum recovers the total DOS.
+    Returns (energy_grid, pdos (nE, norb)).
+    """
+    static, data = model._get_finalized()
+    if static.dim_k == 0 or len(k_mesh) != static.dim_k:
+        raise ValueError("k_mesh must give one size per periodic direction")
+    mesh_shape = tuple(int(n) for n in k_mesh)
+    start = np.zeros(static.dim_k, dtype=np.float64)
+    if energies is None:
+        probe = model.solve_all(model.k_uniform_mesh([max(4, n // 4) for n in mesh_shape]))
+        energies = (probe.min() - 3.0 * sigma, probe.max() + 3.0 * sigma)
+    e_grid, pdos = _pdos_jit(
+        static, data, start, mesh_shape, int(n_energies),
+        np.asarray(energies, dtype=np.float64), float(sigma),
+    )
+    return np.asarray(e_grid, dtype=np.float64), np.asarray(pdos, dtype=np.float64)
 
 
 def chern_fn(model, occ, nk=(31, 31), start_k=(-0.5, -0.5)):

@@ -158,3 +158,24 @@ def test_band_velocities_vs_finite_difference():
         km = k0.copy(); km[0, d] -= h
         fd = (m.solve_all(kp) - m.solve_all(km))[:, 0] / (2 * h)
         np.testing.assert_allclose(vels[:, 0, d], fd, rtol=1e-5, atol=1e-6)
+
+
+def test_projected_dos_sums_to_dos():
+    m = zoo.haldane(ptt)
+    e1, dos = flows.density_of_states(m, (16, 16), sigma=0.1, n_energies=101,
+                                      energies=(-4.0, 4.0))
+    e2, pdos = flows.projected_dos(m, (16, 16), sigma=0.1, n_energies=101,
+                                   energies=(-4.0, 4.0))
+    np.testing.assert_array_equal(e1, e2)
+    assert pdos.shape == (101, 2)
+    np.testing.assert_allclose(pdos.sum(axis=1), dos, atol=1e-10)
+    # staggered Haldane: low-energy weight sits on the low-onsite sublattice
+    low = e1 < -1.0
+    assert pdos[low, 0].sum() > pdos[low, 1].sum()
+
+
+def test_projected_dos_spinful():
+    m = zoo.kane_mele(ptt, "odd")
+    e, pdos = flows.projected_dos(m, (8, 8), sigma=0.2, n_energies=61)
+    assert pdos.shape == (61, 2)  # per orbital, spin summed
+    np.testing.assert_allclose(np.trapezoid(pdos.sum(1), e), 4.0, rtol=5e-2)
