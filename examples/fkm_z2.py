@@ -15,9 +15,9 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
-from pythtb_tpu import models, wf_array
+from pythtb_tpu import flows, models, wf_array
 
-m = models.fu_kane_mele(t=1.0, soc=0.125)
+m = models.fu_kane_mele(t=1.0, soc=0.125)  # dt<0 default: strong TI
 
 fig, axs = plt.subplots(1, 2, figsize=(7.5, 3.2), sharey=True)
 for panel, k3 in enumerate([0.0, 0.5]):
@@ -33,9 +33,8 @@ for panel, k3 in enumerate([0.0, 0.5]):
         title=r"$k_3 = %.1f$" % k3, xlabel=r"$k_2$", ylim=(-0.5, 0.5),
         xlim=(-0.5, 0.5),
     )
-    spread = np.ptp(flow)
-    print("k3=%.1f plane: Wilson-center spread %.3f -> %s" % (
-        k3, spread, "partner switching (nontrivial)" if spread > 4 else "trivial flow"))
+    z2 = flows.z2_invariant(plane, (0, 1), nk=(31, 31))
+    print("k3=%.1f plane: Z2 = %.0f" % (k3, z2))
 axs[0].set_ylabel("Wannier center along $k_1$")
 fig.suptitle("Fu-Kane-Mele: plane-resolved Wilson flows (strong TI)")
 fig.tight_layout()

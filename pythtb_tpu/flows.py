@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "density_of_states", "projected_dos", "energy_fn", "band_velocities"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities"]
 
 
 def _solve_grid_states(static: ModelStatic, data: BlochData, kpts, occ, n0, n1):
@@ -277,6 +277,106 @@ def band_velocities(model, k_list):
     evals = np.asarray(evals, dtype=np.float64).T  # [band, kpt]
     vels = np.moveaxis(np.asarray(vels, dtype=np.float64), 0, 1)  # [band, kpt, dir]
     return vels, evals
+
+
+def _unitary2_eigenphases(W):
+    """Eigenphases of (..., 2, 2) unitary matrices, closed form
+    (quadratic characteristic polynomial) -- device-capable, unlike
+    general nonsymmetric eigvals."""
+    tr = W[..., 0, 0] + W[..., 1, 1]
+    det = W[..., 0, 0] * W[..., 1, 1] - W[..., 0, 1] * W[..., 1, 0]
+    disc = jnp.sqrt(tr * tr - 4.0 * det)
+    lam1 = 0.5 * (tr + disc)
+    lam2 = 0.5 * (tr - disc)
+    return jnp.angle(lam1), jnp.angle(lam2)
+
+
+def _wrap_pi(x):
+    return jnp.arctan2(jnp.sin(x), jnp.cos(x))
+
+
+def z2_fn(model, occ=(0, 1), nk=(31, 31)):
+    """Vmappable/jittable Z2 invariant for a pair of occupied bands.
+
+    Uses the gap-crossing criterion of Soluyanov & Vanderbilt (PRB 83,
+    235401 (2011)): the midpoint of the largest gap between the two
+    Wilson-loop eigenphases (hybrid Wannier centers along k1) is tracked
+    over HALF the k2 cycle (time-reversal-invariant-momentum to TRIM);
+    Z2 is the parity of the number of centers the gap line sweeps past.
+    Robust to band crossings (individual-center tracking is not).  Use
+    ``wf_array.berry_phase(..., berry_evals=True)`` to inspect the flow
+    directly; the method needs the k2 resolution to keep the Wannier gap
+    identifiable between adjacent strings.
+
+    Returns ``(fn, params0)`` with ``fn(params) -> z2`` (0.0 or 1.0),
+    pure in the model parameter arrays -- composes with ``jax.vmap`` for
+    Z2 phase diagrams.  Requires exactly two occupied bands (the Wilson
+    eigenphases are obtained in closed form on device) and an odd
+    ``nk[1]`` so the half-cycle ends exactly on the second TRIM.
+    """
+    from .ops.berry import _overlap, _unitarize
+    from .utils.xfer import host_pack, unpack_cplx
+
+    static, data0 = model._get_finalized()
+    if static.dim_k != 2:
+        raise ValueError("z2_fn requires a model with dim_k == 2")
+    occ = tuple(int(o) for o in occ)
+    if len(occ) != 2:
+        raise ValueError("z2_fn tracks exactly two occupied bands")
+    if min(occ) < 0 or max(occ) >= static.nsta:
+        raise IndexError(
+            "occ indices %s out of range for %d states" % (sorted(set(occ)), static.nsta)
+        )
+    n0, n1 = int(nk[0]), int(nk[1])
+    if (n1 - 1) % 2 != 0:
+        raise ValueError("nk[1] must be odd (half cycle must end on a TRIM)")
+    phase0 = np.exp(-2.0j * np.pi * model._orb[:, model._per[0]])
+    if model._nspin == 2:
+        phase0 = np.repeat(phase0, 2)
+    phase0_ri = jnp.asarray(host_pack(phase0))
+    start = jnp.asarray(np.array([-0.5, -0.5]))
+    params0 = {"amps": jnp.asarray(data0.amps), "diag": jnp.asarray(data0.diag)}
+
+    def fn(params):
+        data = data0._replace(amps=params["amps"], diag=params["diag"])
+        kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
+        w = _solve_grid_states(static, data, kpts, occ, n0, n1)  # (n0-1, n1-1, 2, F)
+        # close the Wilson strings along axis 0 with the periodic gauge
+        w = extend_pbc_seq(w, [unpack_cplx(phase0_ri)])  # (n0, n1-1, 2, F)
+        ovr = _overlap(w[:-1], w[1:])  # (n0-1, n1-1, 2, 2) links along k1
+        Wl = _unitarize(ovr)
+        prod = jax.lax.associative_scan(
+            lambda a, b: jnp.einsum(
+                "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
+            ),
+            Wl,
+            axis=0,
+        )[-1]  # (n1-1, 2, 2): Wilson loop per k2 string
+        t1, t2 = _unitary2_eigenphases(prod)  # (n1-1,) each
+        # half cycle: strings j = 0 .. (n1-1)/2 (TRIM at -0.5 to TRIM at 0)
+        half = (n1 - 1) // 2
+        t1, t2 = t1[: half + 1], t2[: half + 1]
+        # largest-gap midpoint between the two centers on the circle
+        mid = 0.5 * (t1 + t2)
+        arc = jnp.abs(_wrap_pi(t2 - t1))  # arc between centers through mid
+        g = jnp.where(arc >= np.pi, mid, _wrap_pi(mid + np.pi))
+        # per step: parity of centers swept by the moving gap line
+        dg = _wrap_pi(g[1:] - g[:-1])  # (half,)
+
+        def swept(x):
+            rel = _wrap_pi(x[1:] - g[:-1])
+            return (jnp.sign(rel) == jnp.sign(dg)) & (jnp.abs(rel) <= jnp.abs(dg))
+
+        crossings = swept(t1).astype(jnp.int32) + swept(t2).astype(jnp.int32)
+        return jnp.mod(jnp.sum(crossings), 2).astype(config.float_dtype())
+
+    return fn, params0
+
+
+def z2_invariant(model, occ=(0, 1), nk=(31, 31)):
+    """Z2 invariant of two occupied bands (see :func:`z2_fn`)."""
+    fn, p0 = z2_fn(model, occ, nk)
+    return float(jax.jit(fn)(p0))
 
 
 def energy_fn(model):

@@ -140,7 +140,7 @@ def cscl(delta=1.0, ta=0.4, tb=0.7):
     return m
 
 
-def fu_kane_mele(t=1.0, soc=0.125, m=0.0, beta=0.0):
+def fu_kane_mele(t=1.0, soc=0.125, m=-0.5, beta=0.0):
     """Fu-Kane-Mele diamond-lattice model (PRL 98, 106803 (2007)): the
     canonical 3-D strong topological insulator.
 
@@ -149,6 +149,12 @@ def fu_kane_mele(t=1.0, soc=0.125, m=0.0, beta=0.0):
     (``dt = m cos(beta)``), plus spin-dependent second-neighbor
     hoppings ``i soc (S . d)`` with bond-dependent spin direction, and
     an optional staggered Zeeman field ``m sin(beta) (1,1,1)``.
+
+    Phase diagram in the distortion ``dt`` (verified numerically via
+    plane-resolved Z2): ``dt < 0`` is the STRONG topological phase
+    (plane invariants nu(k3=0) = 0 != nu(k3=1/2) = 1), ``dt = 0`` is the
+    critical point, ``dt > 0`` is trivial.  Defaults sit inside the
+    strong-TI phase.
     """
     lat = [[0.0, 1.0, 1.0], [1.0, 0.0, 1.0], [1.0, 1.0, 0.0]]
     orb = [[0.0, 0.0, 0.0], [0.25, 0.25, 0.25]]

@@ -179,3 +179,28 @@ def test_projected_dos_spinful():
     e, pdos = flows.projected_dos(m, (8, 8), sigma=0.2, n_energies=61)
     assert pdos.shape == (61, 2)  # per orbital, spin summed
     np.testing.assert_allclose(np.trapezoid(pdos.sum(1), e), 4.0, rtol=5e-2)
+
+
+def test_z2_invariant_kane_mele():
+    """Device Z2 (gap-crossing criterion): 1 in the QSH phase, 0 in the
+    trivial phase, stable across k-resolutions."""
+    for nk in (25, 41):
+        assert flows.z2_invariant(zoo.kane_mele(ptt, "odd"), (0, 1), nk=(nk, nk)) == 1.0
+        assert flows.z2_invariant(zoo.kane_mele(ptt, "even"), (0, 1), nk=(nk, nk)) == 0.0
+
+
+def test_z2_fn_vmappable():
+    import jax
+
+    base = zoo.kane_mele(ptt, "odd")
+    fn, p0 = flows.z2_fn(base, (0, 1), nk=(21, 21))
+    amps, diags = [], []
+    for topo in ("odd", "even", "odd"):
+        m = zoo.kane_mele(ptt, topo)
+        _, d = m._get_finalized()
+        amps.append(np.array(d.amps))
+        diags.append(np.array(d.diag))
+    zs = jax.vmap(lambda a, g: fn({"amps": a, "diag": g}))(
+        np.stack(amps), np.stack(diags)
+    )
+    np.testing.assert_array_equal(np.asarray(zs), [1.0, 0.0, 1.0])

@@ -73,24 +73,20 @@ def test_cscl_insulating():
 
 
 def test_fu_kane_mele_strong_ti():
-    """Default parameters give the strong topological phase: the (k1, k2)
-    Wilson flow at k3=0 and k3=0.5 planes have different time-reversal
-    polarization (Z2 partner switching between planes)."""
-    m = models.fu_kane_mele(t=1.0, soc=0.125)
-    # bands must be gapped at half filling on a coarse mesh
+    """Default parameters give the strong topological phase:
+    plane-resolved Z2 invariants differ between the k3=0 and k3=1/2
+    time-reversal-invariant planes; the trivial distortion sign gives
+    equal plane invariants."""
+    from pythtb_tpu import flows
+
+    m = models.fu_kane_mele()  # dt < 0: strong TI
     ev = m.solve_all(m.k_uniform_mesh([5, 5, 5]))
     assert ev[1].max() < ev[2].min() - 0.05
+    z = [flows.z2_invariant(m.reduce_dim(2, k3), (0, 1), nk=(25, 25))
+         for k3 in (0.0, 0.5)]
+    assert z[0] != z[1], z
 
-    def plane_phases(k3):
-        red = m.reduce_dim(2, k3)
-        wf = ptt.wf_array(red, [17, 17])
-        wf.solve_on_grid([-0.5, -0.5])
-        flow = wf.berry_phase([0, 1], dir=1, contin=False, berry_evals=True)
-        return flow
-
-    # kx-Wilson centers at the two time-reversal-invariant k3 planes:
-    # in the strong TI phase exactly one of them shows partner switching
-    # (large center motion), distinguishing it from the trivial phase
-    spread0 = np.ptp(plane_phases(0.0))
-    spread5 = np.ptp(plane_phases(0.5))
-    assert abs(spread0 - spread5) > 1.0, (spread0, spread5)
+    triv = models.fu_kane_mele(m=0.5)  # dt > 0: trivial
+    z = [flows.z2_invariant(triv.reduce_dim(2, k3), (0, 1), nk=(25, 25))
+         for k3 in (0.0, 0.5)]
+    assert z[0] == z[1] == 0.0, z
