@@ -306,7 +306,10 @@ def z2_fn(model, occ=(0, 1), nk=(31, 31)):
     Robust to band crossings (individual-center tracking is not).  Use
     ``wf_array.berry_phase(..., berry_evals=True)`` to inspect the flow
     directly; the method needs the k2 resolution to keep the Wannier gap
-    identifiable between adjacent strings.
+    identifiable between adjacent strings, and it is blind when the two
+    centers stay exactly degenerate along the whole flow (e.g. models
+    with simultaneous inversion and time-reversal symmetry) -- split the
+    degeneracy with a small symmetry-breaking perturbation there.
 
     Returns ``(fn, params0)`` with ``fn(params) -> z2`` (0.0 or 1.0),
     pure in the model parameter arrays -- composes with ``jax.vmap`` for
