@@ -74,6 +74,14 @@ def main():
     except FileNotFoundError:
         print("[skip] silicon data not available", flush=True)
 
+    # 3b. device Z2 invariant (f32 Wilson flows)
+    import pythtb_tpu.models as zoo_models
+
+    z_odd = flows.z2_invariant(zoo_models.kane_mele(esite=1.0), (0, 1), nk=(25, 25))
+    z_even = flows.z2_invariant(zoo_models.kane_mele(esite=2.5), (0, 1), nk=(25, 25))
+    check("z2 invariant (QSH/trivial)", z_odd == 1.0 and z_even == 0.0,
+          "odd=%.0f even=%.0f" % (z_odd, z_even))
+
     # 4. finite model dense eigh
     fin = m.cut_piece(10, 0).cut_piece(10, 1)
     ev = fin.solve_all()
