@@ -69,8 +69,9 @@ def run_benchmark():
     m = ptt.tb_model(2, 2, lat, orb)
     delta, t, t2 = 0.2, -1.0, 0.15 * np.exp(1.0j * np.pi / 2.0)
     m.set_onsite([-delta, delta])
-    for lv in ([0, 0], [1, 0], [0, 1]):
-        m.set_hop(t, 0, 1, lv)
+    m.set_hop(t, 0, 1, [0, 0])
+    m.set_hop(t, 1, 0, [1, 0])
+    m.set_hop(t, 1, 0, [0, 1])
     for lv in ([1, 0], [-1, 1], [0, -1]):
         m.set_hop(t2, 0, 0, lv)
     for lv in ([1, 0], [-1, 1], [0, -1]):

@@ -19,8 +19,9 @@ def haldane_model(delta=0.2, t=-1.0, t2mag=0.15, phi=np.pi / 2.0):
     m = tb_model(2, 2, lat, orb)
     t2 = t2mag * np.exp(1.0j * phi)
     m.set_onsite([-delta, delta])
-    for lv in ([0, 0], [1, 0], [0, 1]):
-        m.set_hop(t, 0, 1, lv)
+    m.set_hop(t, 0, 1, [0, 0])
+    m.set_hop(t, 1, 0, [1, 0])
+    m.set_hop(t, 1, 0, [0, 1])
     for lv in ([1, 0], [-1, 1], [0, -1]):
         m.set_hop(t2, 0, 0, lv)
     for lv in ([1, 0], [-1, 1], [0, -1]):

@@ -23,13 +23,27 @@ import numpy as np
 
 from . import config
 from .core import BlochData, ModelStatic
-from .ops.berry import plaquette_phases
+from .ops.berry import _dets, _wrap, plaquette_phases
 from .ops.solver import device_uniform_grid, extend_pbc_seq
 from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
 __all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities"]
+
+
+def gauge_phases(model, dims, flatten=True):
+    """Periodic-gauge boundary phases exp(-2j*pi*orb[:, per[d]]) for the
+    given mesh dimensions -- THE single home of this convention.  With
+    ``flatten`` the spin axis is merged into the orbital axis (matching
+    flattened state layouts); otherwise shape (norb, 2) per dim."""
+    out = []
+    for d in dims:
+        ffac = np.exp(-2.0j * np.pi * model._orb[:, model._per[d]])
+        if model._nspin == 2:
+            ffac = np.repeat(ffac, 2) if flatten else np.repeat(ffac[:, None], 2, axis=1)
+        out.append(ffac)
+    return out
 
 
 def _solve_grid_states(static: ModelStatic, data: BlochData, kpts, occ, n0, n1):
@@ -74,17 +88,14 @@ def _grid_inputs(model, nk, start_k):
     static, data = model._get_finalized()
     if static.dim_k != 2:
         raise ValueError("chern_number requires a model with dim_k == 2")
+    return static, data, (n0, n1), gauge_phases(model, (0, 1))
+
+
+def _host_grid(n0, n1, start_k):
     a0 = start_k[0] + np.arange(n0 - 1, dtype=np.float64) / float(n0 - 1)
     a1 = start_k[1] + np.arange(n1 - 1, dtype=np.float64) / float(n1 - 1)
     g0, g1 = np.meshgrid(a0, a1, indexing="ij")
-    kpts = np.stack([g0.reshape(-1), g1.reshape(-1)], axis=-1)
-    phases = []
-    for d in range(2):
-        ffac = np.exp(-2.0j * np.pi * model._orb[:, model._per[d]])
-        if model._nspin == 2:
-            ffac = np.repeat(ffac, 2)
-        phases.append(ffac)
-    return static, data, kpts, (n0, n1), phases
+    return np.stack([g0.reshape(-1), g1.reshape(-1)], axis=-1)
 
 
 def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
@@ -92,7 +103,7 @@ def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
     grid, computed fully on device.  Equals
     ``wf_array(model, nk).solve_on_grid(start_k); wf.berry_flux(occ)``.
     """
-    static, data, kpts, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k)
+    static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k)
     if mesh is None:
         mesh = pmesh.current_mesh()
     occ = tuple(int(o) for o in occ)
@@ -103,9 +114,19 @@ def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
     from .utils.xfer import host_pack
 
     if mesh is not None:
+        kpts = _host_grid(n0, n1, start_k)
         nd = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         if kpts.shape[0] % nd == 0:
             kpts = pmesh.shard_batch(kpts, mesh)
+        else:
+            import warnings
+
+            warnings.warn(
+                "berry_flux_grid: interior grid %dx%d is not divisible by the "
+                "%d-device mesh; running unsharded (choose nk so that "
+                "(nk[0]-1)*(nk[1]-1) %% n_devices == 0)" % (n0 - 1, n1 - 1, nd),
+                stacklevel=2,
+            )
         out = _chern_sharded_jit(
             static, data, kpts, occ, n0, n1, host_pack(p0), host_pack(p1)
         )
@@ -120,6 +141,46 @@ def chern_number(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
     return berry_flux_grid(model, occ, nk, start_k, mesh) / (2.0 * np.pi)
 
 
+# states processed per broadening chunk: keeps the (n_energies, chunk)
+# Gaussian matrix small instead of materializing (n_energies, B*nsta)
+# (multi-GB for dense 3-D meshes)
+_DOS_CHUNK = 8192
+
+
+def _broaden_chunked(evals_flat, e_grid, sig, weights=None):
+    """Accumulate sum_s w_s * g(e - E_s) over chunks of states.
+
+    evals_flat: (N,); weights: optional (N, norb).  Returns (nE,) or
+    (nE, norb)."""
+    N = evals_flat.shape[0]
+    pad = (-N) % _DOS_CHUNK
+    # sentinel far outside any window: its Gaussian weight underflows to 0
+    ev = jnp.concatenate([evals_flat, jnp.full((pad,), 1.0e30, evals_flat.dtype)])
+    nch = ev.shape[0] // _DOS_CHUNK
+    ev = ev.reshape(nch, _DOS_CHUNK)
+    if weights is None:
+        def body(acc, ch):
+            diff = (e_grid[:, None] - ch[None, :]) / sig
+            return acc + jnp.sum(jnp.exp(-0.5 * diff * diff), axis=1), None
+
+        acc0 = jnp.zeros(e_grid.shape, e_grid.dtype)
+    else:
+        wts = jnp.concatenate(
+            [weights, jnp.zeros((pad, weights.shape[1]), weights.dtype)]
+        ).reshape(nch, _DOS_CHUNK, weights.shape[1])
+        ev = (ev, wts)
+
+        def body(acc, ch):
+            e_ch, w_ch = ch
+            diff = (e_grid[:, None] - e_ch[None, :]) / sig
+            g = jnp.exp(-0.5 * diff * diff)
+            return acc + jnp.dot(g, w_ch, precision=jax.lax.Precision.HIGHEST), None
+
+        acc0 = jnp.zeros((e_grid.shape[0], weights.shape[1]), e_grid.dtype)
+    acc, _ = jax.lax.scan(body, acc0, ev)
+    return acc
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def _dos_jit(static: ModelStatic, data: BlochData, start, mesh_shape, n_energies, erange, sigma):
     from .ops.eigh import eigvalsh_batched
@@ -129,10 +190,24 @@ def _dos_jit(static: ModelStatic, data: BlochData, start, mesh_shape, n_energies
     evals = eigvalsh_batched(assemble(static, data, kpts))  # (B, nsta)
     e_grid = jnp.linspace(erange[0], erange[1], n_energies).astype(ftype)
     sig = jnp.asarray(sigma, ftype)
-    # Gaussian-broadened DOS, normalized to states per unit cell
-    diff = (e_grid[:, None] - evals.reshape(-1)[None, :]) / sig
-    w = jnp.exp(-0.5 * diff * diff) / (sig * np.sqrt(2.0 * np.pi))
-    return e_grid, jnp.sum(w, axis=1) / evals.shape[0]
+    dos = _broaden_chunked(evals.reshape(-1), e_grid, sig)
+    return e_grid, dos / (sig * np.sqrt(2.0 * np.pi)) / evals.shape[0]
+
+
+def _dos_driver(kernel, model, k_mesh, energies, sigma, n_energies):
+    static, data = model._get_finalized()
+    if static.dim_k == 0 or len(k_mesh) != static.dim_k:
+        raise ValueError("k_mesh must give one size per periodic direction")
+    mesh_shape = tuple(int(n) for n in k_mesh)
+    start = np.zeros(static.dim_k, dtype=np.float64)
+    if energies is None:
+        probe = model.solve_all(model.k_uniform_mesh([max(4, n // 4) for n in mesh_shape]))
+        energies = (probe.min() - 3.0 * sigma, probe.max() + 3.0 * sigma)
+    e_grid, out = kernel(
+        static, data, start, mesh_shape, int(n_energies),
+        np.asarray(energies, dtype=np.float64), float(sigma),
+    )
+    return np.asarray(e_grid, dtype=np.float64), np.asarray(out, dtype=np.float64)
 
 
 def density_of_states(model, k_mesh, energies=None, sigma=0.1, n_energies=201):
@@ -147,19 +222,7 @@ def density_of_states(model, k_mesh, energies=None, sigma=0.1, n_energies=201):
     :returns: (energy_grid, dos) with dos normalized to states per unit
       cell (integrates to norb*nspin)
     """
-    static, data = model._get_finalized()
-    if static.dim_k == 0 or len(k_mesh) != static.dim_k:
-        raise ValueError("k_mesh must give one size per periodic direction")
-    mesh_shape = tuple(int(n) for n in k_mesh)
-    start = np.zeros(static.dim_k, dtype=np.float64)
-    if energies is None:
-        probe = model.solve_all(model.k_uniform_mesh([max(4, n // 4) for n in mesh_shape]))
-        energies = (probe.min() - 3.0 * sigma, probe.max() + 3.0 * sigma)
-    e_grid, dos = _dos_jit(
-        static, data, start, mesh_shape, int(n_energies),
-        np.asarray(energies, dtype=np.float64), float(sigma),
-    )
-    return np.asarray(e_grid, dtype=np.float64), np.asarray(dos, dtype=np.float64)
+    return _dos_driver(_dos_jit, model, k_mesh, energies, sigma, n_energies)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
@@ -173,11 +236,10 @@ def _pdos_jit(static: ModelStatic, data: BlochData, start, mesh_shape, n_energie
         weights = weights.reshape(weights.shape[0], static.nsta, static.norb, 2).sum(-1)
     e_grid = jnp.linspace(erange[0], erange[1], n_energies).astype(ftype)
     sig = jnp.asarray(sigma, ftype)
-    diff = (e_grid[:, None] - evals.reshape(-1)[None, :]) / sig
-    g = jnp.exp(-0.5 * diff * diff) / (sig * np.sqrt(2.0 * np.pi))  # (nE, B*nsta)
-    w_flat = weights.reshape(-1, weights.shape[-1])  # (B*nsta, norb)
-    pdos = jnp.dot(g, w_flat, precision=jax.lax.Precision.HIGHEST) / evals.shape[0]
-    return e_grid, pdos
+    pdos = _broaden_chunked(
+        evals.reshape(-1), e_grid, sig, weights.reshape(-1, weights.shape[-1])
+    )
+    return e_grid, pdos / (sig * np.sqrt(2.0 * np.pi)) / evals.shape[0]
 
 
 def projected_dos(model, k_mesh, energies=None, sigma=0.1, n_energies=201):
@@ -188,19 +250,7 @@ def projected_dos(model, k_mesh, energies=None, sigma=0.1, n_energies=201):
     summed for nspin=2).  The orbital sum recovers the total DOS.
     Returns (energy_grid, pdos (nE, norb)).
     """
-    static, data = model._get_finalized()
-    if static.dim_k == 0 or len(k_mesh) != static.dim_k:
-        raise ValueError("k_mesh must give one size per periodic direction")
-    mesh_shape = tuple(int(n) for n in k_mesh)
-    start = np.zeros(static.dim_k, dtype=np.float64)
-    if energies is None:
-        probe = model.solve_all(model.k_uniform_mesh([max(4, n // 4) for n in mesh_shape]))
-        energies = (probe.min() - 3.0 * sigma, probe.max() + 3.0 * sigma)
-    e_grid, pdos = _pdos_jit(
-        static, data, start, mesh_shape, int(n_energies),
-        np.asarray(energies, dtype=np.float64), float(sigma),
-    )
-    return np.asarray(e_grid, dtype=np.float64), np.asarray(pdos, dtype=np.float64)
+    return _dos_driver(_pdos_jit, model, k_mesh, energies, sigma, n_energies)
 
 
 def chern_fn(model, occ, nk=(31, 31), start_k=(-0.5, -0.5)):
@@ -284,15 +334,13 @@ def _unitary2_eigenphases(W):
     (quadratic characteristic polynomial) -- device-capable, unlike
     general nonsymmetric eigvals."""
     tr = W[..., 0, 0] + W[..., 1, 1]
-    det = W[..., 0, 0] * W[..., 1, 1] - W[..., 0, 1] * W[..., 1, 0]
-    disc = jnp.sqrt(tr * tr - 4.0 * det)
+    disc = jnp.sqrt(tr * tr - 4.0 * _dets(W))
     lam1 = 0.5 * (tr + disc)
     lam2 = 0.5 * (tr - disc)
     return jnp.angle(lam1), jnp.angle(lam2)
 
 
-def _wrap_pi(x):
-    return jnp.arctan2(jnp.sin(x), jnp.cos(x))
+_wrap_pi = _wrap  # angle wrapping shared with the Berry engine
 
 
 def z2_fn(model, occ=(0, 1), nk=(31, 31)):
@@ -333,19 +381,20 @@ def z2_fn(model, occ=(0, 1), nk=(31, 31)):
     n0, n1 = int(nk[0]), int(nk[1])
     if (n1 - 1) % 2 != 0:
         raise ValueError("nk[1] must be odd (half cycle must end on a TRIM)")
-    phase0 = np.exp(-2.0j * np.pi * model._orb[:, model._per[0]])
-    if model._nspin == 2:
-        phase0 = np.repeat(phase0, 2)
-    phase0_ri = jnp.asarray(host_pack(phase0))
+    phase0_ri = jnp.asarray(host_pack(gauge_phases(model, (0,))[0]))
     start = jnp.asarray(np.array([-0.5, -0.5]))
     params0 = {"amps": jnp.asarray(data0.amps), "diag": jnp.asarray(data0.diag)}
 
+    half = (n1 - 1) // 2
+
     def fn(params):
         data = data0._replace(amps=params["amps"], diag=params["diag"])
-        kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
-        w = _solve_grid_states(static, data, kpts, occ, n0, n1)  # (n0-1, n1-1, 2, F)
+        # only the half cycle k2 in [-0.5, 0] is consumed below, so only
+        # those strings are solved (half+1 of the n1-1 grid columns)
+        kpts = device_uniform_grid((n0 - 1, half + 1), start, denoms=(n0 - 1, n1 - 1))
+        w = _solve_grid_states(static, data, kpts, occ, n0, half + 2)  # (n0-1, half+1, 2, F)
         # close the Wilson strings along axis 0 with the periodic gauge
-        w = extend_pbc_seq(w, [unpack_cplx(phase0_ri)])  # (n0, n1-1, 2, F)
+        w = extend_pbc_seq(w, [unpack_cplx(phase0_ri)])  # (n0, half+1, 2, F)
         ovr = _overlap(w[:-1], w[1:])  # (n0-1, n1-1, 2, 2) links along k1
         Wl = _unitarize(ovr)
         prod = jax.lax.associative_scan(
@@ -354,14 +403,15 @@ def z2_fn(model, occ=(0, 1), nk=(31, 31)):
             ),
             Wl,
             axis=0,
-        )[-1]  # (n1-1, 2, 2): Wilson loop per k2 string
-        t1, t2 = _unitary2_eigenphases(prod)  # (n1-1,) each
-        # half cycle: strings j = 0 .. (n1-1)/2 (TRIM at -0.5 to TRIM at 0)
-        half = (n1 - 1) // 2
-        t1, t2 = t1[: half + 1], t2[: half + 1]
-        # largest-gap midpoint between the two centers on the circle
+        )[-1]  # (half+1, 2, 2): Wilson loop per k2 string
+        t1, t2 = _unitary2_eigenphases(prod)  # (half+1,) each:
+        # strings j = 0 .. (n1-1)/2 (TRIM at -0.5 to TRIM at 0)
+        # largest-gap midpoint between the two centers on the circle:
+        # the arc through mid=(t1+t2)/2 has the UNWRAPPED length |t2-t1|
+        # (wrapping it would always pick the smaller arc and teleport the
+        # gap line whenever the centers straddle the +-pi branch cut)
         mid = 0.5 * (t1 + t2)
-        arc = jnp.abs(_wrap_pi(t2 - t1))  # arc between centers through mid
+        arc = jnp.abs(t2 - t1)
         g = jnp.where(arc >= np.pi, mid, _wrap_pi(mid + np.pi))
         # per step: parity of centers swept by the moving gap line
         dg = _wrap_pi(g[1:] - g[:-1])  # (half,)

@@ -73,12 +73,14 @@ def bn(t=-1.0, delta=0.4):
 
 def haldane(delta=0.2, t=-1.0, t2=0.15 * np.exp(1.0j * np.pi / 2.0)):
     """Haldane Chern insulator (PRL 61, 2015 (1988)): honeycomb with a
-    complex second-neighbor hopping.  With the defaults the lower band
-    carries Chern number +1."""
+    complex second-neighbor hopping, wired exactly as the original
+    (and the reference example): with the defaults the lower band
+    carries Chern number -1."""
     m = tb_model(2, 2, _HONEYCOMB_LAT, _HONEYCOMB_ORB)
     m.set_onsite([-delta, delta])
-    for lv in ([0, 0], [1, 0], [0, 1]):
-        m.set_hop(t, 0, 1, lv)
+    m.set_hop(t, 0, 1, [0, 0])
+    m.set_hop(t, 1, 0, [1, 0])
+    m.set_hop(t, 1, 0, [0, 1])
     for lv in ([1, 0], [-1, 1], [0, -1]):
         m.set_hop(t2, 0, 0, lv)
     for lv in ([1, 0], [-1, 1], [0, -1]):

@@ -184,6 +184,8 @@ def solve_grid_device(static: ModelStatic, data: BlochData, mesh_sizes, start_k,
     """
     interior = tuple(int(m) - 1 for m in mesh_sizes)
     start = np.asarray(start_k, dtype=np.float64).reshape(len(interior))
+    # periodic-gauge phases, unflattened (norb, spin) layout to broadcast
+    # against (..., nsta, norb, spin) state storage
     phases = []
     for d in range(len(interior)):
         ffac = np.exp(-2.0j * np.pi * np.asarray(orb)[:, per[d]])

@@ -132,7 +132,7 @@ def test_chern_fn_vmap_phase_diagram():
     cherns = jax.vmap(lambda a, dg: fn({"amps": a, "diag": dg}))(
         params["amps"], params["diag"]
     )
-    np.testing.assert_allclose(np.asarray(cherns), [1.0, -1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cherns), [-1.0, 1.0, 0.0], atol=1e-6)
 
 
 def test_band_velocities_1d_chain_analytic():
@@ -204,3 +204,38 @@ def test_z2_fn_vmappable():
         np.stack(amps), np.stack(diags)
     )
     np.testing.assert_array_equal(np.asarray(zs), [1.0, 0.0, 1.0])
+
+
+def test_z2_branch_cut_robustness():
+    """Z2 must be invariant under rigid orbital shifts, which move every
+    Wannier center around the circle (incl. across the +-pi branch cut
+    where the largest-gap placement once failed)."""
+    import pythtb_tpu as ptt
+
+    def km(esite, shift):
+        lat = [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]]
+        orb = [[1 / 3.0 + shift, 1 / 3.0], [2 / 3.0 + shift, 2 / 3.0]]
+        m = ptt.tb_model(2, 2, lat, orb, nspin=2)
+        sx = np.array([0.0, 1.0, 0.0, 0.0])
+        sy = np.array([0.0, 0.0, 1.0, 0.0])
+        sz = np.array([0.0, 0.0, 0.0, 1.0])
+        m.set_onsite([esite, -esite])
+        for lv in ([0, 0], [0, -1], [-1, 0]):
+            m.set_hop(1.0, 0, 1, lv)
+        so = 0.3
+        m.set_hop(-1j * so * sz, 0, 0, [0, 1])
+        m.set_hop(1j * so * sz, 0, 0, [1, 0])
+        m.set_hop(-1j * so * sz, 0, 0, [1, -1])
+        m.set_hop(1j * so * sz, 1, 1, [0, 1])
+        m.set_hop(-1j * so * sz, 1, 1, [1, 0])
+        m.set_hop(1j * so * sz, 1, 1, [1, -1])
+        r3h = np.sqrt(3) / 2
+        ra = 0.25
+        m.set_hop(1j * ra * (0.5 * sx - r3h * sy), 0, 1, [0, 0], mode="add")
+        m.set_hop(1j * ra * (-1.0 * sx), 0, 1, [0, -1], mode="add")
+        m.set_hop(1j * ra * (0.5 * sx + r3h * sy), 0, 1, [-1, 0], mode="add")
+        return m
+
+    for shift in (0.0, 0.35, 0.63):
+        assert flows.z2_invariant(km(1.0, shift), (0, 1), nk=(31, 31)) == 1.0
+        assert flows.z2_invariant(km(2.5, shift), (0, 1), nk=(31, 31)) == 0.0

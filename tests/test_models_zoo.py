@@ -29,7 +29,7 @@ def test_haldane_chern():
     from pythtb_tpu import flows
 
     c = flows.chern_number(models.haldane(), [0], nk=(31, 31))
-    np.testing.assert_allclose(c, 1.0, atol=1e-8)
+    np.testing.assert_allclose(c, -1.0, atol=1e-8)
 
 
 def test_kane_mele_z2():

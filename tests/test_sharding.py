@@ -84,8 +84,8 @@ def test_sharded_chern_hlo_contains_collectives(mesh8):
     from pythtb_tpu.utils.xfer import host_pack
 
     m = zoo.haldane(ptt)
-    static, data, kpts, (n0, n1), (p0, p1) = flows._grid_inputs(m, (17, 17), (-0.5, -0.5))
-    kpts_sh = pmesh.shard_batch(kpts, mesh8)
+    static, data, (n0, n1), (p0, p1) = flows._grid_inputs(m, (17, 17), (-0.5, -0.5))
+    kpts_sh = pmesh.shard_batch(flows._host_grid(n0, n1, (-0.5, -0.5)), mesh8)
     lowered = flows._chern_sharded_jit.lower(
         static, data, kpts_sh, (0,), n0, n1, host_pack(p0), host_pack(p1)
     )

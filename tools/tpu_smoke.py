@@ -22,8 +22,9 @@ def haldane():
     m = ptt.tb_model(2, 2, lat, orb)
     t2 = 0.15j
     m.set_onsite([-0.2, 0.2])
-    for lv in ([0, 0], [1, 0], [0, 1]):
-        m.set_hop(-1.0, 0, 1, lv)
+    m.set_hop(-1.0, 0, 1, [0, 0])
+    m.set_hop(-1.0, 1, 0, [1, 0])
+    m.set_hop(-1.0, 1, 0, [0, 1])
     for lv in ([1, 0], [-1, 1], [0, -1]):
         m.set_hop(t2, 0, 0, lv)
     for lv in ([1, 0], [-1, 1], [0, -1]):
