@@ -178,3 +178,30 @@ def test_random_wilson_spectra_match_reference(seed, ref):
             k = int(np.argmin(dists))
             assert dists[k] < 1e-8, (row, want, ft[row])
             avail.pop(k)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_position_ops_match_reference(seed, ref):
+    """Position expectations and hybrid-Wannier centers on ribbons cut
+    from random 2D models must match the reference exactly."""
+    with redirect_stdout(io.StringIO()):
+        m_ref, _ = _build_random(ref, 400 + seed, force_2d=True)
+        m_tpu, _ = _build_random(ptt, 400 + seed, force_2d=True)
+        rib_ref = m_ref.cut_piece(3, 1, glue_edgs=False)
+        rib_tpu = m_tpu.cut_piece(3, 1, glue_edgs=False)
+    rng = np.random.RandomState(seed)
+    k = [float(rng.rand())]
+    e_ref, v_ref = rib_ref.solve_one(k, eig_vectors=True)
+    _, v_tpu = rib_tpu.solve_one(k, eig_vectors=True)
+    nocc = max(1, rib_ref._nsta // 2)
+    if nocc < rib_ref._nsta and e_ref[nocc] - e_ref[nocc - 1] < 1e-6:
+        pytest.skip("degenerate occupation cut: occupied subspace ill-defined")
+    # position expectation of the occupied manifold: each band's value is
+    # gauge-dependent under degeneracy, but the SUM over the manifold and
+    # the sorted HWF centers are invariant
+    p_ref = rib_ref.position_expectation(v_ref[:nocc], 1)
+    p_tpu = rib_tpu.position_expectation(v_tpu[:nocc], 1)
+    np.testing.assert_allclose(p_ref.sum(), p_tpu.sum(), atol=1e-9)
+    h_ref = rib_ref.position_hwf(v_ref[:nocc], 1)
+    h_tpu = rib_tpu.position_hwf(v_tpu[:nocc], 1)
+    np.testing.assert_allclose(np.sort(h_ref), np.sort(h_tpu), atol=1e-9)
