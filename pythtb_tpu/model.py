@@ -502,7 +502,14 @@ class tb_model(object):
         approximation (reference pythtb.py:2034-2113)."""
         self._check_position_dir(dir)
         X = _pos_ops.position_matrix_host(self._flatten_states(evec), self._pos_weights(dir))
-        if np.max(np.abs(X - np.swapaxes(X, -1, -2).conj())) > 1.0e-9:
+        # hermiticity sanity check (reference pythtb.py:2110), with the
+        # tolerance scaled to the device precision (f32 einsums carry
+        # ~1e-6 rounding; the reference's 1e-9 assumes float64)
+        from . import config as _config
+
+        tol = 1.0e-9 if _config.is_x64() else 1.0e-4
+        scale = max(1.0, float(np.max(np.abs(X))))
+        if np.max(np.abs(X - np.swapaxes(X, -1, -2).conj())) > tol * scale:
             raise PythtbError("Position matrix is not hermitian?!")
         return X
 
