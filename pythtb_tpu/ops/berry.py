@@ -89,7 +89,7 @@ def prep_states(wfs_packed, occ, nspin, dim_arr):
     w = unpack_cplx(wfs_packed)  # (grid..., S, norb[, spin])
     if nspin == 2:
         w = w.reshape(w.shape[: dim_arr + 1] + (-1,))
-    idx = (slice(None),) * dim_arr + (jnp.array(occ),)
+    idx = (slice(None),) * dim_arr + (jnp.asarray(occ, dtype=jnp.int32),)
     return w[idx]
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "position_matrix_host",
     "position_hwf_host",
     "position_matrix_packed",
+    "position_expectation_packed",
     "position_hwf_packed",
 ]
 
@@ -73,6 +74,28 @@ def _prep_states(wfs_packed, occ, nspin, dim_arr):
 def _pos_matrix_packed_jit(wfs_packed, pos, occ, nspin, dim_arr):
     w = _prep_states(wfs_packed, occ, nspin, dim_arr)
     return pack_cplx(_xmat(w, pos))
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _pos_expectation_packed_jit(wfs_packed, pos, occ, nspin, dim_arr):
+    w = _prep_states(wfs_packed, occ, nspin, dim_arr)
+    # only the diagonal of X is needed: reduce ON DEVICE so just
+    # (mesh..., nocc) floats cross the boundary (the full matrix is
+    # nocc x larger, significant on tunneled runtimes)
+    return jnp.real(
+        jnp.einsum(
+            "...nf,f,...nf->...n", jnp.conj(w), pos.astype(w.dtype), w,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+
+
+def position_expectation_packed(wfs_packed, pos, occ, nspin, dim_arr):
+    """Grid-batched position expectations (device-reduced diagonal)."""
+    out = _pos_expectation_packed_jit(
+        wfs_packed, jnp.asarray(pos), occ, nspin, dim_arr
+    )
+    return np.asarray(out, dtype=np.float64)
 
 
 def position_matrix_packed(wfs_packed, pos, occ, nspin, dim_arr):

@@ -13,6 +13,7 @@ import contextlib
 import time
 
 import jax
+import jax.numpy as jnp
 
 __all__ = ["trace", "timed", "benchmark"]
 
@@ -30,15 +31,25 @@ def trace(log_dir: str):
         yield
 
 
+def _device_sync():
+    """Block until all previously dispatched device work completes.
+
+    jax.effects_barrier() only waits for *effectful* computations, so a
+    pure jitted program could still be in flight; instead enqueue a tiny
+    computation (executed in launch order on the stream) and block on
+    its result."""
+    jax.block_until_ready(jnp.zeros(()) + 0.0)
+
+
 @contextlib.contextmanager
 def timed(label: str = "block", sync: bool = True, out: list = None):
     """Wall-clock a block, synchronizing outstanding device work first/after."""
     if sync:
-        jax.effects_barrier()
+        _device_sync()
     t0 = time.perf_counter()
     yield
     if sync:
-        jax.effects_barrier()
+        _device_sync()
     dt = time.perf_counter() - t0
     if out is not None:
         out.append(dt)

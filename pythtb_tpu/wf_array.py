@@ -94,8 +94,10 @@ class wf_array(object):
             self._host_valid = True
 
     def _host_rw(self, exposes_view=False):
-        """Host array for mutation; device copy becomes stale."""
+        """Host array for mutation; device copy becomes stale (and is
+        released -- it can be a GB-scale grid)."""
         self._sync_host()
+        self._dev = None
         self._dev_valid = False
         if exposes_view:
             self._views_exposed = True
@@ -128,8 +130,9 @@ class wf_array(object):
             # live views must observe the new data immediately (the
             # reference writes into the same buffer), and can mutate it
             # at any time afterwards -- so materialize in place now and
-            # never trust this device copy again
+            # release this device copy
             self._sync_host()
+            self._dev = None
             self._dev_valid = False
 
     @property
@@ -381,12 +384,10 @@ class wf_array(object):
         occ = self._occ_index(occ)
         from .ops import position as _pos
 
-        X = _pos.position_matrix_packed(
+        return _pos.position_expectation_packed(
             self._packed(), self._model._pos_weights(dir), tuple(occ),
             self._nspin, self._dim_arr,
         )
-        out = np.real(np.diagonal(X, axis1=-2, axis2=-1))
-        return np.array(out, dtype=float)
 
     def position_hwf_all(self, occ, dir, hwf_evec=False, basis="wavefunction"):
         """Hybrid-Wannier centers (and functions) at EVERY grid point in

@@ -430,3 +430,14 @@ def test_save_load_suffixless_path(tmp_path):
     m2 = ptt.tb_model.load(p)  # must find it anyway
     k = m.k_uniform_mesh([3, 3])
     np.testing.assert_allclose(m.solve_all(k), m2.solve_all(k), atol=1e-13)
+
+
+def test_empty_occ_matches_reference_semantics():
+    """occ=[] is degenerate but legal in the reference (returns zeros);
+    the jit indexer must not crash on it."""
+    m = zoo.haldane(ptt)
+    wf = ptt.wf_array(m, [5, 5])
+    wf.solve_on_grid([0.0, 0.0])
+    np.testing.assert_allclose(wf.berry_flux([]), 0.0, atol=1e-15)
+    pha = wf.berry_phase([], 1, contin=False)
+    np.testing.assert_allclose(pha, np.zeros(5), atol=1e-15)
