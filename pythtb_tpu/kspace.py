@@ -83,6 +83,12 @@ def k_path(lat, per, dim_k: int, kpts, nk: int, report: bool = True):
     k_vec[0] = k_list[0]
     for n in range(1, n_nodes):
         n_i, n_f = node_index[n - 1], node_index[n]
+        if n_f == n_i:
+            raise ValueError(
+                "k_path: nodes %d and %d map to the same interpolated index "
+                "(duplicate node, or segment too short for nk=%d); increase "
+                "nk or remove the degenerate node" % (n - 1, n, nk)
+            )
         kd_i, kd_f = k_node[n - 1], k_node[n]
         k_i, k_f = k_list[n - 1], k_list[n]
         for j in range(n_i, n_f + 1):

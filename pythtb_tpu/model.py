@@ -166,13 +166,16 @@ class tb_model(object):
     def _hop_key(self, i, j, ind_R):
         if self._dim_k == 0:
             return (int(i), int(j))
-        Rp = tuple(int(ind_R[p]) for p in self._per)
+        # R components are kept exactly as given (the reference supports
+        # non-integer lattice vectors in the Bloch phase); Python hashes
+        # 1.0 and 1 identically, so int/float spellings dedup together
+        Rp = tuple(np.asarray(ind_R)[p].item() for p in self._per)
         return (int(i), int(j), Rp)
 
     def _conj_key(self, i, j, ind_R):
         if self._dim_k == 0:
             return (int(j), int(i))
-        Rp = tuple(-int(ind_R[p]) for p in self._per)
+        Rp = tuple((-np.asarray(ind_R)[p]).item() for p in self._per)
         return (int(j), int(i), Rp)
 
     def _rebuild_hop_index(self):
@@ -187,8 +190,9 @@ class tb_model(object):
             amps = [h[0] for h in self._hoppings]
             his = [h[1] for h in self._hoppings]
             hjs = [h[2] for h in self._hoppings]
-            hRs = [h[3] for h in self._hoppings] if self._dim_k != 0 else []
-            if self._dim_k == 0:
+            if self._dim_k != 0:
+                hRs = [h[3] for h in self._hoppings]
+            else:
                 hRs = [np.zeros(self._dim_r) for _ in self._hoppings]
             static, data = core.finalize(
                 self._dim_k,
@@ -326,7 +330,10 @@ class tb_model(object):
                 )
 
         if self._dim_k != 0:
-            ind_R = np.array(ind_R, dtype=int)
+            # preserve the values exactly (reference pythtb.py:478 stores
+            # np.array(ind_R) uncast; fractional R is legal and enters the
+            # Bloch phase)
+            ind_R = np.array(ind_R)
 
         key = self._hop_key(ind_i, ind_j, ind_R)
         if not allow_conjugate_pair:
@@ -575,7 +582,7 @@ class tb_model(object):
             raise PythtbError(
                 "Assembled Hamiltonian is not Hermitian (max dev %.3e)" % herm
             )
-        if not np.all(np.isfinite(H.view(np.float64))):
+        if not np.all(np.isfinite(H)):
             raise PythtbError("Assembled Hamiltonian contains non-finite entries")
         return self
 

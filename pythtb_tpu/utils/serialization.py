@@ -37,11 +37,11 @@ def save_model(model, path):
     hi = np.array([h[1] for h in model._hoppings], dtype=np.int64)
     hj = np.array([h[2] for h in model._hoppings], dtype=np.int64)
     if model._dim_k != 0:
-        hR = np.array([h[3] for h in model._hoppings], dtype=np.int64).reshape(
+        hR = np.array([h[3] for h in model._hoppings], dtype=np.float64).reshape(
             nhop, model._dim_r
         )
     else:
-        hR = np.zeros((nhop, 0), dtype=np.int64)
+        hR = np.zeros((nhop, 0), dtype=np.float64)
     np.savez_compressed(
         path,
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -94,7 +94,10 @@ def load_model(path):
                 h = [amp, int(hi[n]), int(hj[n])]
                 R = None
             else:
-                R = np.array(hR[n], dtype=int)
+                R = np.array(hR[n])
+                # restore exact-integer vectors to int (the common case)
+                if np.all(R == np.round(R)):
+                    R = R.astype(np.int64)
                 h = [amp, int(hi[n]), int(hj[n]), R]
             m._hop_index[m._hop_key(h[1], h[2], R)] = len(m._hoppings)
             m._hoppings.append(h)

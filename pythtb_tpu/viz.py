@@ -59,7 +59,7 @@ def display(model):
     for h in model._hoppings:
         tail = ""
         if len(h) == 4:
-            tail = " + [ " + " , ".join(_nice_int(int(v), 2) for v in h[3]) + " ]"
+            tail = " + [ " + " , ".join(_nice_int(v, 2) for v in h[3]) + " ]"
         amp_str = (
             _nice_complex(h[0], 7, 4)
             if model._nspin == 1
@@ -74,7 +74,7 @@ def display(model):
             pos_j = pos_j + np.dot(h[3], model._lat)
         tail = ""
         if len(h) == 4:
-            tail = " + [ " + " , ".join(_nice_int(int(v), 2) for v in h[3]) + " ]"
+            tail = " + [ " + " , ".join(_nice_int(v, 2) for v in h[3]) + " ]"
         print(
             "|  pos(", _nice_int(h[1], 2), ")  - pos(", _nice_int(h[2], 2), tail,
             ") |  =  ", _nice_float(float(np.linalg.norm(pos_j - pos_i)), 7, 4),

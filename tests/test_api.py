@@ -441,3 +441,11 @@ def test_empty_occ_matches_reference_semantics():
     np.testing.assert_allclose(wf.berry_flux([]), 0.0, atol=1e-15)
     pha = wf.berry_phase([], 1, contin=False)
     np.testing.assert_allclose(pha, np.zeros(5), atol=1e-15)
+
+
+def test_k_path_degenerate_segment_clear_error():
+    m = zoo.haldane(ptt)
+    with pytest.raises(ValueError):
+        m.k_path([[0, 0], [0.001, 0], [0.5, 0.5]], 20, report=False)
+    with pytest.raises(ValueError):
+        m.k_path([[0, 0], [0, 0], [0.5, 0.5]], 50, report=False)

@@ -205,3 +205,19 @@ def test_random_position_ops_match_reference(seed, ref):
     h_ref = rib_ref.position_hwf(v_ref[:nocc], 1)
     h_tpu = rib_tpu.position_hwf(v_tpu[:nocc], 1)
     np.testing.assert_allclose(np.sort(h_ref), np.sort(h_tpu), atol=1e-9)
+
+
+def test_fractional_lattice_vector_matches_reference(ref):
+    """Non-integer ind_R is legal in the reference (it enters the Bloch
+    phase raw); it must not be silently truncated."""
+    def build(M):
+        with redirect_stdout(io.StringIO()):
+            m = M.tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]],
+                           [[0.0, 0.0], [0.4, 0.1]])
+            m.set_hop(1.0, 0, 1, [0.5, 0.0])
+            m.set_hop(0.3 + 0.2j, 0, 1, [1, 0], allow_conjugate_pair=True)
+        return m
+    k = np.array([[0.3, 0.1], [0.7, 0.9], [0.25, 0.5]])
+    e_ref = build(ref).solve_all(k)
+    e_tpu = build(ptt).solve_all(k)
+    np.testing.assert_allclose(e_ref, e_tpu, atol=1e-12)
