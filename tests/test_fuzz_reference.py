@@ -17,7 +17,7 @@ import pytest
 import pythtb_tpu as ptt
 
 
-def _build_random(mod, rng_seed, force_2d=False):
+def _build_random(mod, rng_seed, force_2d=False, frac_R=False):
     """Build one random model; returns (model, log) where log records
     which mutation attempts raised (for cross-implementation checks)."""
     rng = np.random.RandomState(rng_seed)
@@ -58,7 +58,11 @@ def _build_random(mod, rng_seed, force_2d=False):
         i = rng.randint(norb)
         j = rng.randint(norb)
         if dim_k > 0:
-            R = rng.randint(-2, 3, size=dim_r)
+            R = rng.randint(-2, 3, size=dim_r).astype(float)
+            if frac_R and rng.rand() < 0.4:
+                R = R + rng.choice([0.0, 0.25, 0.5], size=dim_r)
+            if not frac_R:
+                R = R.astype(int)
         else:
             R = None
         if nspin == 1:
@@ -221,3 +225,20 @@ def test_fractional_lattice_vector_matches_reference(ref):
     e_ref = build(ref).solve_all(k)
     e_tpu = build(ptt).solve_all(k)
     np.testing.assert_allclose(e_ref, e_tpu, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_fractional_R_matches_reference(seed, ref):
+    """Hopping vectors with non-integer components are legal in the
+    reference (raw Bloch phases); spectra must match exactly."""
+    with redirect_stdout(io.StringIO()):
+        m_ref, lr = _build_random(ref, 600 + seed, frac_R=True)
+        m_tpu, lt = _build_random(ptt, 600 + seed, frac_R=True)
+    assert lr == lt
+    rng = np.random.RandomState(seed)
+    if m_ref._dim_k == 0:
+        e_ref, e_tpu = m_ref.solve_all(), m_tpu.solve_all()
+    else:
+        k = rng.randn(6, m_ref._dim_k)
+        e_ref, e_tpu = m_ref.solve_all(k), m_tpu.solve_all(k)
+    np.testing.assert_allclose(e_ref, e_tpu, atol=2e-12, rtol=1e-9)
