@@ -45,11 +45,16 @@ def _build_random(mod, rng_seed, force_2d=False, frac_R=False):
         except Exception:
             log.append((desc, "raise"))
 
-    # onsite
+    # onsite: scalars, Pauli 4-vectors, or explicit Hermitian 2x2 blocks
     if nspin == 1:
         ons = rng.randn(norb)
-    else:
+    elif rng.rand() < 0.5:
         ons = [rng.randn(4) for _ in range(norb)]
+    else:
+        def herm2():
+            A = rng.randn(2, 2) + 1j * rng.randn(2, 2)
+            return 0.5 * (A + A.conj().T)
+        ons = [herm2() for _ in range(norb)]
     attempt("onsite", lambda: m.set_onsite(list(ons)))
 
     # random hoppings (some invalid on purpose)
@@ -67,8 +72,10 @@ def _build_random(mod, rng_seed, force_2d=False, frac_R=False):
             R = None
         if nspin == 1:
             amp = rng.randn() + 1j * rng.randn()
+        elif rng.rand() < 0.5:
+            amp = rng.randn(4)
         else:
-            amp = rng.randn(4) + 1j * np.concatenate([[0.0], rng.randn(3)]) * 0
+            amp = rng.randn(2, 2) + 1j * rng.randn(2, 2)  # arbitrary 2x2 block
         mode = rng.choice(["set", "add", "reset"])
         acp = bool(rng.rand() < 0.3)
         attempt(
