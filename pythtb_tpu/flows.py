@@ -426,10 +426,38 @@ def z2_fn(model, occ=(0, 1), nk=(31, 31)):
     return fn, params0
 
 
-def z2_invariant(model, occ=(0, 1), nk=(31, 31)):
-    """Z2 invariant of two occupied bands (see :func:`z2_fn`)."""
+def z2_invariant(model, occ=(0, 1), nk=(31, 31), check=False):
+    """Z2 invariant of two occupied bands (see :func:`z2_fn`).
+
+    With ``check=True`` the invariant is recomputed on a refined grid
+    ``(2*nk[0]-1, 2*nk[1]-1)``; on disagreement a ``UserWarning`` is
+    raised and the refined value is returned (coarse grids can
+    mis-resolve the Wannier-gap flow -- the count is then wrong, not
+    noisy, so only grid refinement can expose it).  Agreement is
+    necessary-but-not-sufficient evidence of convergence: two coarse
+    grids can agree on the wrong answer, so for production scans start
+    from an ``nk`` where the flow is visibly resolved
+    (``wf_array.berry_phase(..., berry_evals=True)``).
+    """
     fn, p0 = z2_fn(model, occ, nk)
-    return float(jax.jit(fn)(p0))
+    v = float(jax.jit(fn)(p0))
+    if not check:
+        return v
+    nk_fine = (2 * int(nk[0]) - 1, 2 * int(nk[1]) - 1)
+    fn2, p2 = z2_fn(model, occ, nk_fine)
+    v_fine = float(jax.jit(fn2)(p2))
+    if v != v_fine:
+        import warnings
+
+        warnings.warn(
+            "z2_invariant: value changed from %g at nk=%s to %g at nk=%s; "
+            "the coarse grid under-resolves the Wannier-gap flow. "
+            "Returning the refined value; increase nk (and re-check) "
+            "until it is stable." % (v, tuple(nk), v_fine, nk_fine),
+            UserWarning,
+            stacklevel=2,
+        )
+    return v_fine
 
 
 def energy_fn(model):

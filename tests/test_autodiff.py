@@ -189,6 +189,27 @@ def test_z2_invariant_kane_mele():
         assert flows.z2_invariant(zoo.kane_mele(ptt, "even"), (0, 1), nk=(nk, nk)) == 0.0
 
 
+def test_z2_invariant_convergence_check():
+    """check=True recomputes on a doubled grid: it warns and returns the
+    refined value when the coarse grid mis-resolves the Wannier-gap flow
+    (Kane-Mele QSH at nk=(9,9) wrongly gives 0), and stays quiet when
+    the two grids agree."""
+    import warnings
+
+    import pytest
+
+    m = zoo.kane_mele(ptt, "odd")
+    # coarse grid gets it wrong on its own...
+    assert flows.z2_invariant(m, (0, 1), nk=(9, 9)) == 0.0
+    # ...check=True catches the disagreement and returns the refined value
+    with pytest.warns(UserWarning, match="under-resolves"):
+        assert flows.z2_invariant(m, (0, 1), nk=(9, 9), check=True) == 1.0
+    # converged grid: no warning, same value
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert flows.z2_invariant(m, (0, 1), nk=(21, 21), check=True) == 1.0
+
+
 def test_z2_fn_vmappable():
     import jax
 
