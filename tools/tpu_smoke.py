@@ -8,10 +8,15 @@ with f32-appropriate tolerances.  Exits nonzero on any failure.
 Run from the repo root:  python tools/tpu_smoke.py
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# make the repo importable regardless of cwd (python puts the script's
+# directory -- tools/ -- on sys.path, not the cwd)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def haldane():
