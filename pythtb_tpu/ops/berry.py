@@ -68,12 +68,19 @@ def _overlap(wa, wb):
     )
 
 
+def _link_dets(w):
+    """Overlap determinants of nearest-neighbor links along the last two
+    grid axes of (..., n0, n1, S, F) states."""
+    Dr = _dets(_overlap(w[..., :-1, :, :, :], w[..., 1:, :, :, :]))
+    Du = _dets(_overlap(w[..., :, :-1, :, :], w[..., :, 1:, :, :]))
+    return Dr, Du
+
+
 def plaquette_phases(w):
     """Plaquette Berry phases of (..., n0, n1, S, F) states, from link
     determinants (each computed once; the single home of the flux
     orientation convention).  Returns (..., n0-1, n1-1) float."""
-    Dr = _dets(_overlap(w[..., :-1, :, :, :], w[..., 1:, :, :, :]))
-    Du = _dets(_overlap(w[..., :, :-1, :, :], w[..., :, 1:, :, :]))
+    Dr, Du = _link_dets(w)
     return -jnp.angle(
         Dr[..., :, :-1]
         * Du[..., 1:, :]
@@ -105,19 +112,23 @@ _prep = prep_states
 def _berry_traced_jit(wfs_packed, occ, dir, nspin, dim_arr):
     w = _prep(wfs_packed, occ, nspin, dim_arr)
     w = jnp.moveaxis(w, dir, 0)  # (L, rest..., nocc, F)
-    ovr = _overlap(w[:-1], w[1:])
-    ang = jnp.angle(_dets(ovr))  # (L-1, rest...)
-    return -_wrap(jnp.sum(ang, axis=0))  # (rest...)
+    dets = _dets(_overlap(w[:-1], w[1:]))  # (L-1, rest...)
+    ang = jnp.angle(dets)
+    return -_wrap(jnp.sum(ang, axis=0)), jnp.min(jnp.abs(dets))
 
 
-def berry_phase_traced(wfs_packed, occ, dir, nspin, dim_arr) -> np.ndarray:
+def berry_phase_traced(wfs_packed, occ, dir, nspin, dim_arr):
     """Traced Berry phase of states ``occ`` along grid axis ``dir``.
 
     wfs_packed: ri-packed (grid..., S, norb[, spin], 2) array (host or
-    device).  Returns a float64 array over the remaining grid axes.
+    device).  Returns ``(phases, min_abs_det)``: a float64 array over
+    the remaining grid axes, plus the smallest |det| over all link
+    overlaps -- near zero the discretized phase is mathematically
+    undefined (the occupied subspaces of neighboring points contain
+    orthogonal directions) and the caller should warn.
     """
-    out = _berry_traced_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
-    return np.asarray(out, dtype=np.float64)
+    out, mdet = _berry_traced_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
+    return np.asarray(out, dtype=np.float64), float(mdet)
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +147,8 @@ def _berry_products_jit(wfs_packed, occ, dir, nspin, dim_arr):
     w = _prep(wfs_packed, occ, nspin, dim_arr)
     w = jnp.moveaxis(w, dir, 0)
     ovr = _overlap(w[:-1], w[1:])  # (L-1, rest..., S, S)
-    Wl = _unitarize(ovr)
+    U, s, Vh = jnp.linalg.svd(ovr, full_matrices=False)
+    Wl = U @ Vh  # polar unitarization
     # ordered chain product prd = W_0 @ W_1 @ ... via log-depth scan
     prod = jax.lax.associative_scan(
         lambda a, b: jnp.einsum(
@@ -144,15 +156,20 @@ def _berry_products_jit(wfs_packed, occ, dir, nspin, dim_arr):
         ),
         Wl,
     )
-    return pack_cplx(prod[-1])
+    return pack_cplx(prod[-1]), jnp.min(s)
 
 
-def berry_loop_products(wfs_packed, occ, dir, nspin, dim_arr) -> np.ndarray:
+def berry_loop_products(wfs_packed, occ, dir, nspin, dim_arr):
     """Ordered product of unitarized link overlaps along ``dir``
     (the reference's ``prd``, pythtb.py:3824-3826), one (nocc, nocc)
-    complex matrix per string, shaped (rest..., nocc, nocc)."""
-    out = _berry_products_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
-    return host_unpack(out)
+    complex matrix per string, shaped (rest..., nocc, nocc).
+
+    Returns ``(prd, min_singular_value)``; unitarization hides singular
+    links (SVD of a singular overlap yields an arbitrary unitary), so
+    the smallest singular value over all links is reported for the
+    caller to warn on."""
+    out, msv = _berry_products_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
+    return host_unpack(out), float(msv)
 
 
 # ---------------------------------------------------------------------------
@@ -166,16 +183,25 @@ def _berry_flux_jit(wfs_packed, occ, d0, d1, nspin, dim_arr, individual):
     # arrange grid axes as (rest..., d0, d1): matches the reference's
     # transpose + slice loops (pythtb.py:3135-3196)
     w = jnp.moveaxis(w, (d0, d1), (dim_arr - 2, dim_arr - 1))
-    plaq = plaquette_phases(w)
+    Dr, Du = _link_dets(w)
+    plaq = -jnp.angle(
+        Dr[..., :, :-1]
+        * Du[..., 1:, :]
+        * jnp.conj(Dr[..., :, 1:])
+        * jnp.conj(Du[..., :-1, :])
+    )
+    mdet = jnp.minimum(jnp.min(jnp.abs(Dr)), jnp.min(jnp.abs(Du)))
     if individual:
-        return plaq  # (rest..., n0-1, n1-1)
-    return jnp.sum(plaq, axis=(-2, -1))  # (rest...)
+        return plaq, mdet  # (rest..., n0-1, n1-1)
+    return jnp.sum(plaq, axis=(-2, -1)), mdet  # (rest...)
 
 
 def berry_flux_planes(wfs_packed, occ, d0, d1, nspin, dim_arr, individual):
     """Plaquette Berry phases (or their plane sums) over the (d0, d1)
-    planes of a grid of states."""
-    out = _berry_flux_jit(
+    planes of a grid of states.  Returns ``(flux, min_abs_det)`` with
+    the smallest link-overlap |det| for the caller's singular-link
+    warning."""
+    out, mdet = _berry_flux_jit(
         wfs_packed, tuple(occ), int(d0), int(d1), nspin, dim_arr, bool(individual)
     )
-    return np.asarray(out, dtype=np.float64)
+    return np.asarray(out, dtype=np.float64), float(mdet)

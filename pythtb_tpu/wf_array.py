@@ -421,11 +421,38 @@ class wf_array(object):
 
     # -- Berry phases ----------------------------------------------------
 
+    def _warn_singular(self, min_val, kind):
+        """Warn when a link overlap is (near-)singular: the discretized
+        Berry quantity is then mathematically undefined -- neighboring
+        occupied subspaces contain mutually orthogonal directions -- and
+        the returned numbers are noise.  The NumPy reference returns the
+        same noise silently; the magnitudes are free by-products of the
+        device computation here, so we can afford the diagnostic."""
+        from .config import float_dtype
+
+        eps = float(np.finfo(float_dtype()).eps)
+        if min_val < np.sqrt(eps):
+            import warnings
+
+            warnings.warn(
+                "wf_array.%s: smallest link-overlap %s is %.2e -- the "
+                "occupied subspaces of neighboring grid points are "
+                "(nearly) orthogonal, so the discretized result is "
+                "unreliable. Refine the k-grid or check the band choice."
+                % (kind.split(":")[0], kind.split(":")[1], min_val),
+                UserWarning,
+                stacklevel=3,
+            )
+
     def berry_phase(self, occ="All", dir=None, contin=True, berry_evals=False):
         r"""Berry phase along ``dir`` for each string of grid points
         (reference pythtb.py:2863-3066).  With ``berry_evals`` the phases
         of the Wilson-loop eigenvalues are returned instead of the trace.
-        """
+
+        Beyond the reference: warns if any link overlap along the
+        strings is (nearly) singular, in which case the discretized
+        phase is undefined and the returned values are noise (the
+        reference returns the same noise silently)."""
         occ = self._occ_index(occ)
         self._check_w90()
         if self._dim_arr == 1:
@@ -437,15 +464,17 @@ class wf_array(object):
 
         wp = self._packed()
         if not berry_evals:
-            ret = _berry.berry_phase_traced(
+            ret, mdet = _berry.berry_phase_traced(
                 wp, occ, dir, self._nspin, self._dim_arr
             )
+            self._warn_singular(mdet, "berry_phase:|det|")
             if self._dim_arr == 1:
                 ret = float(ret)
         else:
-            prd = _berry.berry_loop_products(
+            prd, msv = _berry.berry_loop_products(
                 wp, occ, dir, self._nspin, self._dim_arr
             )  # (rest..., S, S)
+            self._warn_singular(msv, "berry_phase:singular value")
             evals = np.linalg.eigvals(prd)
             ret = np.sort(-np.angle(evals), axis=-1)  # ascending per string
 
@@ -499,10 +528,11 @@ class wf_array(object):
         if self._dim_arr not in (2, 3, 4):
             raise PythtbError("Wrong dimensionality!")
 
-        out = _berry.berry_flux_planes(
+        out, mdet = _berry.berry_flux_planes(
             self._packed(), occ, dirs[0], dirs[1], self._nspin, self._dim_arr,
             individual_phases,
         )
+        self._warn_singular(mdet, "berry_flux:|det|")
         if self._dim_arr == 2 and not individual_phases:
             return float(out)
         return out

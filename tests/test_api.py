@@ -336,6 +336,39 @@ def test_impose_loop_copies_first_slice():
     np.testing.assert_array_equal(wf[2, 3], wf[2, 0])
 
 
+def test_singular_link_warning():
+    """Berry quantities warn when neighboring occupied subspaces are
+    orthogonal (link-overlap det = 0) -- there the discretized phase is
+    mathematically undefined and the reference silently returns noise."""
+    import warnings
+
+    m = zoo.haldane(ptt)
+    e0 = np.eye(2, dtype=complex)
+    e1 = e0[::-1].copy()  # occupied state [0,1]: orthogonal to [1,0]
+    wf = ptt.wf_array(m, [3])
+    wf[0] = e0
+    wf[1] = e1
+    wf[2] = e0
+    with pytest.warns(UserWarning, match="orthogonal"):
+        wf.berry_phase([0], 0)
+    with pytest.warns(UserWarning, match="orthogonal"):
+        wf.berry_phase([0], 0, berry_evals=True)
+    wf2 = ptt.wf_array(m, [3, 3])
+    for i in range(3):
+        for j in range(3):
+            wf2[(i, j)] = e1 if (i + j) % 2 else e0
+    with pytest.warns(UserWarning, match="orthogonal"):
+        wf2.berry_flux([0])
+    # healthy grids stay silent
+    wf3 = ptt.wf_array(m, [5, 5])
+    wf3.solve_on_grid([0.0, 0.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        wf3.berry_phase([0], 0)
+        wf3.berry_phase([0], 1, berry_evals=True)
+        wf3.berry_flux([0])
+
+
 def test_wf_array_position_matrix_wrapper():
     m = zoo.haldane(ptt).cut_piece(4, 1, glue_edgs=False)
     wf = ptt.wf_array(m, [5])
