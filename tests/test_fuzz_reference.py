@@ -249,3 +249,122 @@ def test_random_fractional_R_matches_reference(seed, ref):
         k = rng.randn(6, m_ref._dim_k)
         e_ref, e_tpu = m_ref.solve_all(k), m_tpu.solve_all(k)
     np.testing.assert_allclose(e_ref, e_tpu, atol=2e-12, rtol=1e-9)
+
+
+def _links_ok(wf, nocc, tol=1e-6):
+    """True iff every nearest-neighbor link-overlap determinant on the
+    grid is bounded away from singular.  Discretized Berry quantities
+    are mathematically defined only then; on singular links both
+    implementations return noise (ours with a UserWarning), so such
+    random draws are skipped rather than compared."""
+    shp = tuple(int(s) for s in np.asarray(wf._mesh_arr))
+    for d in range(len(shp)):
+        for idx in np.ndindex(*shp):
+            nxt = list(idx)
+            nxt[d] += 1
+            if nxt[d] >= shp[d]:
+                continue
+            a = np.asarray(wf[idx if len(shp) > 1 else idx[0]])
+            b = np.asarray(wf[tuple(nxt) if len(shp) > 1 else nxt[0]])
+            ar = a.reshape(a.shape[0], -1)[:nocc]
+            br = b.reshape(b.shape[0], -1)[:nocc]
+            if abs(np.linalg.det(ar.conj() @ br.T)) < tol:
+                return False
+    return True
+
+
+def _wrapped_close(a, b, tol=1e-8):
+    return np.abs(np.angle(np.exp(1j * (np.asarray(a) - np.asarray(b))))).max() < tol
+
+
+@pytest.mark.parametrize("seed", [9304, 9311, 9336, 9358, 9402, 9466])
+def test_random_contin_berry_matches_reference(seed, ref):
+    """Multiband Berry phases with contin=True on random 2-D models:
+    wrapped values match, and the branch choices agree up to a single
+    global 2*pi*n shift of the whole string family."""
+    with redirect_stdout(io.StringIO()):
+        m_ref, _ = _build_random(ref, seed, force_2d=True)
+        m_tpu, _ = _build_random(ptt, seed, force_2d=True)
+    nocc = max(1, m_ref._nsta // 2)
+    occ = list(range(nocc))
+    with redirect_stdout(io.StringIO()):
+        wr = ref.wf_array(m_ref, [6, 7]); wr.solve_on_grid([0.0, 0.0])
+        wt = ptt.wf_array(m_tpu, [6, 7]); wt.solve_on_grid([0.0, 0.0])
+    if not _links_ok(wr, nocc):
+        pytest.skip("random draw has a singular link (result undefined)")
+    for d in (0, 1):
+        pr = np.asarray(wr.berry_phase(occ, d, contin=True))
+        pt = np.asarray(wt.berry_phase(occ, d, contin=True))
+        assert _wrapped_close(pr, pt)
+        dd = pr - pt
+        np.testing.assert_allclose(dd, dd.flat[0], atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [9309, 9342, 9372, 9425, 9513])
+def test_random_ribbon_hwf_matches_reference(seed, ref):
+    """Hybrid Wannier centers along the finite direction of a random
+    ribbon, in both 'orbital' and 'bloch' bases."""
+    with redirect_stdout(io.StringIO()):
+        m_ref, _ = _build_random(ref, seed, force_2d=True)
+        m_tpu, _ = _build_random(ptt, seed, force_2d=True)
+        rb_ref = m_ref.cut_piece(3, 1, glue_edgs=False)
+        rb_tpu = m_tpu.cut_piece(3, 1, glue_edgs=False)
+    nocc = max(1, rb_ref._nsta // 2)
+    kpts = np.linspace(0, 1, 6, endpoint=False)[:, None]
+    e_ref, v_ref = rb_ref.solve_all(kpts, eig_vectors=True)
+    e_tpu, v_tpu = rb_tpu.solve_all(kpts, eig_vectors=True)
+    np.testing.assert_allclose(e_ref, e_tpu, atol=1e-9)
+    if e_ref[nocc, 3] - e_ref[nocc - 1, 3] < 1e-6:
+        pytest.skip("degenerate occupied/empty boundary (subspace ambiguous)")
+    for basis in ("orbital", "bloch"):
+        h_ref = np.sort(rb_ref.position_hwf(v_ref[:nocc, 3], 1, basis=basis))
+        h_tpu = np.sort(rb_tpu.position_hwf(v_tpu[:nocc, 3], 1, basis=basis))
+        np.testing.assert_allclose(h_ref, h_tpu, atol=1e-8)
+
+
+def _build_random_3d(mod, seed):
+    rng = np.random.RandomState(seed)
+    norb = rng.randint(2, 4)
+    lat = np.eye(3) + 0.1 * rng.randn(3, 3)
+    orb = rng.rand(norb, 3)
+    with redirect_stdout(io.StringIO()):
+        m = mod.tb_model(3, 3, lat, orb)
+        m.set_onsite(list(rng.randn(norb)))
+        for _ in range(rng.randint(3, 7)):
+            i, j = rng.randint(norb), rng.randint(norb)
+            R = rng.randint(-1, 2, 3)
+            if i == j and np.all(R == 0):
+                continue
+            try:
+                m.set_hop(rng.randn() + 1j * rng.randn(), i, j, list(R), mode="add")
+            except Exception:
+                pass
+    return m
+
+
+@pytest.mark.parametrize("seed", [9805, 9833, 9890, 9907, 10052])
+def test_random_3d_flux_matches_reference(seed, ref):
+    """berry_flux over every plane of random 3-D models, plus the
+    individual plaquette phases and a cross-sheet Berry phase."""
+    m_ref = _build_random_3d(ref, seed)
+    m_tpu = _build_random_3d(ptt, seed)
+    nocc = max(1, m_ref._nsta // 2)
+    occ = list(range(nocc))
+    with redirect_stdout(io.StringIO()):
+        wr = ref.wf_array(m_ref, [4, 5, 3]); wr.solve_on_grid([0.0, 0.0, 0.0])
+        wt = ptt.wf_array(m_tpu, [4, 5, 3]); wt.solve_on_grid([0.0, 0.0, 0.0])
+    if not _links_ok(wr, nocc):
+        pytest.skip("random draw has a singular link (result undefined)")
+    for plane in ((0, 1), (1, 2), (0, 2), (2, 0)):
+        np.testing.assert_allclose(
+            np.asarray(wr.berry_flux(occ, plane)),
+            np.asarray(wt.berry_flux(occ, plane)), atol=1e-8,
+        )
+    np.testing.assert_allclose(
+        np.asarray(wr.berry_flux(occ, (0, 1), individual_phases=True)),
+        np.asarray(wt.berry_flux(occ, (0, 1), individual_phases=True)),
+        atol=1e-8,
+    )
+    assert _wrapped_close(
+        wr.berry_phase(occ, 2, contin=False), wt.berry_phase(occ, 2, contin=False)
+    )
