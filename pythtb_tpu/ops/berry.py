@@ -127,7 +127,9 @@ def berry_phase_traced(wfs_packed, occ, dir, nspin, dim_arr):
     undefined (the occupied subspaces of neighboring points contain
     orthogonal directions) and the caller should warn.
     """
-    out, mdet = _berry_traced_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
+    out, mdet = jax.device_get(  # single d2h round trip for both
+        _berry_traced_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
+    )
     return np.asarray(out, dtype=np.float64), float(mdet)
 
 
@@ -168,7 +170,9 @@ def berry_loop_products(wfs_packed, occ, dir, nspin, dim_arr):
     links (SVD of a singular overlap yields an arbitrary unitary), so
     the smallest singular value over all links is reported for the
     caller to warn on."""
-    out, msv = _berry_products_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
+    out, msv = jax.device_get(  # single d2h round trip for both
+        _berry_products_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
+    )
     return host_unpack(out), float(msv)
 
 
@@ -201,7 +205,9 @@ def berry_flux_planes(wfs_packed, occ, d0, d1, nspin, dim_arr, individual):
     planes of a grid of states.  Returns ``(flux, min_abs_det)`` with
     the smallest link-overlap |det| for the caller's singular-link
     warning."""
-    out, mdet = _berry_flux_jit(
-        wfs_packed, tuple(occ), int(d0), int(d1), nspin, dim_arr, bool(individual)
+    out, mdet = jax.device_get(  # single d2h round trip for both
+        _berry_flux_jit(
+            wfs_packed, tuple(occ), int(d0), int(d1), nspin, dim_arr, bool(individual)
+        )
     )
     return np.asarray(out, dtype=np.float64), float(mdet)
