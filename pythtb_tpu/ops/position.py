@@ -120,7 +120,7 @@ def position_hwf_packed(wfs_packed, pos, occ, nspin, dim_arr, want_evec, orbital
     )
     if not want_evec:
         return np.asarray(out, dtype=np.float64)
-    hwfc, hwf = out
+    hwfc, hwf = jax.device_get(out)  # one d2h round trip for both
     return np.asarray(hwfc, dtype=np.float64), host_unpack(hwf)
 
 
@@ -135,5 +135,7 @@ def position_hwf_host(wfs, pos, want_evec=False, orbital_basis=False):
     if not want_evec:
         out = _pos_hwf_jit(host_pack(wfs), pos, False, False)
         return np.asarray(out, dtype=np.float64)
-    hwfc, hwf = _pos_hwf_jit(host_pack(wfs), pos, True, bool(orbital_basis))
+    hwfc, hwf = jax.device_get(  # one d2h round trip for both
+        _pos_hwf_jit(host_pack(wfs), pos, True, bool(orbital_basis))
+    )
     return np.asarray(hwfc, dtype=np.float64), host_unpack(hwf)

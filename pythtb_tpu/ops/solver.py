@@ -111,7 +111,9 @@ def solve_kpts(static: ModelStatic, data: BlochData, k_list, eig_vectors=False, 
     if not eig_vectors:
         w = np.asarray(_solve_vals_jit(static, data, kpts), dtype=np.float64)
         return w[:nkp]
-    w, v = _solve_vecs_jit(static, data, kpts)
+    w, v = jax.device_get(  # one d2h round trip for both outputs
+        _solve_vecs_jit(static, data, kpts)
+    )
     w = np.asarray(w, dtype=np.float64)[:nkp]
     v = host_unpack(v)[:nkp]
     return w, v
