@@ -203,9 +203,11 @@ def _dos_driver(kernel, model, k_mesh, energies, sigma, n_energies):
     if energies is None:
         probe = model.solve_all(model.k_uniform_mesh([max(4, n // 4) for n in mesh_shape]))
         energies = (probe.min() - 3.0 * sigma, probe.max() + 3.0 * sigma)
-    e_grid, out = kernel(
-        static, data, start, mesh_shape, int(n_energies),
-        np.asarray(energies, dtype=np.float64), float(sigma),
+    e_grid, out = jax.device_get(  # one d2h round trip for both
+        kernel(
+            static, data, start, mesh_shape, int(n_energies),
+            np.asarray(energies, dtype=np.float64), float(sigma),
+        )
     )
     return np.asarray(e_grid, dtype=np.float64), np.asarray(out, dtype=np.float64)
 
@@ -323,7 +325,7 @@ def band_velocities(model, k_list):
         return eigvalsh_batched(assemble(static, data, k[None]))[0]
 
     fn = jax.jit(jax.vmap(lambda k: (energies_one(k), jax.jacfwd(energies_one)(k))))
-    evals, vels = fn(jnp.asarray(kpts))
+    evals, vels = jax.device_get(fn(jnp.asarray(kpts)))  # one d2h round trip
     evals = np.asarray(evals, dtype=np.float64).T  # [band, kpt]
     vels = np.moveaxis(np.asarray(vels, dtype=np.float64), 0, 1)  # [band, kpt, dir]
     return vels, evals
