@@ -251,6 +251,19 @@ def test_random_fractional_R_matches_reference(seed, ref):
     np.testing.assert_allclose(e_ref, e_tpu, atol=2e-12, rtol=1e-9)
 
 
+def _boundary_gapped(model, nocc, kpts, tol=1e-8):
+    """True iff the occupied/empty boundary is gapped everywhere on the
+    sampled grid.  At an exact degeneracy the occupied subspace itself
+    is ill-defined: the two implementations legitimately pick different
+    eigenvectors there, so Berry quantities need not agree (measured:
+    only such draws ever mismatched, e.g. seeds 10872/10954 with
+    boundary gap exactly 0)."""
+    if nocc >= model._nsta:
+        return True
+    ev = model.solve_all(kpts)
+    return (ev[nocc] - ev[nocc - 1]).min() > tol
+
+
 def _links_ok(wf, nocc, tol=1e-6):
     """True iff every nearest-neighbor link-overlap determinant on the
     grid is bounded away from singular.  Discretized Berry quantities
@@ -287,6 +300,11 @@ def test_random_contin_berry_matches_reference(seed, ref):
         m_tpu, _ = _build_random(ptt, seed, force_2d=True)
     nocc = max(1, m_ref._nsta // 2)
     occ = list(range(nocc))
+    kg = np.stack(
+        np.meshgrid(np.arange(6) / 5.0, np.arange(7) / 6.0, indexing="ij"), -1
+    ).reshape(-1, 2)
+    if not _boundary_gapped(m_ref, nocc, kg):
+        pytest.skip("degenerate occupied/empty boundary (subspace ambiguous)")
     with redirect_stdout(io.StringIO()):
         wr = ref.wf_array(m_ref, [6, 7]); wr.solve_on_grid([0.0, 0.0])
         wt = ptt.wf_array(m_tpu, [6, 7]); wt.solve_on_grid([0.0, 0.0])
@@ -350,6 +368,10 @@ def test_random_3d_flux_matches_reference(seed, ref):
     m_tpu = _build_random_3d(ptt, seed)
     nocc = max(1, m_ref._nsta // 2)
     occ = list(range(nocc))
+    ax = [np.arange(n) / (n - 1.0) for n in (4, 5, 3)]
+    kg = np.stack(np.meshgrid(*ax, indexing="ij"), -1).reshape(-1, 3)
+    if not _boundary_gapped(m_ref, nocc, kg):
+        pytest.skip("degenerate occupied/empty boundary (subspace ambiguous)")
     with redirect_stdout(io.StringIO()):
         wr = ref.wf_array(m_ref, [4, 5, 3]); wr.solve_on_grid([0.0, 0.0, 0.0])
         wt = ptt.wf_array(m_tpu, [4, 5, 3]); wt.solve_on_grid([0.0, 0.0, 0.0])
