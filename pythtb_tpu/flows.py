@@ -23,7 +23,7 @@ import numpy as np
 
 from . import config
 from .core import BlochData, ModelStatic
-from .ops.berry import _dets, _wrap, plaquette_phases
+from .ops.berry import _wrap, plaquette_phases
 from .ops.solver import device_uniform_grid, extend_pbc_seq
 from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
@@ -61,25 +61,23 @@ def _total_flux(w):
     return jnp.sum(plaquette_phases(w))
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4))
-def _chern_jit(static: ModelStatic, data: BlochData, occ, n0, n1, start, phase0_ri, phase1_ri):
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 7))
+def _chern_jit(static: ModelStatic, data: BlochData, occ, n0, n1, start, phases_ri, mesh=None):
+    """Fused Chern pipeline on a device-built grid.  With a (static,
+    hashable) ``mesh``, the iota k-batch and the state grid carry GSPMD
+    sharding annotations -- XLA inserts the halo exchanges for the
+    neighbor overlaps and the psum for the flux sum; only scalars cross
+    the host boundary either way."""
+    from .ops.solver import shard_grid_axis0
     from .utils.xfer import unpack_cplx
 
     kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
     w = _solve_grid_states(static, data, kpts, occ, n0, n1)
-    w = extend_pbc_seq(w, [unpack_cplx(phase0_ri), unpack_cplx(phase1_ri)])
-    return _total_flux(w)
-
-
-@partial(jax.jit, static_argnums=(0, 3, 4, 5))
-def _chern_sharded_jit(static: ModelStatic, data: BlochData, kpts, occ, n0, n1, phase0_ri, phase1_ri):
-    """Variant taking an (already sharded) explicit k-batch: used under a
-    device mesh, where GSPMD partitions the batch and inserts the halo
-    exchanges / flux psum."""
-    from .utils.xfer import unpack_cplx
-
-    w = _solve_grid_states(static, data, kpts, occ, n0, n1)
-    w = extend_pbc_seq(w, [unpack_cplx(phase0_ri), unpack_cplx(phase1_ri)])
+    if mesh is not None:
+        w = shard_grid_axis0(w, mesh)
+    w = extend_pbc_seq(w, [unpack_cplx(phases_ri[0]), unpack_cplx(phases_ri[1])])
     return _total_flux(w)
 
 
@@ -91,17 +89,13 @@ def _grid_inputs(model, nk, start_k):
     return static, data, (n0, n1), gauge_phases(model, (0, 1))
 
 
-def _host_grid(n0, n1, start_k):
-    a0 = start_k[0] + np.arange(n0 - 1, dtype=np.float64) / float(n0 - 1)
-    a1 = start_k[1] + np.arange(n1 - 1, dtype=np.float64) / float(n1 - 1)
-    g0, g1 = np.meshgrid(a0, a1, indexing="ij")
-    return np.stack([g0.reshape(-1), g1.reshape(-1)], axis=-1)
-
-
 def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
     """Total Berry flux of ``occ`` bands over the BZ on an (n0 x n1)
     grid, computed fully on device.  Equals
     ``wf_array(model, nk).solve_on_grid(start_k); wf.berry_flux(occ)``.
+    Under a device mesh (argument or ambient ``use_mesh``) the grid is
+    sharded in-program -- any grid size works (GSPMD handles uneven
+    shards), and nothing but scalars crosses the host boundary.
     """
     static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k)
     if mesh is None:
@@ -113,26 +107,9 @@ def berry_flux_grid(model, occ, nk=(101, 101), start_k=(-0.5, -0.5), mesh=None):
         )
     from .utils.xfer import host_pack
 
-    if mesh is not None:
-        kpts = _host_grid(n0, n1, start_k)
-        nd = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-        if kpts.shape[0] % nd == 0:
-            kpts = pmesh.shard_batch(kpts, mesh)
-        else:
-            import warnings
-
-            warnings.warn(
-                "berry_flux_grid: interior grid %dx%d is not divisible by the "
-                "%d-device mesh; running unsharded (choose nk so that "
-                "(nk[0]-1)*(nk[1]-1) %% n_devices == 0)" % (n0 - 1, n1 - 1, nd),
-                stacklevel=2,
-            )
-        out = _chern_sharded_jit(
-            static, data, kpts, occ, n0, n1, host_pack(p0), host_pack(p1)
-        )
-    else:
-        start = np.asarray(start_k, dtype=np.float64)
-        out = _chern_jit(static, data, occ, n0, n1, start, host_pack(p0), host_pack(p1))
+    start = np.asarray(start_k, dtype=np.float64)
+    phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
+    out = _chern_jit(static, data, occ, n0, n1, start, phases_ri, mesh)
     return float(out)
 
 
@@ -331,51 +308,77 @@ def band_velocities(model, k_list):
     return vels, evals
 
 
-def _unitary2_eigenphases(W):
-    """Eigenphases of (..., 2, 2) unitary matrices, closed form
-    (quadratic characteristic polynomial) -- device-capable, unlike
-    general nonsymmetric eigvals."""
-    tr = W[..., 0, 0] + W[..., 1, 1]
-    disc = jnp.sqrt(tr * tr - 4.0 * _dets(W))
-    lam1 = 0.5 * (tr + disc)
-    lam2 = 0.5 * (tr - disc)
-    return jnp.angle(lam1), jnp.angle(lam2)
-
-
 _wrap_pi = _wrap  # angle wrapping shared with the Berry engine
 
 
-def z2_fn(model, occ=(0, 1), nk=(31, 31)):
-    """Vmappable/jittable Z2 invariant for a pair of occupied bands.
+def _wilson_half_cycle(static, data, occ, n0, n1, start, phase0):
+    """Wilson-loop eigenphases along k1 for the half cycle of k2 strings
+    from the first TRIM to the second: (half+1, nocc) float, where
+    half = (n1-1)//2.  Fully in-program (assembly -> eigh -> gauge ->
+    overlaps -> SVD unitarization -> log-depth chain -> unitary
+    eigenphases); reference equivalent: pythtb.py:2863 + 3824-3838
+    driven from examples/kane_mele.py:107-121."""
+    from .ops.berry import _overlap, _unitarize, wilson_eigenphases
 
-    Uses the gap-crossing criterion of Soluyanov & Vanderbilt (PRB 83,
-    235401 (2011)): the midpoint of the largest gap between the two
-    Wilson-loop eigenphases (hybrid Wannier centers along k1) is tracked
-    over HALF the k2 cycle (time-reversal-invariant-momentum to TRIM);
-    Z2 is the parity of the number of centers the gap line sweeps past.
-    Robust to band crossings (individual-center tracking is not).  Use
-    ``wf_array.berry_phase(..., berry_evals=True)`` to inspect the flow
-    directly; the method needs the k2 resolution to keep the Wannier gap
-    identifiable between adjacent strings, and it is blind when the two
-    centers stay exactly degenerate along the whole flow (e.g. models
-    with simultaneous inversion and time-reversal symmetry) -- split the
-    degeneracy with a small symmetry-breaking perturbation there.
+    half = (n1 - 1) // 2
+    # only the half cycle k2 in [-0.5, 0] is consumed below, so only
+    # those strings are solved (half+1 of the n1-1 grid columns)
+    kpts = device_uniform_grid((n0 - 1, half + 1), start, denoms=(n0 - 1, n1 - 1))
+    w = _solve_grid_states(static, data, kpts, occ, n0, half + 2)  # (n0-1, half+1, nocc, F)
+    # close the Wilson strings along axis 0 with the periodic gauge
+    w = extend_pbc_seq(w, [phase0])  # (n0, half+1, nocc, F)
+    ovr = _overlap(w[:-1], w[1:])  # (n0-1, half+1, nocc, nocc) links along k1
+    Wl = _unitarize(ovr)
+    prod = jax.lax.associative_scan(
+        lambda a, b: jnp.einsum(
+            "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
+        ),
+        Wl,
+        axis=0,
+    )[-1]  # (half+1, nocc, nocc): Wilson loop per k2 string
+    return wilson_eigenphases(prod)  # (half+1, nocc)
 
-    Returns ``(fn, params0)`` with ``fn(params) -> z2`` (0.0 or 1.0),
-    pure in the model parameter arrays -- composes with ``jax.vmap`` for
-    Z2 phase diagrams.  Requires exactly two occupied bands (the Wilson
-    eigenphases are obtained in closed form on device) and an odd
-    ``nk[1]`` so the half-cycle ends exactly on the second TRIM.
-    """
-    from .ops.berry import _overlap, _unitarize
-    from .utils.xfer import host_pack, unpack_cplx
+
+def _z2_from_flow(theta):
+    """Gap-crossing Z2 count from Wilson eigenphases (half+1, nocc):
+    track the midpoint of the largest circular gap between the hybrid
+    Wannier centers from TRIM to TRIM; Z2 is the parity of the number of
+    centers the moving gap line sweeps past (Soluyanov & Vanderbilt,
+    PRB 83, 235401 (2011), generalized from 2 to any number of bands)."""
+    nocc = theta.shape[-1]
+    th = jnp.sort(theta, axis=-1)  # ascending in (-pi, pi]
+    # circular gaps between consecutive sorted centers; entry nocc-1 is
+    # the wrap-around gap through the +-pi branch point
+    gaps = jnp.concatenate(
+        [th[:, 1:] - th[:, :-1], (2.0 * np.pi - (th[:, -1] - th[:, 0]))[:, None]],
+        axis=-1,
+    )  # (half+1, nocc)
+    imax = jnp.argmax(gaps, axis=-1, keepdims=True)
+    lo = jnp.take_along_axis(th, imax, axis=-1)[:, 0]
+    width = jnp.take_along_axis(gaps, imax, axis=-1)[:, 0]
+    g = _wrap_pi(lo + 0.5 * width)  # largest-gap midpoint per string
+    # per step: parity of centers swept by the moving gap line
+    dg = _wrap_pi(g[1:] - g[:-1])  # (half,)
+    rel = _wrap_pi(theta[1:] - g[:-1, None])  # (half, nocc)
+    swept = (jnp.sign(rel) == jnp.sign(dg)[:, None]) & (
+        jnp.abs(rel) <= jnp.abs(dg)[:, None]
+    )
+    return jnp.mod(jnp.sum(swept.astype(jnp.int32)), 2).astype(config.float_dtype())
+
+
+def _z2_prep(model, occ, nk):
+    """Shared validation/setup for the Z2 flows."""
+    from .utils.xfer import host_pack
 
     static, data0 = model._get_finalized()
     if static.dim_k != 2:
         raise ValueError("z2_fn requires a model with dim_k == 2")
     occ = tuple(int(o) for o in occ)
-    if len(occ) != 2:
-        raise ValueError("z2_fn tracks exactly two occupied bands")
+    if len(occ) < 2 or len(occ) % 2 != 0:
+        raise ValueError(
+            "z2_fn needs an even number of occupied bands (Kramers pairs); got %d"
+            % len(occ)
+        )
     if min(occ) < 0 or max(occ) >= static.nsta:
         raise IndexError(
             "occ indices %s out of range for %d states" % (sorted(set(occ)), static.nsta)
@@ -386,44 +389,59 @@ def z2_fn(model, occ=(0, 1), nk=(31, 31)):
     phase0_ri = jnp.asarray(host_pack(gauge_phases(model, (0,))[0]))
     start = jnp.asarray(np.array([-0.5, -0.5]))
     params0 = {"amps": jnp.asarray(data0.amps), "diag": jnp.asarray(data0.diag)}
+    return static, data0, occ, n0, n1, phase0_ri, start, params0
 
-    half = (n1 - 1) // 2
+
+def z2_fn(model, occ=(0, 1), nk=(31, 31), check=False):
+    """Vmappable/jittable Z2 invariant of an even number of occupied
+    bands.
+
+    Uses the gap-crossing criterion of Soluyanov & Vanderbilt (PRB 83,
+    235401 (2011)): the midpoint of the largest gap between the
+    Wilson-loop eigenphases (hybrid Wannier centers along k1) is tracked
+    over HALF the k2 cycle (time-reversal-invariant-momentum to TRIM);
+    Z2 is the parity of the number of centers the gap line sweeps past.
+    Robust to band crossings (individual-center tracking is not).  Use
+    ``wf_array.berry_phase(..., berry_evals=True)`` to inspect the flow
+    directly; the method needs the k2 resolution to keep the Wannier gap
+    identifiable between adjacent strings, and it is blind when the
+    centers stay exactly degenerate along the whole flow (e.g. models
+    with simultaneous inversion and time-reversal symmetry) -- split the
+    degeneracy with a small symmetry-breaking perturbation there.
+
+    Returns ``(fn, params0)``, pure in the model parameter arrays --
+    composes with ``jax.vmap`` for Z2 phase diagrams.  ``fn(params) ->
+    z2`` (0.0 or 1.0); with ``check=True``, ``fn(params) -> (z2,
+    converged)`` where ``z2`` is evaluated on the refined grid
+    ``(2*nk[0]-1, 2*nk[1]-1)`` and ``converged`` (0.0 or 1.0) reports
+    agreement with the ``nk`` evaluation -- both grids in the SAME
+    compiled program, so a vmapped phase diagram carries its own
+    convergence mask.  Disagreement means the coarse grid under-resolves
+    the Wannier-gap flow; agreement is necessary-but-not-sufficient
+    evidence of convergence (see :func:`z2_invariant`).  Any even
+    ``nocc`` is supported (Wilson eigenphases are extracted on device
+    via :func:`~pythtb_tpu.ops.berry.unitary_eigenphases`); ``nk[1]``
+    must be odd so the half cycle ends exactly on the second TRIM.
+    """
+    from .utils.xfer import unpack_cplx
+
+    static, data0, occ, n0, n1, phase0_ri, start, params0 = _z2_prep(model, occ, nk)
 
     def fn(params):
         data = data0._replace(amps=params["amps"], diag=params["diag"])
-        # only the half cycle k2 in [-0.5, 0] is consumed below, so only
-        # those strings are solved (half+1 of the n1-1 grid columns)
-        kpts = device_uniform_grid((n0 - 1, half + 1), start, denoms=(n0 - 1, n1 - 1))
-        w = _solve_grid_states(static, data, kpts, occ, n0, half + 2)  # (n0-1, half+1, 2, F)
-        # close the Wilson strings along axis 0 with the periodic gauge
-        w = extend_pbc_seq(w, [unpack_cplx(phase0_ri)])  # (n0, half+1, 2, F)
-        ovr = _overlap(w[:-1], w[1:])  # (n0-1, n1-1, 2, 2) links along k1
-        Wl = _unitarize(ovr)
-        prod = jax.lax.associative_scan(
-            lambda a, b: jnp.einsum(
-                "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
-            ),
-            Wl,
-            axis=0,
-        )[-1]  # (half+1, 2, 2): Wilson loop per k2 string
-        t1, t2 = _unitary2_eigenphases(prod)  # (half+1,) each:
-        # strings j = 0 .. (n1-1)/2 (TRIM at -0.5 to TRIM at 0)
-        # largest-gap midpoint between the two centers on the circle:
-        # the arc through mid=(t1+t2)/2 has the UNWRAPPED length |t2-t1|
-        # (wrapping it would always pick the smaller arc and teleport the
-        # gap line whenever the centers straddle the +-pi branch cut)
-        mid = 0.5 * (t1 + t2)
-        arc = jnp.abs(t2 - t1)
-        g = jnp.where(arc >= np.pi, mid, _wrap_pi(mid + np.pi))
-        # per step: parity of centers swept by the moving gap line
-        dg = _wrap_pi(g[1:] - g[:-1])  # (half,)
-
-        def swept(x):
-            rel = _wrap_pi(x[1:] - g[:-1])
-            return (jnp.sign(rel) == jnp.sign(dg)) & (jnp.abs(rel) <= jnp.abs(dg))
-
-        crossings = swept(t1).astype(jnp.int32) + swept(t2).astype(jnp.int32)
-        return jnp.mod(jnp.sum(crossings), 2).astype(config.float_dtype())
+        phase0 = unpack_cplx(phase0_ri)
+        z2 = _z2_from_flow(
+            _wilson_half_cycle(static, data, occ, n0, n1, start, phase0)
+        )
+        if not check:
+            return z2
+        z2_fine = _z2_from_flow(
+            _wilson_half_cycle(
+                static, data, occ, 2 * n0 - 1, 2 * n1 - 1, start, phase0
+            )
+        )
+        converged = (z2 == z2_fine).astype(config.float_dtype())
+        return z2_fine, converged
 
     return fn, params0
 
@@ -441,25 +459,24 @@ def z2_invariant(model, occ=(0, 1), nk=(31, 31), check=False):
     from an ``nk`` where the flow is visibly resolved
     (``wf_array.berry_phase(..., berry_evals=True)``).
     """
-    fn, p0 = z2_fn(model, occ, nk)
-    v = float(jax.jit(fn)(p0))
     if not check:
-        return v
-    nk_fine = (2 * int(nk[0]) - 1, 2 * int(nk[1]) - 1)
-    fn2, p2 = z2_fn(model, occ, nk_fine)
-    v_fine = float(jax.jit(fn2)(p2))
-    if v != v_fine:
+        fn, p0 = z2_fn(model, occ, nk)
+        return float(jax.jit(fn)(p0))
+    fn, p0 = z2_fn(model, occ, nk, check=True)
+    v_fine, converged = jax.device_get(jax.jit(fn)(p0))
+    if not converged:
         import warnings
 
+        nk_fine = (2 * int(nk[0]) - 1, 2 * int(nk[1]) - 1)
         warnings.warn(
-            "z2_invariant: value changed from %g at nk=%s to %g at nk=%s; "
+            "z2_invariant: value at nk=%s disagrees with %g at nk=%s; "
             "the coarse grid under-resolves the Wannier-gap flow. "
             "Returning the refined value; increase nk (and re-check) "
-            "until it is stable." % (v, tuple(nk), v_fine, nk_fine),
+            "until it is stable." % (tuple(nk), float(v_fine), nk_fine),
             UserWarning,
             stacklevel=2,
         )
-    return v_fine
+    return float(v_fine)
 
 
 def energy_fn(model):

@@ -39,9 +39,13 @@ from ..utils.xfer import host_unpack, pack_cplx, unpack_cplx
 __all__ = [
     "berry_phase_traced",
     "berry_loop_products",
+    "berry_evals",
+    "berry_evals_device",
     "berry_flux_planes",
     "prep_states",
     "plaquette_phases",
+    "unitary_eigenphases",
+    "wilson_eigenphases",
 ]
 
 
@@ -134,14 +138,112 @@ def berry_phase_traced(wfs_packed, occ, dir, nspin, dim_arr):
 
 
 # ---------------------------------------------------------------------------
+# Device-side eigenphases of unitary matrices
+# ---------------------------------------------------------------------------
+
+
+def unitary_eigenphases(U):
+    """Eigenphases of (..., S, S) unitary matrices, fully on device.
+
+    The reference extracts Wilson-loop eigenvalues with the
+    general nonsymmetric ``np.linalg.eigvals``
+    (/root/reference/pythtb.py:3833-3838), which XLA does not provide on
+    TPU.  A unitary U is normal, so it is diagonalized by the common
+    eigenbasis of the two commuting Hermitian matrices
+
+        A = (U + U^H)/2      (eigenvalues cos(theta)),
+        B = (U - U^H)/(2i)   (eigenvalues sin(theta)),
+
+    with A^2 + B^2 = I.  Simultaneous diagonalization via two ``eigh``
+    passes: diagonalize A; rotate B into A's eigenbasis (where it is
+    block-diagonal over A's degenerate clusters, since [A, B] = 0); zero
+    the numerically-irrelevant entries between well-separated clusters;
+    diagonalize the masked B with a per-cluster diagonal shift.  The
+    second pass resolves the theta <-> -theta conflation of cos (Kramers
+    pairs in Z2 systems sit exactly there); the mask stops it from
+    re-mixing distinct phases with equal sines (theta vs pi - theta);
+    the shift (2.5 * cluster label, > the [-1, 1] range of sin) keeps
+    the second spectrum disjoint across clusters so eigh cannot re-mix
+    clusters that happen to share a sine (e.g. theta = 0 and pi, both
+    sin 0).  Clusters are transitive over adjacent-gap merging of the
+    ascending cos spectrum; over-merging is harmless -- between
+    exactly-commuting blocks the rotated B entries are already ~eps --
+    so the tolerance is generous.
+
+    Returns (..., S) float angles in (-pi, pi], unsorted.
+    Batched, jittable, differentiable (via eigh JVPs).
+    """
+    S = U.shape[-1]
+    if S == 1:
+        return jnp.angle(U[..., 0, 0])
+    Uh = jnp.conj(jnp.swapaxes(U, -1, -2))
+    A = (U + Uh) / 2
+    Bm = (U - Uh) / 2j
+    c, V = jnp.linalg.eigh(A)  # c ascending
+    Vh = jnp.conj(jnp.swapaxes(V, -1, -2))
+    # explicit HIGHEST precision: TPU default matmul precision (bf16
+    # passes) would smear the rotated-B block structure
+    _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    Bp = _mm(_mm(Vh, Bm), V)
+    rtype = jnp.zeros(0, U.dtype).real.dtype
+    tol = 100.0 * np.sqrt(np.finfo(rtype).eps)
+    # transitive clusters of (near-)degenerate cos values
+    bound = (c[..., 1:] - c[..., :-1] >= tol).astype(rtype)
+    label = jnp.concatenate(
+        [jnp.zeros(c.shape[:-1] + (1,), rtype), jnp.cumsum(bound, axis=-1)], axis=-1
+    )
+    mask = label[..., :, None] == label[..., None, :]
+    Bp = jnp.where(mask, Bp, 0.0)
+    Bp = (Bp + jnp.conj(jnp.swapaxes(Bp, -1, -2))) / 2
+    shift = 2.5 * label
+    s2, W = jnp.linalg.eigh(Bp + shift[..., None] * jnp.eye(S, dtype=U.dtype))
+    # sin/cos(theta) carried into the final basis (each final vector
+    # lives inside one cluster, so these expectations are eigenvalues)
+    absW2 = jnp.abs(W) ** 2
+    hp = jax.lax.Precision.HIGHEST
+    cdiag = jnp.einsum("...ij,...i->...j", absW2, c, precision=hp)
+    sdiag = s2 - jnp.einsum("...ij,...i->...j", absW2, shift, precision=hp)
+    return jnp.arctan2(sdiag, cdiag)
+
+
+def wilson_eigenphases(prod):
+    """Eigenphases of (..., S, S) unitary Wilson-loop products, using the
+    cheap closed form for S <= 2 and :func:`unitary_eigenphases` above
+    for general S."""
+    S = prod.shape[-1]
+    if S == 1:
+        return jnp.angle(prod[..., 0, 0])[..., None]
+    if S == 2:
+        # factor out the determinant phase: U' = e^{-i phi} U has det 1,
+        # hence the exact SU(2) form [[a, b], [-conj(b), conj(a)]] with
+        # eigenphases +-delta where cos(delta) = Re(a) and
+        # sin(delta) = sqrt(Im(a)^2 + |b|^2).  Unlike the quadratic
+        # formula (sqrt(tr^2 - 4 det)), this has NO cancellation at
+        # degenerate eigenphases (Kramers crossings at TRIM sit exactly
+        # there), so it is eps-accurate instead of sqrt(eps)-accurate.
+        phi = 0.5 * jnp.angle(_dets(prod))
+        Up = prod * jnp.exp(-1j * phi)[..., None, None]
+        a = 0.5 * (Up[..., 0, 0] + jnp.conj(Up[..., 1, 1]))
+        b = 0.5 * (Up[..., 0, 1] - jnp.conj(Up[..., 1, 0]))
+        sind = jnp.sqrt(jnp.imag(a) ** 2 + jnp.abs(b) ** 2)
+        delta = jnp.arctan2(sind, jnp.real(a))
+        return jnp.stack([_wrap(phi + delta), _wrap(phi - delta)], axis=-1)
+    return unitary_eigenphases(prod)
+
+
+# ---------------------------------------------------------------------------
 # Wilson-loop (berry_evals) path
 # ---------------------------------------------------------------------------
 
 
 def _unitarize(M):
-    """Polar/SVD unitarization: M -> U V^H with M = U s V^H."""
+    """Polar/SVD unitarization: M -> U V^H with M = U s V^H.
+
+    HIGHEST-precision matmul: at TPU default precision (bf16 passes)
+    each link's polar factor picks up ~1e-2 unitarity defect, and a
+    20-link Wilson chain accumulated a 3e-2 defect on hardware."""
     U, _, Vh = jnp.linalg.svd(M, full_matrices=False)
-    return U @ Vh
+    return jnp.matmul(U, Vh, precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -150,7 +252,9 @@ def _berry_products_jit(wfs_packed, occ, dir, nspin, dim_arr):
     w = jnp.moveaxis(w, dir, 0)
     ovr = _overlap(w[:-1], w[1:])  # (L-1, rest..., S, S)
     U, s, Vh = jnp.linalg.svd(ovr, full_matrices=False)
-    Wl = U @ Vh  # polar unitarization
+    # polar unitarization; HIGHEST-precision matmul (TPU default bf16
+    # passes leave ~1e-2 unitarity defect per link, 3e-2 over a chain)
+    Wl = jnp.matmul(U, Vh, precision=jax.lax.Precision.HIGHEST)
     # ordered chain product prd = W_0 @ W_1 @ ... via log-depth scan
     prod = jax.lax.associative_scan(
         lambda a, b: jnp.einsum(
@@ -159,6 +263,31 @@ def _berry_products_jit(wfs_packed, occ, dir, nspin, dim_arr):
         Wl,
     )
     return pack_cplx(prod[-1]), jnp.min(s)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _berry_evals_jit(wfs_packed, occ, dir, nspin, dim_arr):
+    # nested jit calls are inlined during tracing -> still one program
+    prd, msv = _berry_products_jit(wfs_packed, occ, dir, nspin, dim_arr)
+    theta = wilson_eigenphases(unpack_cplx(prd))
+    return jnp.sort(-theta, axis=-1), msv
+
+
+def berry_evals(wfs_packed, occ, dir, nspin, dim_arr):
+    """Wilson-loop eigenphases (the reference's ``berry_evals=True``
+    branch, pythtb.py:3824-3838) along grid axis ``dir``: link overlaps,
+    SVD unitarization, log-depth chain product, and the eigenphases of
+    the resulting unitary all in ONE compiled device program (the
+    reference -- and round 1 of this package -- shipped the product to
+    host for ``np.linalg.eigvals``).  Returns
+    ``(phases (rest..., nocc) ascending, min_singular_value)``."""
+    out, msv = jax.device_get(  # single d2h round trip for both
+        _berry_evals_jit(wfs_packed, tuple(occ), int(dir), nspin, dim_arr)
+    )
+    return np.asarray(out, dtype=np.float64), float(msv)
+
+
+berry_evals_device = berry_evals
 
 
 def berry_loop_products(wfs_packed, occ, dir, nspin, dim_arr):

@@ -151,22 +151,48 @@ def extend_pbc_seq(w, phases):
     return w
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phases_ri):
+def shard_grid_axis0(x, mesh):
+    """Constrain a device value to be sharded over ``mesh``'s first axis
+    along its leading (grid/batch) axis, replicated elsewhere.  In-jit
+    GSPMD annotation: no host data moves; XLA inserts the resharding
+    (and any later halo exchanges) on ICI."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = [None] * x.ndim
+    spec[0] = mesh.axis_names[0]
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec(*spec))
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 2, 5))
+def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phases_ri, mesh=None):
     """Solve on a uniform grid of shape ``interior`` (per-dim sizes
     n_d - 1) anchored at ``start``, then append the wrapped boundary
     slice per dimension with periodic-gauge phases, sequentially in
     dimension order (matching wf_array.solve_on_grid + impose_pbc;
     reference pythtb.py:2472-2527, 2728-2747).
 
+    With a (static, hashable) ``mesh``, the k-batch -- built on device
+    from iota, so nothing but scalars crosses the host boundary -- is
+    sharded over the mesh's first axis, and so is the leading grid axis
+    of the stored states; gauge fixups and the gap reduction stay
+    in-program (GSPMD inserts the collectives).
+
     Returns (min_gaps (nsta-1,) float, wfs_packed (*mesh, nsta, norb[,spin], 2)).
     """
     kpts = device_uniform_grid(tuple(interior), start)  # (B, dim)
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
     H = assemble(static, data, kpts)
     evals, v = eigh_batched(H)  # (B, nsta), (B, nsta, nsta)
     if static.nspin == 2:
         v = v.reshape(v.shape[0], static.nsta, static.norb, 2)
     w = v.reshape(tuple(interior) + v.shape[1:])
+    if mesh is not None:
+        # re-anchor the sharding on the leading grid axis after the
+        # batch -> grid reshape
+        w = shard_grid_axis0(w, mesh)
 
     phases = unpack_cplx(phases_ri)  # (dim, norb[, spin])
     w = extend_pbc_seq(w, [phases[d] for d in range(len(interior))])
@@ -178,11 +204,13 @@ def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phase
     return min_gaps, pack_cplx(w)
 
 
-def solve_grid_device(static: ModelStatic, data: BlochData, mesh_sizes, start_k, orb, per, nspin):
+def solve_grid_device(static: ModelStatic, data: BlochData, mesh_sizes, start_k, orb, per, nspin, mesh=None):
     """Device-resident uniform-grid solve.
 
     Returns (min_gaps (nsta-1,) float64 on host, wfs_packed device array
-    of shape (*mesh_sizes, nsta, norb[, spin], 2)).
+    of shape (*mesh_sizes, nsta, norb[, spin], 2)).  ``mesh``: optional
+    jax.sharding.Mesh to shard the solve (and the resulting state grid)
+    over.
     """
     interior = tuple(int(m) - 1 for m in mesh_sizes)
     start = np.asarray(start_k, dtype=np.float64).reshape(len(interior))
@@ -196,5 +224,5 @@ def solve_grid_device(static: ModelStatic, data: BlochData, mesh_sizes, start_k,
         phases.append(ffac)
     phases = np.stack(phases, axis=0)
     phases_ri = np.stack([phases.real, phases.imag], axis=-1)
-    min_gaps, wfs = _solve_grid_jit(static, data, interior, start, phases_ri)
+    min_gaps, wfs = _solve_grid_jit(static, data, interior, start, phases_ri, mesh)
     return np.asarray(min_gaps, dtype=np.float64), wfs

@@ -170,8 +170,10 @@ class wf_array(object):
         from .parallel import mesh as _pmesh
 
         static, data = self._model._get_finalized()
-        if _pmesh.current_mesh() is not None:
-            return self._solve_on_grid_sharded(start_k, static, data)
+        # under an active device mesh the SAME in-program pipeline runs
+        # sharded: the iota-built k-batch and the stored state grid carry
+        # GSPMD sharding annotations, gauge fixups and the gap reduction
+        # stay on device, and only scalars cross the host boundary
         min_gaps, wfs_packed = _solver.solve_grid_device(
             static,
             data,
@@ -180,36 +182,12 @@ class wf_array(object):
             self._orb,
             self._model._per,
             self._nspin,
+            mesh=_pmesh.current_mesh(),
         )
         self._set_device(wfs_packed)
         if self._nsta_arr <= 1:
             return None
         return min_gaps
-
-    def _solve_on_grid_sharded(self, start_k, static, data):
-        """Mesh-sharded grid solve: the interior k-batch is built on host
-        and sharded over the active device mesh; gauge fixups applied on
-        the gathered result."""
-        interior = [int(m) - 1 for m in self._mesh_arr]
-        axes = [
-            np.asarray(start_k[d], dtype=float)
-            + np.arange(interior[d], dtype=float) / float(interior[d])
-            for d in range(self._dim_arr)
-        ]
-        grids = np.meshgrid(*axes, indexing="ij")
-        kpts = np.stack([g.reshape(-1) for g in grids], axis=-1)
-        evals, evecs = _solver.solve_kpts(static, data, kpts, eig_vectors=True)
-        host = self._host_rw()
-        host[tuple(slice(0, n) for n in interior)] = evecs.reshape(
-            tuple(interior) + evecs.shape[1:]
-        )
-        for d in range(self._dim_arr):
-            self.impose_pbc(d, self._model._per[d])
-        if self._nsta_arr <= 1:
-            return None
-        ev = evals.reshape(tuple(interior) + (self._nsta_arr,))
-        gaps = ev[..., 1:] - ev[..., :-1]
-        return gaps.min(axis=tuple(range(self._dim_arr)))
 
     def solve_on_one_point(self, kpt, mesh_indices):
         """Solve at one k-point and store at mesh_indices
@@ -471,12 +449,13 @@ class wf_array(object):
             if self._dim_arr == 1:
                 ret = float(ret)
         else:
-            prd, msv = _berry.berry_loop_products(
+            # link overlaps -> SVD unitarization -> chain product ->
+            # unitary eigenphases, all in one compiled device program
+            # (pythtb.py:3824-3838; no host eigvals round trip)
+            ret, msv = _berry.berry_evals(
                 wp, occ, dir, self._nspin, self._dim_arr
-            )  # (rest..., S, S)
+            )  # (rest..., nocc) ascending per string
             self._warn_singular(msv, "berry_phase:singular value")
-            evals = np.linalg.eigvals(prd)
-            ret = np.sort(-np.angle(evals), axis=-1)  # ascending per string
 
         if self._dim_arr > 1 or berry_evals:
             ret = np.array(ret, dtype=float)

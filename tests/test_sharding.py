@@ -45,17 +45,32 @@ def test_solve_all_vectors_sharded(mesh8):
     np.testing.assert_allclose(P0, P1, atol=1e-12)
 
 
-def test_chern_sharded(mesh8):
+@pytest.mark.parametrize("nk", [(17, 17), (14, 11)])  # divisible and not
+def test_chern_sharded(mesh8, nk):
     m = zoo.haldane(ptt)
-    wf0 = ptt.wf_array(m, [17, 17])
-    wf0.solve_on_grid([-0.5, -0.5])
+    wf0 = ptt.wf_array(m, list(nk))
+    gaps0 = wf0.solve_on_grid([-0.5, -0.5])
     c0 = wf0.berry_flux([0]) / (2.0 * np.pi)
     with use_mesh(mesh8):
-        wf1 = ptt.wf_array(m, [17, 17])
-        wf1.solve_on_grid([-0.5, -0.5])
+        wf1 = ptt.wf_array(m, list(nk))
+        gaps1 = wf1.solve_on_grid([-0.5, -0.5])
         c1 = wf1.berry_flux([0]) / (2.0 * np.pi)
+    np.testing.assert_allclose(gaps0, gaps1, atol=1e-13)
     np.testing.assert_allclose(c0, c1, atol=1e-12)
-    np.testing.assert_allclose(abs(c1), 1.0, atol=1e-6)
+    np.testing.assert_allclose(abs(c1), 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("nk", [(17, 17), (14, 12)])  # divisible and not
+def test_berry_flux_grid_sharded(mesh8, nk):
+    """The fused flux pipeline shards in-program for ANY grid size (no
+    divisibility requirement -- GSPMD handles uneven shards)."""
+    from pythtb_tpu import flows
+
+    m = zoo.haldane(ptt)
+    f0 = flows.berry_flux_grid(m, [0], nk=nk)
+    f1 = flows.berry_flux_grid(m, [0], nk=nk, mesh=mesh8)
+    np.testing.assert_allclose(f0, f1, atol=1e-12)
+    np.testing.assert_allclose(abs(f1) / (2 * np.pi), 1.0, atol=1e-4)
 
 
 def test_graft_entry_dryrun():
@@ -73,25 +88,41 @@ def test_graft_entry_dryrun():
     mod.dryrun_multichip(8)
 
 
+def _lower_sharded_chern(mesh8, nk):
+    from pythtb_tpu import flows
+    from pythtb_tpu.utils.xfer import host_pack
+
+    m = zoo.haldane(ptt)
+    static, data, (n0, n1), (p0, p1) = flows._grid_inputs(m, nk, (-0.5, -0.5))
+    phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
+    start = np.array([-0.5, -0.5])
+    return flows._chern_jit.lower(
+        static, data, (0,), n0, n1, start, phases_ri, mesh8
+    )
+
+
 def test_sharded_chern_hlo_contains_collectives(mesh8):
     """The compiled sharded Chern program must actually communicate:
     halo exchange (collective-permute) for neighbor overlaps and a psum
     (all-reduce) for the flux sum are inserted by GSPMD."""
     import re
 
-    from pythtb_tpu import flows
-    from pythtb_tpu.parallel import mesh as pmesh
-    from pythtb_tpu.utils.xfer import host_pack
-
-    m = zoo.haldane(ptt)
-    static, data, (n0, n1), (p0, p1) = flows._grid_inputs(m, (17, 17), (-0.5, -0.5))
-    kpts_sh = pmesh.shard_batch(flows._host_grid(n0, n1, (-0.5, -0.5)), mesh8)
-    lowered = flows._chern_sharded_jit.lower(
-        static, data, kpts_sh, (0,), n0, n1, host_pack(p0), host_pack(p1)
-    )
-    txt = lowered.compile().as_text()
+    txt = _lower_sharded_chern(mesh8, (17, 17)).compile().as_text()
     colls = set(re.findall(
         r"(all-reduce|all-gather|collective-permute|reduce-scatter|all-to-all)", txt
     ))
     assert "all-reduce" in colls, colls          # flux psum
     assert "collective-permute" in colls, colls  # neighbor halo exchange
+
+
+def test_sharded_chern_transfers_only_scalars(mesh8):
+    """The sharded pipeline builds its k-grid on device: every program
+    input is model-table-sized (hopping table, phases, start scalars) --
+    nothing proportional to the 256-point k-batch crosses the host
+    boundary."""
+    lowered = _lower_sharded_chern(mesh8, (17, 17))
+    in_sizes = [
+        int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(lowered.in_avals)
+    ]
+    assert in_sizes, "expected nonempty input avals"
+    assert max(in_sizes) < 256, in_sizes  # B = 16*16 = 256 never appears

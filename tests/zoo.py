@@ -143,3 +143,42 @@ def graphene_path(m, nk=61):
     return m.k_path(
         [[0.0, 0.0], [2.0 / 3.0, 1.0 / 3.0], [0.5, 0.5], [0.0, 0.0]], nk, report=False
     )
+
+
+def kane_mele_bilayer(mod, topo_a="odd", topo_b="odd", tperp=0.15):
+    """Two weakly-coupled Kane-Mele layers: a gapped spinful model with
+    FOUR occupied bands (nsta = 8), for exercising general-nocc Wilson
+    flows and Z2 (reference workload shape: examples/kane_mele.py scaled
+    up).  Z2 of the 4-band occupied manifold is the mod-2 sum of the
+    layer invariants: odd+odd -> 0, odd+even -> 1."""
+    lat = [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]]
+    base = [[1.0 / 3.0, 1.0 / 3.0], [2.0 / 3.0, 2.0 / 3.0]]
+    m = mod.tb_model(2, 2, lat, base + base, nspin=2)
+    thop, rashba = 1.0, 0.25
+    r3h = np.sqrt(3.0) / 2.0
+    sz = np.array([0.0, 0.0, 0.0, 1.0])
+    sx = np.array([0.0, 1.0, 0.0, 0.0])
+    sy = np.array([0.0, 0.0, 1.0, 0.0])
+    ons = []
+    for layer, topo in ((0, topo_a), (1, topo_b)):
+        o = 2 * layer  # orbital offset of this layer
+        esite = 2.5 if topo == "even" else 1.0
+        spin_orb = 0.6 * thop * 0.5
+        ons += [esite, -esite]
+        m.set_hop(thop, o, o + 1, [0, 0])
+        m.set_hop(thop, o, o + 1, [0, -1])
+        m.set_hop(thop, o, o + 1, [-1, 0])
+        m.set_hop(-1.0j * spin_orb * sz, o, o, [0, 1])
+        m.set_hop(1.0j * spin_orb * sz, o, o, [1, 0])
+        m.set_hop(-1.0j * spin_orb * sz, o, o, [1, -1])
+        m.set_hop(1.0j * spin_orb * sz, o + 1, o + 1, [0, 1])
+        m.set_hop(-1.0j * spin_orb * sz, o + 1, o + 1, [1, 0])
+        m.set_hop(1.0j * spin_orb * sz, o + 1, o + 1, [1, -1])
+        m.set_hop(1.0j * rashba * (0.5 * sx - r3h * sy), o, o + 1, [0, 0], mode="add")
+        m.set_hop(1.0j * rashba * (-1.0 * sx), o, o + 1, [0, -1], mode="add")
+        m.set_hop(1.0j * rashba * (0.5 * sx + r3h * sy), o, o + 1, [-1, 0], mode="add")
+    m.set_onsite(ons)
+    # weak spin-conserving interlayer coupling (keeps the gap open)
+    m.set_hop(tperp, 0, 2, [0, 0])
+    m.set_hop(tperp, 1, 3, [0, 0])
+    return m

@@ -88,6 +88,17 @@ def main():
     check("z2 invariant (QSH/trivial)", z_odd == 1.0 and z_even == 0.0,
           "odd=%.0f even=%.0f" % (z_odd, z_even))
 
+    # 3c. general-nocc Wilson eigenphases on device: the sum of the
+    # Wilson-loop eigenphases must equal the traced Berry phase mod 2pi
+    # (det of the polar factor = phase of det of the overlap chain)
+    km = zoo_models.kane_mele(esite=1.0)
+    wfk = ptt.wf_array(km, [25, 25])
+    wfk.solve_on_grid([-0.5, -0.5])
+    evph = wfk.berry_phase([0, 1, 2, 3], 1, contin=False, berry_evals=True)
+    tr = wfk.berry_phase([0, 1, 2, 3], 1, contin=False)
+    dev = np.abs(np.angle(np.exp(1j * (evph.sum(-1) - tr)))).max()
+    check("wilson evals vs trace (4 bands)", dev < 1e-3, "dev=%.2e" % dev)
+
     # 4. finite model dense eigh
     fin = m.cut_piece(10, 0).cut_piece(10, 1)
     ev = fin.solve_all()
