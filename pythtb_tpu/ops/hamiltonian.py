@@ -66,12 +66,6 @@ def assemble(static: ModelStatic, data: BlochData, kpts):
     if static.nhop == 0:
         return jnp.broadcast_to(diag, (B, nsta, nsta)).astype(ctype)
 
-    if static.nspin == 1:
-        from .pallas_assemble import assemble_pallas_nspin1, pallas_available
-
-        if pallas_available(static, B):
-            return assemble_pallas_nspin1(static, data, kpts, diag)
-
     ph = _phases(static, data.rv, kpts)  # (B, nhop) complex
     amps = unpack_cplx(jnp.asarray(data.amps))  # (nhop,) or (nhop,2,2)
 

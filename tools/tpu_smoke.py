@@ -70,7 +70,7 @@ def main():
     check("berry_phase winding", abs(abs(flow[-1] - flow[0]) - 2 * np.pi) < 1e-3,
           "winding=%.5f" % (flow[-1] - flow[0]))
 
-    # 3. silicon w90 (pallas assembly path) vs Wannier90 interpolation
+    # 3. silicon w90 (large hopping table) vs Wannier90 interpolation
     try:
         si = ptt.w90("/root/reference/website/local/w90_example/example_a", "silicon")
         model = si.model()
