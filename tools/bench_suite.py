@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""TPU benchmark suite: every row of BASELINE.md, not just the north star.
+
+Each workload reproduces a measured reference row (PythTB 1.8.0, one CPU
+core of this container; see BASELINE.md) and reports steady-state wall
+time (one warm-up for the compile cache, then min of 3) plus a
+correctness check.  Prints one JSON line per row and a markdown table
+(paste into docs/BENCH_TPU.md).
+
+Run from the repo root:  python tools/bench_suite.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHILD_TIMEOUT_S = 560
+
+W90_DIR = "/root/reference/website/local/w90_example/example_a"
+
+
+def _timed(fn, n=3):
+    fn()  # warm-up / compile
+    best = float("inf")
+    out = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def run_suite():
+    import jax
+
+    import pythtb_tpu as ptt
+    from pythtb_tpu import flows
+
+    print("backend: %s" % jax.default_backend(), file=sys.stderr, flush=True)
+    rows = []
+
+    def report(name, baseline_s, wall_s, check_ok, detail=""):
+        row = {
+            "metric": name,
+            "value": round(wall_s, 6),
+            "unit": "s",
+            "baseline_s": baseline_s,
+            "vs_baseline": round(baseline_s / wall_s, 2),
+            "correct": bool(check_ok),
+            "detail": detail,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    hal = ptt.models.haldane()
+
+    # -- row 1: solve_all, Haldane 100x100 evals only (baseline 1.05 s) --
+    k100 = hal.k_uniform_mesh([100, 100])
+    wall, ev = _timed(lambda: hal.solve_all(k100))
+    report("haldane_solve_all_100x100", 1.05, wall,
+           ev.shape == (2, 10000) and abs(float(ev.min()) + 3.007) < 0.05,
+           "Emin=%.3f" % ev.min())
+
+    # -- row 2: 31x31 solve_on_grid + berry_flux (baseline 0.131 s) -----
+    def chern31():
+        wf = ptt.wf_array(hal, [31, 31])
+        wf.solve_on_grid([-0.5, -0.5])
+        return wf.berry_flux([0]) / (2 * np.pi)
+
+    wall, c = _timed(chern31)
+    report("haldane_chern_31x31", 0.131, wall, abs(abs(c) - 1.0) < 1e-4,
+           "chern=%.6f" % c)
+
+    # -- row 3: north star 301x301 (baseline 12.74 s) --------------------
+    wall, c = _timed(
+        lambda: flows.chern_number(hal, [0], nk=(301, 301), start_k=(-0.5, -0.5))
+    )
+    report("haldane_chern_301x301_wall", 12.74, wall, abs(abs(c) - 1.0) < 1e-3,
+           "chern=%.7f" % c)
+
+    # -- row 4: Kane-Mele 41x41 grid + Wilson-loop HWF flow (0.38 s) -----
+    km = ptt.models.kane_mele(esite=1.0)
+
+    def km_flow():
+        wf = ptt.wf_array(km, [41, 41])
+        wf.solve_on_grid([-0.5, -0.5])
+        evph = wf.berry_phase([0, 1], dir=1, contin=False, berry_evals=True)
+        tr = wf.berry_phase([0, 1], dir=1, contin=False)
+        return evph, tr
+
+    wall, (evph, tr) = _timed(km_flow)
+    dev = np.abs(np.angle(np.exp(1j * (evph.sum(-1) - tr)))).max()
+    report("kane_mele_wilson_flow_41x41", 0.38, wall,
+           evph.shape == (41, 2) and dev < 1e-3, "evals-vs-trace dev=%.1e" % dev)
+
+    # -- row 5: finite Haldane 20x20, norb=800, full solve_all (0.92 s) --
+    fin = hal.cut_piece(20, 0, glue_edgs=False).cut_piece(20, 1, glue_edgs=False)
+
+    wall, ev = _timed(lambda: fin.solve_all())
+    report("haldane_finite_800_solve", 0.92, wall,
+           ev.shape == (800,) and np.all(np.diff(ev) >= -1e-3),
+           "E0=%.4f" % ev[0])
+
+    # -- row 6: w90 silicon import + model + 190-kpt solve ---------------
+    if os.path.isdir(W90_DIR):
+        wall, si = _timed(lambda: ptt.w90(W90_DIR, "silicon"))
+        report("w90_silicon_read", 0.02, wall, si.lat.shape == (3, 3), "")
+
+        wall, model = _timed(lambda: si.model(min_hopping_norm=0.01))
+        nhop = len(model._hoppings)
+        report("w90_silicon_model_build", 0.29, wall, nhop == 1192,
+               "nhop=%d" % nhop)
+
+        kpts, ene = si.w90_bands_consistency()
+        full = si.model()  # unfiltered: interpolation-grade accuracy
+        dev = np.abs(full.solve_all(kpts) - ene).max()
+        wall, sol = _timed(lambda: model.solve_all(kpts))
+        report("w90_silicon_solve_190kpt", 1.93, wall,
+               sol.shape == (8, kpts.shape[0]) and dev < 5e-4,
+               "unfiltered-vs-wannier90 dev=%.1e eV" % dev)
+    else:
+        print("w90 silicon data missing; rows skipped", file=sys.stderr)
+
+    print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print("| %s | %.3f | %.4f | %.1fx | %s |" % (
+            r["metric"], r["baseline_s"], r["value"], r["vs_baseline"],
+            "yes" if r["correct"] else "NO"))
+    bad = [r["metric"] for r in rows if not r["correct"]]
+    slow = [r["metric"] for r in rows if r["vs_baseline"] < 1.0]
+    if bad:
+        print("INCORRECT: %s" % bad, file=sys.stderr)
+    if slow:
+        print("SLOWER THAN BASELINE: %s" % slow, file=sys.stderr)
+    sys.exit(1 if bad else 0)
+
+
+def main():
+    if "--child" in sys.argv:
+        run_suite()
+        return
+    for attempt in (1, 2):
+        try:
+            result = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                timeout=CHILD_TIMEOUT_S, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print("attempt %d timed out (remote compiler stall)" % attempt,
+                  file=sys.stderr)
+            continue
+        sys.stderr.write(result.stderr)
+        sys.stdout.write(result.stdout)
+        if result.returncode == 0:
+            return
+        print("attempt %d failed (rc=%d)" % (attempt, result.returncode),
+              file=sys.stderr)
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
