@@ -184,6 +184,26 @@ class tb_model(object):
             R = h[3] if self._dim_k != 0 else None
             self._hop_index[self._hop_key(h[1], h[2], R)] = idx
 
+    def _append_scalar_hops(self, amps, ii, jj, ind_R):
+        """Bulk-append scalar (nspin=1) hoppings whose keys are known to
+        be fresh and conjugate-free -- the internal fast path for
+        importers (w90: the half-space R rule guarantees uniqueness,
+        reference pythtb.py:3540-3550).  Skips the per-call validation
+        of :meth:`set_hop`; do not expose to users.
+
+        amps: (n,) complex; ii, jj: (n,) int; ind_R: (n, dim_r) int.
+        """
+        base = len(self._hoppings)
+        index = self._hop_index
+        hoppings = self._hoppings
+        per = self._per
+        for t in range(len(amps)):
+            R = ind_R[t]
+            key = (int(ii[t]), int(jj[t]), tuple(R[p].item() for p in per))
+            index[key] = base + t
+            hoppings.append([complex(amps[t]), int(ii[t]), int(jj[t]), np.array(R)])
+        self._invalidate()
+
     def _get_finalized(self):
         """Freeze current builder state into (ModelStatic, BlochData)."""
         if self._finalized is None:

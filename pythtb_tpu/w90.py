@@ -132,42 +132,44 @@ class w90(object):
 
     def model(self, zero_energy=0.0, min_hopping_norm=None, max_distance=None, ignorable_imaginary_part=None):
         """Build a tb_model from the parsed Wannier90 data
-        (reference pythtb.py:3448-3586)."""
+        (reference pythtb.py:3448-3586).
+
+        Fully vectorized per R block (filters are NumPy masks; surviving
+        hops are bulk-appended), keeping the reference's hopping order
+        exactly: R in file order, then i-major / j-minor."""
+        nw = self.num_wan
         tb = tb_model(3, 3, self.lat, self.red_cen)
         tb._assume_position_operator_diagonal = False
 
         h0 = self.ham_r[(0, 0, 0)]
-        onsite = np.zeros(self.num_wan, dtype=float)
-        for i in range(self.num_wan):
-            tmp = h0["h"][i, i] / float(h0["deg"])
-            if np.abs(tmp.imag) > 1.0e-9:
-                raise PythtbError("Onsite terms should be real!")
-            onsite[i] = tmp.real
-        tb.set_onsite(onsite - zero_energy)
+        onsite = np.diagonal(h0["h"]) / float(h0["deg"])
+        if np.abs(onsite.imag).max() > 1.0e-9:
+            raise PythtbError("Onsite terms should be real!")
+        tb.set_onsite(onsite.real - zero_energy)
 
+        iu, ju = np.triu_indices(nw, k=1)  # R = 0: strict upper triangle
+        ia, ja = [x.reshape(-1) for x in np.meshgrid(
+            np.arange(nw), np.arange(nw), indexing="ij")]
         for R, entry in self.ham_r.items():
             diagonal_R = R == (0, 0, 0)
             if not diagonal_R and not self._use_half_space(R):
                 continue
-            vecR = np.array(R, dtype=float) @ self.lat
-            ham = entry["h"] / float(entry["deg"])
-            for i in range(self.num_wan):
-                for j in range(self.num_wan):
-                    if diagonal_R and j <= i:
-                        continue
-                    if max_distance is not None:
-                        d = -self.xyz_cen[i] + self.xyz_cen[j] + vecR
-                        if np.sqrt(d @ d) > max_distance:
-                            continue
-                    amp = ham[i, j]
-                    if min_hopping_norm is not None and np.abs(amp) < min_hopping_norm:
-                        continue
-                    if (
-                        ignorable_imaginary_part is not None
-                        and np.abs(amp.imag) < ignorable_imaginary_part
-                    ):
-                        amp = amp.real + 0.0j
-                    tb.set_hop(amp, i, j, list(R))
+            ii, jj = (iu, ju) if diagonal_R else (ia, ja)
+            amp = entry["h"][ii, jj] / float(entry["deg"])
+            keep = np.ones(amp.shape, dtype=bool)
+            if max_distance is not None:
+                vecR = np.array(R, dtype=float) @ self.lat
+                d = -self.xyz_cen[ii] + self.xyz_cen[jj] + vecR
+                keep &= np.sqrt(np.sum(d * d, axis=-1)) <= max_distance
+            if min_hopping_norm is not None:
+                keep &= np.abs(amp) >= min_hopping_norm
+            amp = amp[keep]
+            if ignorable_imaginary_part is not None:
+                amp = np.where(
+                    np.abs(amp.imag) < ignorable_imaginary_part, amp.real + 0.0j, amp
+                )
+            Rs = np.broadcast_to(np.array(R, dtype=int), (amp.shape[0], 3))
+            tb._append_scalar_hops(amp, ii[keep], jj[keep], Rs)
         return tb
 
     # ---- diagnostics -------------------------------------------------

@@ -39,6 +39,10 @@ def main():
             result = workloads.w90_silicon(ref, workloads.W90_DATA_DIR)
         np.savez_compressed(out_dir / "w90_silicon.npz", **result)
         print("wrote w90_silicon ->", sorted(result.keys()))
+    with redirect_stdout(io.StringIO()):
+        result = workloads.w90_synthetic(ref)
+    np.savez_compressed(out_dir / "w90_synthetic.npz", **result)
+    print("wrote w90_synthetic ->", sorted(result.keys()))
 
 
 if __name__ == "__main__":

@@ -74,6 +74,17 @@ def test_workload_matches_reference(name, golden):
     _compare(result, gold)
 
 
+def test_w90_synthetic_golden(golden):
+    """Vendored-fileset w90 golden: passes with the reference tree
+    absent (data lives in tests/data/w90_synthetic/)."""
+    import pythtb_tpu
+
+    gold = golden("w90_synthetic")
+    with redirect_stdout(io.StringIO()):
+        result = workloads.w90_synthetic(pythtb_tpu)
+    _compare(result, gold)
+
+
 def test_w90_silicon(golden):
     import pythtb_tpu
 

@@ -12,6 +12,8 @@ committed goldens reproduce the reference's own test coverage
 (/root/reference/tests/test_examples/).
 """
 
+import pathlib
+
 import numpy as np
 
 from . import zoo
@@ -356,4 +358,29 @@ ALL = {
     "berry_4d_grid": berry_4d_grid,
 }
 
+def w90_synthetic(mod, data_dir=None):
+    """Vendored synthetic Wannier90 fileset (tests/data/w90_synthetic/,
+    generated by tests/data/make_w90_synthetic.py): exercises bohr
+    units, multi-line WS degeneracies > 1, +-R pairing, out-of-cell
+    centers, and all three model() filters -- with NO dependence on the
+    reference tree at test time."""
+    if data_dir is None:
+        data_dir = W90_SYNTH_DIR
+    w = mod.w90(data_dir, "synth")
+    dist, ham = w.dist_hop()
+    out = {"dist": dist, "ham_re": ham.real, "ham_im": ham.imag,
+           "shells": w.shells(num_digits=3)}
+    kpts, ene = w.w90_bands_consistency()
+    out["w90_ene"] = ene
+    model = w.model()
+    out["evals"] = model.solve_all(kpts)
+    out["consistency_dev"] = np.abs(out["evals"] - ene).max()
+    filt = w.model(zero_energy=0.05, min_hopping_norm=0.02,
+                   max_distance=5.0, ignorable_imaginary_part=2e-5)
+    out["evals_filtered"] = filt.solve_all(kpts)
+    out["nhop_filtered"] = float(len(filt._hoppings))
+    return out
+
+
 W90_DATA_DIR = "/root/reference/website/local/w90_example/example_a"
+W90_SYNTH_DIR = str(pathlib.Path(__file__).resolve().parent / "data" / "w90_synthetic")
