@@ -33,6 +33,7 @@ from .utils.continuity import no_2pi
 from .wf_array import wf_array
 from .w90 import w90
 from . import models, parallel
+from .family import family, ModelFamily
 
 __version__ = "0.1.0"
 # feature parity target (the reference release this framework mirrors)
