@@ -6,6 +6,17 @@ Host-side, equivalents of ``tb_model.display``
 orbitals / hoppings / an optional eigenstate with amplitude-sized,
 phase-colored markers ("black", "red-blue", or "wheel" color schemes).
 matplotlib is imported lazily, as in the reference (pythtb.py:733).
+
+Structure: all geometry (projections, hopping polylines with their
+bend, marker sizes, phase colors) is computed VECTORIZED up front
+(:func:`_visualize_geometry` -- also the unit-testable surface), then
+drawn with O(1) artists (``LineCollection`` + array-valued
+plot/scatter calls) instead of the reference's per-hopping plot loop.
+Visual-compatibility constants (marker sizes 4.0/4.5, bend factor 0.05,
+line widths 1.5/0.75, zorders 7-11, the muted color tuples, and the
+phase -> color maps) are taken from the reference's rendering
+(pythtb.py:746-855) so figures remain pixel-comparable; everything
+around them is this package's own design.
 """
 
 from __future__ import annotations
@@ -82,8 +93,89 @@ def display(model):
     print()
 
 
+def _phase_colors(phases, scheme):
+    """Vectorized phase -> RGB map, (n,) angles -> (n, 3) colors.
+
+    'red-blue' interpolates red (phase 0) to blue (phase +-pi); 'wheel'
+    walks the hue circle in pi/3 sectors (red, yellow, green, cyan,
+    blue, magenta) -- the reference's maps (pythtb.py:755-790)."""
+    phases = np.asarray(phases, dtype=float)
+    if scheme == "red-blue":
+        frac = np.abs(phases / np.pi)
+        return np.stack([1.0 - frac, np.zeros_like(frac), frac], axis=-1)
+    ph = np.where(phases < 0.0, phases + 2.0 * np.pi, phases)
+    ph = 6.0 * ph / (2.0 * np.pi)
+    x = 1.0 - np.abs(ph % 2.0 - 1.0)
+    sector = np.minimum(ph, 5.999).astype(int)
+    z, o = np.zeros_like(x), np.ones_like(x)
+    table = np.stack([  # (6, n, 3)
+        np.stack([o, x, z], -1), np.stack([x, o, z], -1),
+        np.stack([z, o, x], -1), np.stack([z, x, o], -1),
+        np.stack([x, z, o], -1), np.stack([o, z, x], -1),
+    ])
+    return table[sector, np.arange(len(ph))]
+
+
+def _visualize_geometry(model, dir_first, dir_second, draw_hoppings):
+    """All coordinates of the sketch, computed vectorized.
+
+    Returns a dict: ``orb_xy`` (norb, 2); ``cell_segs`` (nper, 2, 2)
+    origin->lattice-vector segments; ``hop_lines`` (2*nhop, 3, 2)
+    three-point bent polylines (both directions of every hopping, the
+    reference's 0.05-bend convention); ``hop_ends`` (4*nhop, 2) line
+    endpoints that get neighbor markers."""
+    cols = [dir_first] + ([dir_second] if dir_second is not None else [])
+    P = model._lat[:, cols]  # project AFTER the red->cart map: (dim_r, <=2)
+
+    def proj(red):
+        xy = np.asarray(red, dtype=float) @ P
+        if xy.shape[-1] == 1:  # 1-D models project onto the x axis
+            xy = np.concatenate([xy, np.zeros_like(xy)], axis=-1)
+        return xy
+
+    out = {"orb_xy": proj(model._orb), "proj": proj}
+    out["cell_segs"] = np.array(
+        [[[0.0, 0.0], proj(np.eye(model._dim_r)[i])] for i in model._per]
+    ).reshape(-1, 2, 2)
+
+    if draw_hoppings and len(model._hoppings) > 0:
+        hi = np.array([h[1] for h in model._hoppings])
+        hj = np.array([h[2] for h in model._hoppings])
+        ri = model._orb[hi].astype(float)  # (nhop, dim_r) reduced
+        rj = model._orb[hj].astype(float)
+        if model._dim_k != 0:
+            R = np.array([np.asarray(h[3], dtype=float) for h in model._hoppings])
+            shift = np.zeros_like(ri)
+            shift[:, model._per] = R[:, model._per]
+        else:
+            shift = np.zeros_like(ri)
+        # both drawing directions: <i|H|j+R> and the same bond anchored
+        # at the conjugate cell (i-R -> j), as in pythtb.py:800-824
+        a = proj(np.concatenate([ri, ri - shift]))  # (2*nhop, 2)
+        b = proj(np.concatenate([rj + shift, rj]))
+        mid = 0.5 * (a + b)
+        dif = b - a
+        orth = np.stack([dif[:, 1], -dif[:, 0]], axis=-1)
+        nrm = np.linalg.norm(orth, axis=-1, keepdims=True)
+        length = np.linalg.norm(dif, axis=-1, keepdims=True)
+        with np.errstate(invalid="ignore"):
+            bend = np.where(nrm > 0.0, orth / np.where(nrm == 0.0, 1.0, nrm), 0.0)
+        mid = mid + bend * 0.05 * length
+        out["hop_lines"] = np.stack([a, mid, b], axis=1)  # (2*nhop, 3, 2)
+        out["hop_ends"] = np.concatenate([a, b])
+    else:
+        out["hop_lines"] = np.zeros((0, 3, 2))
+        out["hop_ends"] = np.zeros((0, 2))
+    return out
+
+
 def visualize(model, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True, ph_color="black"):
-    """2-D projected sketch of the model; returns (fig, ax)."""
+    """2-D projected sketch of the model; returns (fig, ax).
+
+    Figure content matches the reference's ``visualize``
+    (pythtb.py:636-860: same projection, bend, marker sizes, colors and
+    z-order), drawn with vectorized artist collections.
+    """
     if eig_dr is not None:
         if np.asarray(eig_dr).shape != (model._norb,):
             raise ValueError("Wrong format of eig_dr! Must be array of size norb.")
@@ -93,17 +185,14 @@ def visualize(model, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True
         raise ValueError("Need to specify index of second coordinate for projection!")
 
     import matplotlib.pyplot as plt
+    from matplotlib.collections import LineCollection
+
+    geo = _visualize_geometry(model, dir_first, dir_second, draw_hoppings)
 
     fig = plt.figure(
         figsize=[plt.rcParams["figure.figsize"][0], plt.rcParams["figure.figsize"][0]]
     )
     ax = fig.add_subplot(111, aspect="equal")
-
-    def proj(v):
-        return [v[dir_first], 0.0 if dir_second is None else v[dir_second]]
-
-    def to_cart(red):
-        return np.dot(red, model._lat)
 
     if eig_dr is None or ph_color == "black":
         c_cell, c_orb, c_nei, c_hop = "b", "r", [0.85, 0.65, 0.65], "g"
@@ -111,77 +200,41 @@ def visualize(model, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True
         c_cell, c_orb = [0.4, 0.4, 0.4], [0.0, 0.0, 0.0]
         c_nei, c_hop = [0.6, 0.6, 0.6], [0.0, 0.0, 0.0]
 
-    def color_to_phase(ph):
-        if ph_color == "black":
-            return "k"
-        if ph_color == "red-blue":
-            frac = np.abs(ph / np.pi)
-            return [1.0 - frac, 0.0, frac]
-        # "wheel": hue steps of pi/3 -> red, yellow, green, cyan, blue, magenta
-        if ph < 0.0:
-            ph += 2.0 * np.pi
-        ph = 6.0 * ph / (2.0 * np.pi)
-        x_ph = 1.0 - np.abs(ph % 2.0 - 1.0)
-        sector = int(min(ph, 5.999) // 1)
-        table = [
-            [1.0, x_ph, 0.0],
-            [x_ph, 1.0, 0.0],
-            [0.0, 1.0, x_ph],
-            [0.0, x_ph, 1.0],
-            [x_ph, 0.0, 1.0],
-            [1.0, 0.0, x_ph],
-        ]
-        return table[sector]
-
-    # origin and periodic cell vectors
+    # origin marker + periodic cell vectors (one collection)
     ax.plot([0.0], [0.0], "o", c=c_cell, mec="w", mew=0.0, zorder=7, ms=4.5)
-    for i in model._per:
-        vec = proj(model._lat[i])
-        ax.plot([0.0, vec[0]], [0.0, vec[1]], "-", c=c_cell, lw=1.5, zorder=7)
+    ax.add_collection(
+        LineCollection(geo["cell_segs"], colors=c_cell, linewidths=1.5, zorder=7)
+    )
+
+    # hoppings: every bent polyline in one collection, every endpoint
+    # marker in one plot call
+    if geo["hop_lines"].shape[0]:
+        ax.add_collection(
+            LineCollection(geo["hop_lines"], colors=c_hop, linewidths=0.75, zorder=8)
+        )
+        ends = geo["hop_ends"]
+        ax.plot(ends[:, 0], ends[:, 1], "o", c=c_nei, zorder=9, mew=0.0,
+                ms=4.0, mec="w", ls="none")
 
     # orbitals
-    for i in range(model._norb):
-        pos = proj(to_cart(model._orb[i]))
-        ax.plot([pos[0]], [pos[1]], "o", c=c_orb, mec="w", mew=0.0, zorder=10, ms=4.0)
+    orb_xy = geo["orb_xy"]
+    ax.plot(orb_xy[:, 0], orb_xy[:, 1], "o", c=c_orb, mec="w", mew=0.0,
+            zorder=10, ms=4.0, ls="none")
 
-    # hoppings, drawn in both directions with a slight bend
-    if draw_hoppings:
-        for h in model._hoppings:
-            for s in range(2):
-                pos_i = np.copy(model._orb[h[1]]).astype(float)
-                pos_j = np.copy(model._orb[h[2]]).astype(float)
-                if model._dim_k != 0:
-                    if s == 0:
-                        pos_j[model._per] = pos_j[model._per] + h[3][model._per]
-                    else:
-                        pos_i[model._per] = pos_i[model._per] - h[3][model._per]
-                pos_i = np.array(proj(to_cart(pos_i)))
-                pos_j = np.array(proj(to_cart(pos_j)))
-                pos_mid = (pos_i + pos_j) * 0.5
-                dif = pos_j - pos_i
-                orth = np.array([dif[1], -1.0 * dif[0]])
-                nrm = np.sqrt(np.dot(orth, orth))
-                if nrm > 0:
-                    orth = orth / nrm
-                    pos_mid = pos_mid + orth * 0.05 * np.sqrt(np.dot(dif, dif))
-                pnts = np.array([pos_i, pos_mid, pos_j]).T
-                ax.plot(pnts[0], pnts[1], "-", c=c_hop, lw=0.75, zorder=8)
-                ax.plot([pos_i[0]], [pos_i[1]], "o", c=c_nei, zorder=9, mew=0.0, ms=4.0, mec="w")
-                ax.plot([pos_j[0]], [pos_j[1]], "o", c=c_nei, zorder=9, mew=0.0, ms=4.0, mec="w")
-
-    # eigenstate markers: size ~ amplitude, color ~ phase
+    # eigenstate markers: size ~ amplitude, color ~ phase (one scatter;
+    # scatter sizes are areas in pt^2 = (plot ms)^2)
     if eig_dr is not None:
-        for i in range(model._norb):
-            pos = proj(to_cart(model._orb[i]))
-            nrm = float((eig_dr[i] * np.conj(eig_dr[i])).real)
-            nrm_rad = 2.0 * nrm * float(model._norb)
-            phase = np.angle(eig_dr[i])
-            ax.plot(
-                [pos[0]], [pos[1]], "o",
-                c=color_to_phase(phase), mec="w", mew=0.0, ms=nrm_rad, zorder=11, alpha=0.8,
-            )
+        eig = np.asarray(eig_dr)
+        ms = 2.0 * (eig * eig.conj()).real * float(model._norb)
+        if ph_color == "black":
+            colors = "k"
+        else:
+            colors = _phase_colors(np.angle(eig), ph_color)
+        ax.scatter(orb_xy[:, 0], orb_xy[:, 1], s=ms * ms, c=colors,
+                   zorder=11, alpha=0.8, edgecolors="none")
 
-    # square up the limits
+    # square up the limits (reference pythtb.py:845-855)
+    ax.autoscale_view()
     xl, yl = ax.set_xlim(), ax.set_ylim()
     centx, centy = (xl[1] + xl[0]) * 0.5, (yl[1] + yl[0]) * 0.5
     mx = max([xl[1] - xl[0], yl[1] - yl[0]])
