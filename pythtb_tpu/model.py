@@ -435,10 +435,25 @@ class tb_model(object):
     # -- solving --------------------------------------------------------
 
     def solve_all(self, k_list=None, eig_vectors=False):
-        """Diagonalize on a k-list in one batched device call.
+        """Diagonalize the Bloch Hamiltonian on a list of k-points.
 
-        Returns reference layout (pythtb.py:994-1025): eval[band, kpt]
-        (or eval[band] for dim_k=0), evec[band, kpt, orb(, spin)].
+        The reference loops over k in Python (pythtb.py:955-1079, loop
+        at :1047); here the whole batch is assembled and diagonalized in
+        one compiled device call (sharded over an active device mesh).
+
+        :param k_list: (nkp, dim_k) reduced k-points; omit for dim_k=0
+        :param eig_vectors: also return eigenvectors
+        :returns: ``eval[band, kpt]`` float, ascending per k-point (or
+          ``eval[band]`` for dim_k=0); with ``eig_vectors``, also
+          ``evec[band, kpt, orb(, spin)]`` complex -- coefficients of
+          the cell-periodic u_nk (Convention I; reference layout
+          pythtb.py:994-1025)
+
+        Example::
+
+            k_vec, k_dist, k_node = model.k_path([[0, 0], [0.5, 0.5]], 51)
+            evals = model.solve_all(k_vec)              # (nsta, 51)
+            evals, evecs = model.solve_all(k_vec, eig_vectors=True)
         """
         if k_list is None:
             if self._dim_k != 0:
@@ -493,11 +508,39 @@ class tb_model(object):
     # -- k-space helpers ------------------------------------------------
 
     def k_uniform_mesh(self, mesh_size):
-        """Gamma-inclusive uniform k-mesh (reference pythtb.py:1792-1861)."""
+        """Gamma-inclusive uniform k-mesh.
+
+        :param mesh_size: points per periodic direction, length dim_k
+        :returns: (prod(mesh_size), dim_k) reduced k-points, point
+          [i1.., d] = i_d / mesh_size[d] (reference pythtb.py:1792-1861)
+
+        Example::
+
+            kpts = model.k_uniform_mesh([10, 10])       # (100, 2)
+            evals = model.solve_all(kpts)
+        """
         return kspace.k_uniform_mesh(self._dim_k, mesh_size)
 
     def k_path(self, kpts, nk, report=True):
-        """Interpolated path through nodes (reference pythtb.py:1863-2026)."""
+        """Near-equidistant k-path through the given nodes.
+
+        Segment lengths use the reciprocal metric
+        ``inv(lat_per . lat_per^T)`` so spacing is uniform in Cartesian
+        reciprocal space (reference pythtb.py:1863-2026).
+
+        :param kpts: (nnodes, dim_k) nodes; for dim_k=1 also the strings
+          ``"full"`` (0 to 1), ``"fullc"`` (-1/2 to 1/2), ``"half"``
+        :param nk: total points along the path
+        :param report: print the node table
+        :returns: ``(k_vec (nk, dim_k), k_dist (nk,), k_node (nnodes,))``
+          -- points, cumulative path length, node positions on that axis
+
+        Example::
+
+            path = [[0, 0], [2/3, 1/3], [0.5, 0.5], [0, 0]]
+            k_vec, k_dist, k_node = model.k_path(path, 121, report=False)
+            evals = model.solve_all(k_vec)   # plot vs k_dist
+        """
         return kspace.k_path(self._lat, self._per, self._dim_k, kpts, nk, report)
 
     # -- position operator ----------------------------------------------
@@ -625,9 +668,24 @@ class tb_model(object):
     # -- model surgery ---------------------------------------------------
 
     def cut_piece(self, num, fin_dir, glue_edgs=False):
-        """Repeat the cell ``num`` times along ``fin_dir`` and open (or
-        glue) the boundary (reference pythtb.py:1105-1231).  Orbital i of
-        cell n gets index i + norb*n."""
+        """Cut a finite piece: repeat the cell ``num`` times along
+        periodic direction ``fin_dir`` and make it non-periodic.
+
+        Orbital i of cell copy n gets index ``i + norb*n``; hoppings
+        that spill past the edge are dropped (or wrapped around when
+        ``glue_edgs=True``).  Reference pythtb.py:1105-1231.
+
+        :param num: number of cell copies (>= 1)
+        :param fin_dir: which periodic direction to make finite
+        :param glue_edgs: periodic wrap instead of open edges
+        :returns: a NEW tb_model with dim_k reduced by one
+
+        Example::
+
+            ribbon = model.cut_piece(10, 1)          # dim_k 2 -> 1
+            flake = ribbon.cut_piece(10, 0)          # fully finite
+            levels = flake.solve_all()
+        """
         if self._dim_k == 0:
             raise PythtbError("Model is already finite")
         if not _is_int(num):
@@ -682,8 +740,19 @@ class tb_model(object):
         return fin_model
 
     def reduce_dim(self, remove_k, value_k):
-        """Freeze one reduced k-component at value_k, baking its Bloch
-        phase into the amplitudes (reference pythtb.py:1233-1311)."""
+        """Freeze reduced momentum component ``remove_k`` at ``value_k``.
+
+        The Bloch phase ``exp(2j*pi*value_k*rv)`` of that direction is
+        baked into the hopping amplitudes; hops that become on-site fold
+        together with their conjugates (reference pythtb.py:1233-1311).
+
+        :returns: a NEW tb_model with dim_k reduced by one
+
+        Example::
+
+            slice_model = model.reduce_dim(1, 0.25)  # fix k2 = 0.25
+            bands = slice_model.solve_all(np.linspace(0, 1, 51)[:, None])
+        """
         if self._dim_k == 0:
             raise PythtbError("Can not reduce dimensionality even further!")
         red_tb = _copy.deepcopy(self)
@@ -773,9 +842,24 @@ class tb_model(object):
         return nnp_tb
 
     def make_supercell(self, sc_red_lat, return_sc_vectors=False, to_home=True, to_home_suppress_warning=False):
-        """Build a supercell model from an integer matrix of supercell
-        vectors in reduced coordinates (reference pythtb.py:1440-1637).
-        The candidate search and refolding are vectorized."""
+        """Build a supercell model.
+
+        ``sc_red_lat`` is an integer matrix whose rows are the new
+        lattice vectors in units of the old ones (det = number of old
+        cells per new cell).  Hoppings are re-folded into the new cell;
+        the candidate search and pair lookup are vectorized (the
+        reference is O(nhop^2); pythtb.py:1440-1637).
+
+        :param sc_red_lat: (dim_r, dim_r) integer matrix, positive det
+        :param return_sc_vectors: also return the old-cell positions
+          inside the new cell
+        :param to_home: shift orbitals into the home cell afterwards
+        :returns: a NEW tb_model (optionally ``(model, sc_vectors)``)
+
+        Example::
+
+            sc = model.make_supercell([[2, 1], [-1, 2]])  # sqrt(5) cell
+        """
         if self._dim_r == 0:
             raise PythtbError(
                 "Must have at least one periodic direction to make a super-cell"

@@ -430,7 +430,15 @@ class wf_array(object):
         Beyond the reference: warns if any link overlap along the
         strings is (nearly) singular, in which case the discretized
         phase is undefined and the returned values are noise (the
-        reference returns the same noise silently)."""
+        reference returns the same noise silently).
+
+        Example::
+
+            wf = wf_array(model, [31, 31])
+            wf.solve_on_grid([-0.5, -0.5])
+            flow = wf.berry_phase([0], dir=1, contin=True)   # (31,)
+            centers = wf.berry_phase([0, 1], dir=1, berry_evals=True)
+        """
         occ = self._occ_index(occ)
         self._check_w90()
         if self._dim_arr == 1:
@@ -488,7 +496,21 @@ class wf_array(object):
     def berry_flux(self, occ="All", dirs=None, individual_phases=False):
         r"""Integrated Berry curvature over planes spanned by ``dirs``
         (reference pythtb.py:3068-3205).  For dim > 2, computed for every
-        2-D slice over the remaining directions."""
+        2-D slice over the remaining directions.
+
+        :param occ: state indices (or "All")
+        :param dirs: the two grid directions spanning the plane
+        :param individual_phases: return the (n0-1, n1-1) plaquette
+          phases instead of their sum
+        :returns: total flux (Chern number x 2 pi for a full-BZ grid),
+          or per-slice sums / per-plaquette arrays for rank > 2
+
+        Example::
+
+            wf = wf_array(model, [31, 31])
+            wf.solve_on_grid([-0.5, -0.5])
+            chern = wf.berry_flux([0]) / (2 * np.pi)
+        """
         occ = self._occ_index(occ)
         self._check_w90()
         if dirs is None:
