@@ -22,10 +22,14 @@ import numpy as np
 from pythtb_tpu import flows, models
 
 NE, NR = 24, 21
-NK = 31
+NK = 17  # deliberately coarse: the convergence mask below flags the
+         # parameter points this grid under-resolves
 
 base = models.kane_mele()
-fn, p0 = flows.z2_fn(base, (0, 1), nk=(NK, NK))
+# check=True: each point evaluates BOTH the NK and (2*NK-1) grids in one
+# program and returns (z2_refined, converged) -- the phase diagram
+# carries its own convergence mask
+fn, p0 = flows.z2_fn(base, (0, 1), nk=(NK, NK), check=True)
 
 esites = np.linspace(0.25, 3.5, NE)
 rashbas = np.linspace(0.0, 1.2, NR)
@@ -39,14 +43,25 @@ for e in esites:
 
 z2_vmapped = jax.jit(jax.vmap(lambda a, g: fn({"amps": a, "diag": g})))
 t0 = time.perf_counter()
-z2 = np.asarray(z2_vmapped(np.stack(amps), np.stack(diags))).reshape(NE, NR)
+z2, conv = jax.device_get(z2_vmapped(np.stack(amps), np.stack(diags)))
+z2 = np.asarray(z2).reshape(NE, NR)
+conv = np.asarray(conv).reshape(NE, NR)
 dt = time.perf_counter() - t0
-print("computed %d Z2 invariants (each a %dx%d Wilson-flow analysis) in %.2fs"
-      % (z2.size, NK, NK, dt))
+n_flag = int((conv == 0).sum())
+print("computed %d Z2 invariants (each TWO Wilson-flow analyses, %dx%d "
+      "and %dx%d) in %.2fs" % (z2.size, NK, NK, 2 * NK - 1, 2 * NK - 1, dt))
+print("convergence mask: %d/%d points under-resolved at nk=%d "
+      "(flagged on the plot)" % (n_flag, conv.size, NK))
 
 fig, ax = plt.subplots(figsize=(5.0, 4.0))
 im = ax.imshow(z2, origin="lower", aspect="auto", cmap="PuOr", vmin=0, vmax=1,
                extent=(rashbas[0], rashbas[-1], esites[0], esites[-1]))
+# hatch the unconverged points
+bad = np.argwhere(conv == 0)
+if bad.size:
+    ax.plot(rashbas[bad[:, 1]], esites[bad[:, 0]], "x", ms=4, c="k",
+            label="grid-unconverged")
+    ax.legend(loc="upper right", fontsize=7)
 ax.set(xlabel=r"Rashba $\lambda_R$", ylabel=r"staggered onsite $e$",
        title=r"Kane-Mele $\mathbb{Z}_2$ phase diagram (QSH = 1)")
 fig.colorbar(im, ax=ax, ticks=[0, 1])
