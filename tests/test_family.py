@@ -121,3 +121,50 @@ def test_family_validation():
     fam = family([hal])
     with pytest.raises(ptt.PythtbError):
         fam.chern(nocc=[5])  # nocc > nsta
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_family_fuzz_supercell_series(seed, ref):
+    """Random 2D models: a family over supercell matrices must
+    reproduce per-member reference energies exactly, and per-member
+    wf_array fluxes where the occupied boundary is gapped."""
+    from .test_fuzz_reference import _build_random
+
+    with redirect_stdout(io.StringIO()):
+        m_tpu, _ = _build_random(ptt, 700 + seed, force_2d=True)
+        m_ref, _ = _build_random(ref, 700 + seed, force_2d=True)
+        mats = [[[1, 0], [0, 1]], [[1, 1], [-1, 1]], [[2, 0], [0, 1]]]
+        mem_t, mem_r = [], []
+        for M in mats:
+            mem_t.append(m_tpu.make_supercell(M, to_home=False))
+            mem_r.append(m_ref.make_supercell(M, to_home=False))
+    fam = family(mem_t)
+
+    rng = np.random.RandomState(seed)
+    kpts = rng.rand(4, 2)
+    ev = fam.energies(kpts)
+    for p, mr in enumerate(mem_r):
+        direct = mr.solve_all(kpts)
+        np.testing.assert_allclose(
+            ev[p][:, : direct.shape[0]], np.sort(direct.T, axis=1), atol=1e-9
+        )
+
+    # flux of the lower half manifold, vs our wf_array per member, on
+    # members whose occupied boundary is gapped everywhere
+    nocc = [max(1, m._nsta // 2) for m in mem_t]
+    probe = fam.energies(m_tpu.k_uniform_mesh([7, 7]))
+    ok = [
+        probe[p][:, nocc[p]].min() - probe[p][:, nocc[p] - 1].max() > 1e-4
+        if nocc[p] < mem_t[p]._nsta else True
+        for p in range(len(mem_t))
+    ]
+    if not any(ok):
+        pytest.skip("no gapped member in this draw")
+    c = fam.chern(nocc=nocc, nk=(13, 13))
+    for p, m in enumerate(mem_t):
+        if not ok[p]:
+            continue
+        wf = ptt.wf_array(m, [13, 13])
+        wf.solve_on_grid([0.0, 0.0])
+        refc = wf.berry_flux(list(range(nocc[p]))) / (2.0 * np.pi)
+        np.testing.assert_allclose(c[p], refc, atol=1e-8)
