@@ -33,6 +33,7 @@ from .utils.continuity import no_2pi
 from .wf_array import wf_array
 from .w90 import w90
 from . import models, parallel
+from . import magnetic
 from .family import family, ModelFamily
 
 __version__ = "0.1.0"
@@ -45,6 +46,7 @@ __all__ = [
     "w90",
     "models",
     "parallel",
+    "magnetic",
     "no_2pi",
     "PythtbError",
     "__version__",
