@@ -173,9 +173,20 @@ def unitary_eigenphases(U):
     Returns (..., S) float angles in (-pi, pi], unsorted.
     Batched, jittable, differentiable (via eigh JVPs).
     """
+    return unitary_eig(U)[0]
+
+
+def unitary_eig(U):
+    """Full spectral decomposition of (..., S, S) unitary matrices:
+    ``(theta, P)`` with ``U = P @ diag(exp(i*theta)) @ P^H`` and P
+    unitary (columns are eigenvectors).  Same simultaneous-eigh
+    algorithm as :func:`unitary_eigenphases` (see that docstring); used
+    by the smooth-gauge engine to take fractional powers
+    ``U^t = P diag(e^{i theta t}) P^H`` of Wilson-loop holonomies.
+    """
     S = U.shape[-1]
     if S == 1:
-        return jnp.angle(U[..., 0, 0])
+        return jnp.angle(U[..., 0, 0])[..., None], jnp.ones_like(U)
     Uh = jnp.conj(jnp.swapaxes(U, -1, -2))
     A = (U + Uh) / 2
     Bm = (U - Uh) / 2j
@@ -203,7 +214,7 @@ def unitary_eigenphases(U):
     hp = jax.lax.Precision.HIGHEST
     cdiag = jnp.einsum("...ij,...i->...j", absW2, c, precision=hp)
     sdiag = s2 - jnp.einsum("...ij,...i->...j", absW2, shift, precision=hp)
-    return jnp.arctan2(sdiag, cdiag)
+    return jnp.arctan2(sdiag, cdiag), _mm(V, W)
 
 
 def wilson_eigenphases(prod):

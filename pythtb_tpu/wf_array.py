@@ -297,6 +297,86 @@ class wf_array(object):
         last = (slice(None),) * mesh_dir + (-1, Ellipsis)
         host[last] = host[first]
 
+    def smooth_gauge(self, occ="All", dir=0, closed=True):
+        r"""Impose the optimally-smooth parallel-transport gauge of
+        Marzari & Vanderbilt 1997 on states ``occ`` along grid axis
+        ``dir``, in place (an upstream wish-list feature,
+        /root/reference/notes/TODO:17-20, absent from the reference).
+
+        With ``closed=False`` this is pure parallel transport: each
+        link overlap of the smoothed states is Hermitian positive
+        (zero Berry connection between steps).  With ``closed=True``
+        (default) the loop holonomy is distributed evenly along the
+        axis via fractional powers, so the gauge is additionally
+        consistent with however the axis closes -- both
+        :meth:`impose_loop` (last point = first) and :meth:`impose_pbc`
+        (last point = phased first) endpoints are preserved exactly.
+        The subspace spanned at each grid point is unchanged; only the
+        basis within it rotates, so all gauge-invariant quantities
+        (Berry phases/fluxes, Wilson eigenphases) are untouched.
+
+        Runs as one log-depth device program: the parallel-transport
+        rotation at point m is the cumulative product of the polar-
+        unitarized link overlaps (an associative scan), not a
+        sequential sweep.  See :mod:`pythtb_tpu.ops.transport`.
+
+        :param occ: stored-state indices to smooth (default all)
+        :param dir: grid axis along which to smooth
+        :param closed: distribute the loop holonomy (see above)
+        """
+        from .ops import transport
+
+        occ = self._occ_index(occ)
+        if dir < 0 or dir >= self._dim_arr:
+            raise PythtbError("Wrong value of dir.")
+        packed, min_s = transport.smooth_gauge(
+            self._packed(), occ, dir, self._nspin, self._dim_arr, closed
+        )
+        self._warn_singular(min_s, "smooth_gauge:singular value")
+        self._set_device(packed)
+
+    def adiabatic_evolve(self, occ, dir=0, return_states=False):
+        r"""Adiabatically follow the subspace spanned by stored states
+        ``occ`` along grid axis ``dir`` (an upstream wish-list feature,
+        /root/reference/notes/TODO:46-48: "if you start from some set of
+        occupied states and then crank up parameter lambda, which
+        states do you end up with?").
+
+        Starting from states ``occ`` at index 0 of axis ``dir``, at
+        each subsequent grid point the ``len(occ)`` stored states with
+        the largest squared overlap against the transported subspace
+        are selected and the subspace is parallel-transported into
+        them.  This follows states *through* crossings (by continuity
+        of the wavefunction) rather than by energy ordering.
+
+        :param occ: stored-state indices of the initial subspace
+        :param dir: grid axis to evolve along (a parameter axis such as
+          a pump cycle, or any k-axis)
+        :param return_states: also return the followed states
+        :returns: ``(indices, fidelity)`` -- indices has the evolved
+          axis first, shape (L, ..., nocc): which stored states are
+          occupied at each step; fidelity (L-1, ...) is the fraction of
+          the subspace captured at each step (1 = perfectly adiabatic;
+          noticeably below 1 = diabatic leakage through a small gap --
+          refine the grid or accept the Landau-Zener crossing).  With
+          ``return_states=True`` a third element: a new
+          :class:`wf_array` with ``nsta_arr = len(occ)`` holding the
+          followed states in a smooth gauge.
+        """
+        from .ops import transport
+
+        occ = self._occ_index(occ)
+        if dir < 0 or dir >= self._dim_arr:
+            raise PythtbError("Wrong value of dir.")
+        idx, fid, states = transport.follow_states(
+            self._packed(), occ, dir, self._nspin, self._dim_arr
+        )
+        if not return_states:
+            return idx, fid
+        wf_new = self.empty_like(nsta_arr=len(occ))
+        wf_new._set_device(states)
+        return idx, fid, wf_new
+
     # -- internal helpers -----------------------------------------------
 
     def _occ_index(self, occ):
