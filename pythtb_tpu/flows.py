@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -507,3 +507,196 @@ def energy_fn(model):
         return eigvalsh_batched(H)
 
     return fn, params0
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free solvers for large finite models
+# ---------------------------------------------------------------------------
+
+
+def solve_lowest(model, num_states, eig_vectors=False, max_iters=300, tol=None, seed=0):
+    """Lowest ``num_states`` eigenpairs of a FINITE model, matrix-free.
+
+    The reference always materializes the dense Hamiltonian and calls a
+    dense eigensolver -- O(norb^2) memory, O(norb^3) time
+    (pythtb.py:927-953); its own wish list asks for a sparse algorithm
+    (/root/reference/notes/TODO:58-59).  This uses block LOBPCG on the
+    hopping table directly (:mod:`pythtb_tpu.ops.matvec`): O(nhop)
+    memory and O(nhop * num_states) per iteration, so million-orbital
+    flakes (disorder realizations, opened magnetic supercells) are in
+    reach on a single chip.
+
+    Implementation: JAX's ``lobpcg_standard`` finds only the TOP block
+    and is real-typed, so H is (a) spectrum-reversed with a Gershgorin
+    shift ``sigma*I - H`` and (b) embedded as the real symmetric
+    ``[[Re H, -Im H], [Im H, Re H]]`` whose spectrum is H's doubled --
+    the embedding intertwines exactly, so a real Ritz vector
+    ``[x_re; x_im]`` maps back to a complex eigenvector
+    ``x_re + i*x_im``.  The doubled block (2*num_states vectors) is
+    compressed back to ``num_states`` eigenpairs by an SVD basis
+    extraction plus a small Rayleigh-Ritz solve.
+
+    :param num_states: how many lowest states (needs
+      ``10 * num_states < norb * nspin``)
+    :param eig_vectors: also return eigenvectors
+    :param max_iters: LOBPCG iteration cap
+    :param tol: LOBPCG residual tolerance (None = dtype epsilon)
+    :param seed: PRNG seed for the random starting block
+    :returns: ``evals (num_states,)`` ascending, and with
+      ``eig_vectors=True`` also ``evecs`` in solve_all layout
+      ``(num_states, norb)`` or ``(num_states, norb, 2)``
+
+    Caveat: if the cut at ``num_states`` falls inside a degenerate
+    multiplet, which members are returned is arbitrary (standard for
+    iterative solvers).
+    """
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    from .ops.matvec import gershgorin_window, matvec, sparse_h
+
+    h = sparse_h(model)
+    N = h.nsta
+    k = int(num_states)
+    if k < 1:
+        raise ValueError("num_states must be >= 1")
+    if 10 * k >= N:
+        raise ValueError(
+            "solve_lowest needs 10*num_states < %d states; use solve_all "
+            "for small models" % N
+        )
+    lo, hi = gershgorin_window(h)
+    sigma = hi + 0.01 * (hi - lo) + 1e-12
+
+    rdtype = jnp.zeros(0).dtype  # f64 on CPU+x64, f32 on TPU
+
+    def _cx(V):  # (2N, B) real -> complex block in matvec layout
+        z = V[:N] + 1j * V[N:]
+        if h.nspin == 2:
+            return z.reshape(h.norb, 2, -1)
+        return z
+
+    def amat(V):
+        y = matvec(h, _cx(V)).reshape(N, -1)
+        return sigma * V - jnp.concatenate([jnp.real(y), jnp.imag(y)], axis=0)
+
+    key = jax.random.PRNGKey(seed)
+    X0 = jax.random.normal(key, (2 * N, 2 * k), dtype=rdtype)
+    theta, V, _ = lobpcg_standard(amat, X0, m=int(max_iters), tol=tol)
+
+    from .utils.xfer import host_unpack, pack_cplx
+
+    @jax.jit
+    def _post(V):
+        # real Ritz block -> complex eigenbasis: SVD extracts the k-dim
+        # column space, a small Rayleigh-Ritz solve re-diagonalizes
+        # (jitted: eager complex constants cannot cross the axon
+        # host<->device boundary)
+        Z = V[:N] + 1j * V[N:]  # (N, 2k), rank k
+        U, _, _ = jnp.linalg.svd(Z, full_matrices=False)
+        U = U[:, :k]  # (N, k) orthonormal
+        HU = matvec(h, U.reshape((h.norb, 2, -1) if h.nspin == 2 else (h.norb, -1)))
+        HU = HU.reshape(N, k)
+        hp = jax.lax.Precision.HIGHEST
+        Hk = jnp.matmul(jnp.conj(U.T), HU, precision=hp)
+        Hk = (Hk + jnp.conj(Hk.T)) / 2
+        w, S = jnp.linalg.eigh(Hk)
+        vecs = jnp.matmul(U, S, precision=hp).T  # (k, N)
+        if h.nspin == 2:
+            vecs = vecs.reshape(k, h.norb, 2)
+        return w, pack_cplx(vecs)
+
+    w, vecs_packed = _post(V)
+    if not eig_vectors:
+        return np.asarray(jax.device_get(w), dtype=np.float64)
+    w, vecs_packed = jax.device_get((w, vecs_packed))  # one round trip
+    return np.asarray(w, dtype=np.float64), host_unpack(np.asarray(vecs_packed))
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _kpm_moments_jit(h, a, b, key, M, R):
+    """Stochastic Chebyshev moments mu_0..mu_{M-1} of the rescaled
+    (H - b)/a, R random-phase vectors, doubling identities (two moments
+    per matvec), one lax.scan program.  Module-level so the compiled
+    executable is reused across calls of the same shape."""
+    from .ops.matvec import matvec
+
+    N = h.nsta
+    th = jax.random.uniform(key, (N, R), minval=0.0, maxval=2.0 * np.pi)
+    x0 = jnp.exp(1j * th)  # random-phase vectors: E<x|A|x> = Tr A
+    shape = (h.norb, 2, R) if h.nspin == 2 else (h.norb, R)
+
+    def hmv(v):
+        return (matvec(h, v.reshape(shape)).reshape(N, R) - b * v) / a
+
+    t0 = x0
+    t1 = hmv(x0)
+    mu0 = jnp.full((R,), float(N))  # <x|T_0|x> = N for phase vectors
+    mu1 = jnp.sum(jnp.real(jnp.conj(x0) * t1), axis=0)
+
+    def step(carry, _):
+        tm, tc = carry  # T_{m-1}, T_m
+        tn = 2.0 * hmv(tc) - tm
+        even = 2.0 * jnp.sum(jnp.real(jnp.conj(tc) * tc), axis=0) - mu0
+        odd = 2.0 * jnp.sum(jnp.real(jnp.conj(tn) * tc), axis=0) - mu1
+        return (tc, tn), (even, odd)
+
+    _, (ev, od) = jax.lax.scan(step, (t0, t1), None, length=M // 2)
+    mu = jnp.zeros((M, R))
+    mu = mu.at[0].set(mu0).at[1].set(mu1)
+    mu = mu.at[2::2].set(ev[: (M - 2 + 1) // 2])
+    mu = mu.at[3::2].set(od[: (M - 2) // 2])
+    return jnp.mean(mu, axis=1)
+
+
+def kpm_dos(model, energies=None, num_moments=512, num_vectors=8,
+            n_energies=401, seed=0):
+    """Density of states of a FINITE model by the kernel polynomial
+    method (stochastic Chebyshev expansion with the Jackson kernel).
+
+    Complements :func:`density_of_states` (which diagonalizes): KPM
+    needs only ``num_moments/2`` Hamiltonian applications per random
+    vector -- O(nhop * num_moments * num_vectors) total, no
+    diagonalization -- so it scales to system sizes where even storing
+    the dense H is impossible.  The whole moment recursion is one
+    ``lax.scan`` device program over the matrix-free hop-table matvec
+    (:mod:`pythtb_tpu.ops.matvec`), using the doubling identities
+    ``mu_{2m} = 2<T_m|T_m> - mu_0`` and ``mu_{2m+1} = 2<T_{m+1}|T_m> -
+    mu_1`` (two moments per matvec).
+
+    :param energies: energy grid (default: Gershgorin window, open
+      interval, ``n_energies`` points)
+    :param num_moments: Chebyshev moments (resolution ~ spectral width
+      / num_moments; Jackson-kernel broadening is automatic)
+    :param num_vectors: random-phase vectors for the stochastic trace
+      (relative error ~ 1/sqrt(num_vectors * norb))
+    :returns: ``(energies, dos)`` with ``sum(dos) * dE ~ norb * nspin``
+    """
+    from .ops.matvec import gershgorin_window, sparse_h
+
+    h = sparse_h(model)
+    lo, hi = gershgorin_window(h)
+    a = 0.5 * (hi - lo) / 0.98 + 1e-12  # keep spectrum inside (-0.98, 0.98)
+    b = 0.5 * (hi + lo)
+    M = int(num_moments)
+    R = int(num_vectors)
+
+    mu = np.asarray(
+        jax.device_get(_kpm_moments_jit(h, a, b, jax.random.PRNGKey(seed), M, R)),
+        dtype=np.float64,
+    )
+
+    # Jackson kernel (Weisse et al., Rev. Mod. Phys. 78, 275 (2006))
+    m_arr = np.arange(M)
+    Mp = M + 1.0
+    g = ((Mp - m_arr) * np.cos(np.pi * m_arr / Mp)
+         + np.sin(np.pi * m_arr / Mp) / np.tan(np.pi / Mp)) / Mp
+
+    if energies is None:
+        energies = np.linspace(lo, hi, int(n_energies))
+    energies = np.asarray(energies, dtype=np.float64)
+    et = np.clip((energies - b) / a, -1.0 + 1e-12, 1.0 - 1e-12)
+    tm = np.cos(m_arr[None, :] * np.arccos(et)[:, None])  # (E, M)
+    w = np.full(M, 2.0)
+    w[0] = 1.0
+    dos = (tm * (w * g * mu)[None, :]).sum(axis=1) / (np.pi * np.sqrt(1.0 - et**2)) / a
+    return energies, dos

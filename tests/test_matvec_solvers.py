@@ -1,0 +1,139 @@
+"""Matrix-free large-finite-model solvers: hop-table matvec, LOBPCG
+lowest states, KPM density of states (upstream wish-list item
+/root/reference/notes/TODO:58-59 "Finite sized models are hard to
+solve. Maybe use some algorithm for sparse matrices?").
+
+Oracles: the dense path of this package (itself golden-tested against
+the reference) on models small enough to diagonalize."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pythtb_tpu import flows, magnetic, tb_model
+from pythtb_tpu.models import library as zoo
+from pythtb_tpu.ops.matvec import gershgorin_window, matvec, sparse_h
+
+
+def haldane_flake(n1=8, n2=8):
+    return zoo.haldane().cut_piece(n1, 0).cut_piece(n2, 1)
+
+
+def km_flake(n1=4, n2=4):
+    return zoo.kane_mele().cut_piece(n1, 0).cut_piece(n2, 1)
+
+
+def _dense_H(model):
+    """Dense Hamiltonian via the library's own gen_ham at no k."""
+    return np.asarray(model.gen_ham()).reshape(model._nsta, model._nsta)
+
+
+class TestMatvec:
+    @pytest.mark.parametrize("flake", [haldane_flake(3, 3), km_flake(2, 2)])
+    def test_matches_dense(self, flake):
+        h = sparse_h(flake)
+        H = _dense_H(flake)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(h.nsta, 3)) + 1j * rng.normal(size=(h.nsta, 3))
+        shape = (h.norb, 2, 3) if h.nspin == 2 else (h.norb, 3)
+        y = np.asarray(matvec(h, jnp.asarray(x.reshape(shape)))).reshape(h.nsta, 3)
+        np.testing.assert_allclose(y, H @ x, atol=1e-12)
+
+    def test_gershgorin_contains_spectrum(self):
+        for flake in (haldane_flake(3, 3), km_flake(2, 2)):
+            lo, hi = gershgorin_window(sparse_h(flake))
+            ev = np.linalg.eigvalsh(_dense_H(flake))
+            assert lo <= ev.min() and ev.max() <= hi
+
+    def test_requires_finite_model(self):
+        from pythtb_tpu import PythtbError
+
+        with pytest.raises(PythtbError):
+            sparse_h(zoo.haldane())
+
+
+class TestSolveLowest:
+    def test_haldane_flake_lowest(self):
+        flake = haldane_flake()  # 128 orbitals
+        dense = np.sort(np.linalg.eigvalsh(_dense_H(flake)))
+        evals = flows.solve_lowest(flake, 6, max_iters=400)
+        np.testing.assert_allclose(evals, dense[:6], atol=1e-8)
+
+    def test_eigenvectors_and_layout(self):
+        flake = haldane_flake(6, 6)
+        H = _dense_H(flake)
+        evals, evecs = flows.solve_lowest(flake, 4, eig_vectors=True, max_iters=400)
+        assert evecs.shape == (4, flake._norb)
+        for n in range(4):
+            r = H @ evecs[n] - evals[n] * evecs[n]
+            assert np.linalg.norm(r) < 1e-7
+
+    def test_spinful_flake(self):
+        flake = km_flake()  # 128 states
+        dense = np.sort(np.linalg.eigvalsh(_dense_H(flake)))
+        evals, evecs = flows.solve_lowest(flake, 5, eig_vectors=True, max_iters=500)
+        np.testing.assert_allclose(evals, dense[:5], atol=1e-7)
+        assert evecs.shape == (5, flake._norb, 2)
+
+    def test_magnetic_flake_complex_hops(self):
+        sq = tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]], orb=[[0.0, 0.0]])
+        sq.set_hop(1.0, 0, 0, [1, 0])
+        sq.set_hop(1.0, 0, 0, [0, 1])
+        msc = magnetic.magnetic_supercell(sq, 1, 5)
+        flake = msc.cut_piece(3, 0).cut_piece(15, 1)  # 225 sites
+        dense = np.sort(np.linalg.eigvalsh(_dense_H(flake)))
+        evals = flows.solve_lowest(flake, 8, max_iters=500)
+        np.testing.assert_allclose(evals, dense[:8], atol=1e-7)
+
+    def test_validation(self):
+        flake = haldane_flake(2, 2)
+        with pytest.raises(ValueError):
+            flows.solve_lowest(flake, 1000)
+        with pytest.raises(ValueError):
+            flows.solve_lowest(flake, 0)
+
+
+class TestKpmDos:
+    def test_integral_and_shape_vs_dense(self):
+        flake = haldane_flake(10, 10)  # 200 orbitals
+        ev = np.linalg.eigvalsh(_dense_H(flake))
+        energies, dos = flows.kpm_dos(
+            flake, num_moments=256, num_vectors=16, n_energies=501, seed=1
+        )
+        de = energies[1] - energies[0]
+        # normalization: integrates to the number of states
+        assert abs(dos.sum() * de - flake._nsta) / flake._nsta < 0.02
+        # shape: compare against a Gaussian-smoothed dense histogram at
+        # matched broadening (Jackson kernel ~ Gaussian of width
+        # pi*a/M); correlation is the robust check
+        a = (energies[-1] - energies[0]) / 2
+        sig = np.pi * a / 256
+        dense_dos = np.exp(
+            -0.5 * ((energies[:, None] - ev[None, :]) / sig) ** 2
+        ).sum(axis=1) / (sig * np.sqrt(2 * np.pi))
+        corr = np.corrcoef(dos, dense_dos)[0, 1]
+        assert corr > 0.98
+        # note the open Haldane flake correctly shows nonzero in-gap DOS
+        # (chiral edge states); the dense-histogram correlation above
+        # covers that structure too
+
+    def test_trivial_gap_is_empty(self):
+        # trivial insulator flake (no edge states): in-gap DOS ~ 0
+        flake = zoo.bn(t=-1.0, delta=1.2).cut_piece(8, 0).cut_piece(8, 1)
+        energies, dos = flows.kpm_dos(
+            flake, num_moments=256, num_vectors=16, n_energies=301, seed=2
+        )
+        ev = np.linalg.eigvalsh(_dense_H(flake))
+        gap_lo, gap_hi = ev[ev < 0].max(), ev[ev > 0].min()
+        pad = 0.25 * (gap_hi - gap_lo)
+        mask = (energies > gap_lo + pad) & (energies < gap_hi - pad)
+        assert mask.any()
+        assert dos[mask].max() < 0.05 * dos.max()
+
+    def test_custom_energy_grid(self):
+        flake = haldane_flake(5, 5)
+        egrid = np.linspace(-1.0, 1.0, 51)
+        energies, dos = flows.kpm_dos(flake, energies=egrid, num_moments=128)
+        assert energies.shape == (51,) and dos.shape == (51,)
+        assert np.all(np.isfinite(dos))
