@@ -34,12 +34,40 @@ class w90(object):
 
     :param path: folder containing the Wannier90 files
     :param prefix: seedname used by the Wannier90 run
+    :param use_tb_file: read everything from ``<prefix>_tb.dat``
+      (Wannier90's ``write_tb = .true.`` output: lattice, H(R), and
+      position matrices in one file) instead of the
+      ``.win`` / ``_hr.dat`` / ``_centres.xyz`` triple.  ``None``
+      (default) auto-selects: the standard triple when complete,
+      otherwise ``_tb.dat``.  An upstream wish-list feature
+      (/root/reference/notes/TODO:3) the reference never implemented.
+      When read from ``_tb.dat``, the full position matrices are kept
+      on ``self.pos_r`` (dict R -> (nw, nw, 3) complex, Angstrom) and
+      Wannier centers are their R=0 diagonal.
     """
 
-    def __init__(self, path, prefix):
+    def __init__(self, path, prefix, use_tb_file=None):
+        import os
+
         self.path = path
         self.prefix = prefix
+        self.pos_r = None
 
+        tb_path = os.path.join(path, prefix + "_tb.dat")
+        std = [
+            os.path.join(path, prefix + s)
+            for s in (".win", "_hr.dat", "_centres.xyz")
+        ]
+        if use_tb_file is None:
+            use_tb_file = os.path.exists(tb_path) and not all(
+                os.path.exists(p) for p in std
+            )
+        if use_tb_file:
+            self._parse_tb(tb_path)
+        else:
+            self._parse_standard()
+
+    def _parse_standard(self):
         # ---- unit cell from <prefix>.win -----------------------------
         with open(self.path + "/" + self.prefix + ".win", "r") as f:
             ln = f.readlines()
@@ -116,6 +144,96 @@ class w90(object):
             xyz_cen.append([float(sp[1]), float(sp[2]), float(sp[3])])
         self.xyz_cen = np.array(xyz_cen, dtype=float)
         # reduced coordinates of the centers
+        self.red_cen = self.xyz_cen @ np.linalg.inv(self.lat.T).T
+
+    def _parse_tb(self, tb_path):
+        """Parse ``<prefix>_tb.dat`` (Wannier90 ``write_tb``): comment
+        line; 3 lattice rows (Angstrom); num_wann; nrpts; Wigner-Seitz
+        degeneracies; nrpts blocks of [blank, R, nw^2 lines "i j re im"]
+        for H(R); then nrpts blocks of [blank, R, nw^2 lines
+        "i j re_x im_x re_y im_y re_z im_z"] for the position matrices.
+        Entries are indexed by the explicit (i, j) on each line, so any
+        writing order is accepted."""
+        with open(tb_path, "r") as f:
+            ln = f.readlines()
+        self.lat = np.array(
+            [[float(x) for x in ln[1 + j].split()[:3]] for j in range(3)], dtype=float
+        )
+        self.num_wan = int(ln[4])
+        num_ws = int(ln[5])
+        deg_ws = []
+        last_j = None
+        for j in range(6, len(ln)):
+            deg_ws.extend(int(s) for s in ln[j].split())
+            if len(deg_ws) == num_ws:
+                last_j = j
+                break
+            if len(deg_ws) > num_ws:
+                raise PythtbError("Too many degeneracies for WS points!")
+        if last_j is None:
+            raise PythtbError("Degeneracy list in _tb.dat is incomplete.")
+
+        nw = self.num_wan
+        self.ham_r = {}
+        self.pos_r = {}
+        block = None  # (R, kind) while consuming nw*nw entry lines
+        n_entries = 0
+        n_blocks = 0
+        for j in range(last_j + 1, len(ln)):
+            sp = ln[j].split()
+            if not sp:
+                continue
+            if block is None:
+                if len(sp) != 3:
+                    raise PythtbError(
+                        "Expected an R-vector line in _tb.dat, got: " + ln[j].strip()
+                    )
+                R = (int(sp[0]), int(sp[1]), int(sp[2]))
+                if n_blocks < num_ws:
+                    self.ham_r[R] = {
+                        "h": np.zeros((nw, nw), dtype=complex),
+                        "deg": int(deg_ws[n_blocks]),
+                    }
+                    block = (R, "ham")
+                else:
+                    self.pos_r[R] = np.zeros((nw, nw, 3), dtype=complex)
+                    block = (R, "pos")
+                n_entries = 0
+                continue
+            R, kind = block
+            hi, hj = int(sp[0]) - 1, int(sp[1]) - 1
+            if kind == "ham":
+                self.ham_r[R]["h"][hi, hj] = float(sp[2]) + 1.0j * float(sp[3])
+            else:
+                v = [float(x) for x in sp[2:8]]
+                self.pos_r[R][hi, hj] = [
+                    v[0] + 1.0j * v[1],
+                    v[2] + 1.0j * v[3],
+                    v[4] + 1.0j * v[5],
+                ]
+            n_entries += 1
+            if n_entries == nw * nw:
+                block = None
+                n_blocks += 1
+        if n_blocks < 2 * num_ws:
+            raise PythtbError(
+                "_tb.dat ended early: expected %d blocks, found %d"
+                % (2 * num_ws, n_blocks)
+            )
+
+        # sanity: every nonzero R must have exactly one -R partner
+        keys = set(self.ham_r.keys())
+        for R in keys:
+            if R != (0, 0, 0):
+                if (-R[0], -R[1], -R[2]) not in keys:
+                    raise PythtbError("Did not find negative R for R = " + str(R) + "!")
+
+        # Wannier centers = diagonal of the home-cell position matrix
+        if (0, 0, 0) not in self.pos_r:
+            raise PythtbError("_tb.dat has no R=0 position block.")
+        self.xyz_cen = np.real(
+            np.einsum("iid->id", self.pos_r[(0, 0, 0)])
+        ).astype(float)
         self.red_cen = self.xyz_cen @ np.linalg.inv(self.lat.T).T
 
     # ------------------------------------------------------------------

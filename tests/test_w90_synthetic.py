@@ -114,3 +114,89 @@ def test_synthetic_w90_missing_negative_R_rejected(tmp_path, ref):
         with pytest.raises(Exception):
             with redirect_stdout(io.StringIO()):
                 M.w90(str(tmp_path), "bad")
+
+
+# ---------------------------------------------------------------------------
+# write_tb (_tb.dat) support -- beyond-reference (upstream wish list,
+# /root/reference/notes/TODO:3); oracle = our own standard-file import,
+# itself differentially tested against the reference above.
+# ---------------------------------------------------------------------------
+
+
+def _write_tb(dirpath, prefix, lat_ang, centers_ang, ham_r, degs):
+    """Write a <prefix>_tb.dat in Wannier90's write_tb layout; the
+    position matrices are synthesized as diagonal-dominant with the
+    given centers on the R=0 diagonal plus small off-diagonal noise."""
+    nw = centers_ang.shape[0]
+    rng = np.random.RandomState(7)
+    with open("%s/%s_tb.dat" % (dirpath, prefix), "w") as f:
+        f.write("written on synthetic-test-data\n")
+        for row in lat_ang:
+            f.write("  %.12f %.12f %.12f\n" % tuple(row))
+        f.write(" %d\n" % nw)
+        f.write(" %d\n" % len(ham_r))
+        degl = list(degs)
+        for i in range(0, len(degl), 15):
+            f.write(" " + " ".join("%5d" % d for d in degl[i : i + 15]) + "\n")
+        for (R, H) in ham_r.items():
+            f.write("\n%5d%5d%5d\n" % R)
+            for j in range(nw):
+                for i in range(nw):
+                    f.write("%5d%5d  %15.8e %15.8e\n" % (i + 1, j + 1, H[i, j].real, H[i, j].imag))
+        for (R, _) in ham_r.items():
+            f.write("\n%5d%5d%5d\n" % R)
+            for j in range(nw):
+                for i in range(nw):
+                    if R == (0, 0, 0) and i == j:
+                        v = np.array(centers_ang[i], dtype=complex)
+                    else:
+                        v = 0.01 * (rng.randn(3) + 1j * rng.randn(3))
+                    f.write(
+                        "%5d%5d  " % (i + 1, j + 1)
+                        + " ".join("%15.8e %15.8e" % (c.real, c.imag) for c in v)
+                        + "\n"
+                    )
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_tb_dat_matches_standard_files(tmp_path, seed):
+    lat, centers, ham_r, degs = _synthetic_set(seed)
+    _write_w90(str(tmp_path), "syn", lat, centers, ham_r, degs, "ang")
+    _write_tb(str(tmp_path), "syn", lat, centers, ham_r, degs)
+    with redirect_stdout(io.StringIO()):
+        w_std = ptt.w90(str(tmp_path), "syn")                     # auto: standard
+        w_tb = ptt.w90(str(tmp_path), "syn", use_tb_file=True)    # forced tb
+    assert w_std.pos_r is None and w_tb.pos_r is not None
+    np.testing.assert_allclose(w_std.lat, w_tb.lat, atol=1e-10)
+    np.testing.assert_allclose(w_std.xyz_cen, w_tb.xyz_cen, atol=1e-7)
+    with redirect_stdout(io.StringIO()):
+        m_std = w_std.model(min_hopping_norm=0.05)
+        m_tb = w_tb.model(min_hopping_norm=0.05)
+    kpts = np.random.RandomState(seed).rand(6, 3)
+    np.testing.assert_allclose(m_std.solve_all(kpts), m_tb.solve_all(kpts), atol=1e-7)
+    # position matrices: R=0 diagonal carries the centers
+    np.testing.assert_allclose(
+        np.real(np.einsum("iid->id", w_tb.pos_r[(0, 0, 0)])), centers, atol=1e-7
+    )
+
+
+def test_tb_dat_auto_fallback_without_standard_files(tmp_path):
+    lat, centers, ham_r, degs = _synthetic_set(1)
+    _write_tb(str(tmp_path), "solo", lat, centers, ham_r, degs)
+    w = ptt.w90(str(tmp_path), "solo")  # no .win/_hr.dat/_centres.xyz present
+    assert w.num_wan == centers.shape[0]
+    assert set(w.ham_r.keys()) == set(ham_r.keys())
+    with redirect_stdout(io.StringIO()):
+        m = w.model()
+    ev = m.solve_all(np.array([[0.1, 0.2, 0.3]]))
+    assert np.all(np.isfinite(ev))
+
+
+def test_tb_dat_truncated_rejected(tmp_path):
+    lat, centers, ham_r, degs = _synthetic_set(2)
+    _write_tb(str(tmp_path), "bad", lat, centers, ham_r, degs)
+    path = "%s/%s_tb.dat" % (tmp_path, "bad")
+    lines = open(path).readlines()
+    open(path, "w").writelines(lines[: len(lines) // 2])
+    with pytest.raises(Exception):
+        ptt.w90(str(tmp_path), "bad", use_tb_file=True)
