@@ -179,7 +179,8 @@ def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phase
     of the stored states; gauge fixups and the gap reduction stay
     in-program (GSPMD inserts the collectives).
 
-    Returns (min_gaps (nsta-1,) float, wfs_packed (*mesh, nsta, norb[,spin], 2)).
+    Returns (min_gaps (nsta-1,) float, evals (*mesh, nsta),
+    wfs_packed (*mesh, nsta, norb[,spin], 2)).
     """
     kpts = device_uniform_grid(tuple(interior), start)  # (B, dim)
     if mesh is not None:
@@ -196,19 +197,26 @@ def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phase
 
     phases = unpack_cplx(phases_ri)  # (dim, norb[, spin])
     w = extend_pbc_seq(w, [phases[d] for d in range(len(interior))])
+    # band energies on the full grid (boundary = periodic copy of the
+    # first slice); stays on device until wf_array.energies is read
+    eg = evals.reshape(tuple(interior) + (static.nsta,))
+    for d in range(len(interior)):
+        first = eg[(slice(None),) * d + (slice(0, 1),)]
+        eg = jnp.concatenate([eg, first], axis=d)
     # minimum direct gaps, reduced on device (only nsta-1 floats leave)
     if static.nsta > 1:
         min_gaps = jnp.min(evals[:, 1:] - evals[:, :-1], axis=0)
     else:
         min_gaps = jnp.zeros((0,), evals.dtype)
-    return min_gaps, pack_cplx(w)
+    return min_gaps, eg, pack_cplx(w)
 
 
 def solve_grid_device(static: ModelStatic, data: BlochData, mesh_sizes, start_k, orb, per, nspin, mesh=None):
     """Device-resident uniform-grid solve.
 
-    Returns (min_gaps (nsta-1,) float64 on host, wfs_packed device array
-    of shape (*mesh_sizes, nsta, norb[, spin], 2)).  ``mesh``: optional
+    Returns (min_gaps (nsta-1,) float64 on host, evals device array of
+    shape (*mesh_sizes, nsta), wfs_packed device array of shape
+    (*mesh_sizes, nsta, norb[, spin], 2)).  ``mesh``: optional
     jax.sharding.Mesh to shard the solve (and the resulting state grid)
     over.
     """
@@ -224,5 +232,5 @@ def solve_grid_device(static: ModelStatic, data: BlochData, mesh_sizes, start_k,
         phases.append(ffac)
     phases = np.stack(phases, axis=0)
     phases_ri = np.stack([phases.real, phases.imag], axis=-1)
-    min_gaps, wfs = _solve_grid_jit(static, data, interior, start, phases_ri, mesh)
-    return np.asarray(min_gaps, dtype=np.float64), wfs
+    min_gaps, evals, wfs = _solve_grid_jit(static, data, interior, start, phases_ri, mesh)
+    return np.asarray(min_gaps, dtype=np.float64), evals, wfs

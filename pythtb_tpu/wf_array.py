@@ -79,6 +79,15 @@ class wf_array(object):
         # later time without notice, so device uploads must never be
         # cached again for this object
         self._views_exposed = False
+        # optional band energies alongside the states (upstream wish
+        # list, /root/reference/notes/TODO:50-54): device-resident when
+        # produced by solve_on_grid, host-materialized on access
+        self._energies_dev = None
+        self._energies_host = None
+        # per-band-pair minimum direct gaps from solve_on_grid (nsta-1
+        # floats, already on host) -- the transfer-free fast path for
+        # band_separation; invalid after choose_states re-subsetting
+        self._min_gaps = None
 
     # -- storage management ---------------------------------------------
 
@@ -174,7 +183,7 @@ class wf_array(object):
         # sharded: the iota-built k-batch and the stored state grid carry
         # GSPMD sharding annotations, gauge fixups and the gap reduction
         # stay on device, and only scalars cross the host boundary
-        min_gaps, wfs_packed = _solver.solve_grid_device(
+        min_gaps, evals_dev, wfs_packed = _solver.solve_grid_device(
             static,
             data,
             [int(m) for m in self._mesh_arr],
@@ -185,6 +194,9 @@ class wf_array(object):
             mesh=_pmesh.current_mesh(),
         )
         self._set_device(wfs_packed)
+        self._energies_dev = evals_dev
+        self._energies_host = None
+        self._min_gaps = np.array(min_gaps) if self._nsta_arr > 1 else None
         if self._nsta_arr <= 1:
             return None
         return min_gaps
@@ -205,29 +217,45 @@ class wf_array(object):
         """Deep copy without duplicating device buffers."""
         self._sync_host()
         dev, dev_valid = self._dev, self._dev_valid
+        edev = self._energies_dev
         self._dev, self._dev_valid = None, False
+        self._energies_dev = None
         new = _copy.deepcopy(self)
         self._dev, self._dev_valid = dev, dev_valid
+        self._energies_dev = edev
+        # the copy sees the same (immutable) device energies
+        new._energies_dev = edev
         # the copy owns a fresh host buffer no external view points at
         new._views_exposed = False
         return new
 
     def choose_states(self, subset):
         """New wf_array keeping only the given state indices
-        (reference pythtb.py:2568-2607)."""
+        (reference pythtb.py:2568-2607).  Stored energies (if any) are
+        sliced to the subset."""
         subset = np.array(subset, dtype=int)
         if subset.ndim != 1:
             raise PythtbError("Parameter subset must be a one-dimensional array.")
+        has_energies = (
+            self._energies_host is not None or self._energies_dev is not None
+        )
+        energies = np.array(self.energies[..., subset]) if has_energies else None
         wf_new = self._copy_shell()
         wf_new._nsta_arr = subset.shape[0]
         idx = (slice(None),) * self._dim_arr + (subset,)
         wf_new._wfs = wf_new._host[idx]
+        wf_new._energies_dev = None
+        wf_new._energies_host = energies
+        wf_new._min_gaps = None  # adjacency broken by re-subsetting
         return wf_new
 
     def empty_like(self, nsta_arr=None):
         """New uninitialized wf_array of the same shape (optionally with a
         different number of states; reference pythtb.py:2609-2642)."""
         wf_new = self._copy_shell()
+        wf_new._energies_dev = None
+        wf_new._energies_host = None
+        wf_new._min_gaps = None
         if nsta_arr is not None:
             wf_new._nsta_arr = nsta_arr
             shape = list(wf_new._host.shape)
@@ -296,6 +324,103 @@ class wf_array(object):
         first = (slice(None),) * mesh_dir + (0, Ellipsis)
         last = (slice(None),) * mesh_dir + (-1, Ellipsis)
         host[last] = host[first]
+
+    @property
+    def energies(self):
+        """Band energies stored alongside the states (an upstream
+        wish-list feature, /root/reference/notes/TODO:50-54: "Something
+        like wf.energies[i,j]=eval on top of wf[i,j]=evec").
+
+        A mutable float array of shape ``(*mesh, nsta_arr)``:
+        :meth:`solve_on_grid` fills it automatically (kept on device
+        until first read); manual workflows can assign slices
+        (``wf.energies[i, j] = evals``) -- unset entries are NaN.  Used
+        by :meth:`band_separation` and the automatic band-separation
+        warnings in the Berry methods.
+        """
+        if self._energies_host is None:
+            if self._energies_dev is not None:
+                self._energies_host = np.asarray(
+                    jax.device_get(self._energies_dev), dtype=np.float64
+                )
+                self._energies_dev = None
+            else:
+                self._energies_host = np.full(
+                    tuple(self._mesh_arr) + (self._nsta_arr,), np.nan
+                )
+        return self._energies_host
+
+    @energies.setter
+    def energies(self, value):
+        value = np.asarray(value, dtype=np.float64)
+        expect = tuple(self._mesh_arr) + (self._nsta_arr,)
+        if value.shape != expect:
+            raise PythtbError(
+                "energies must have shape %s (mesh + nsta_arr), got %s"
+                % (expect, value.shape)
+            )
+        self._energies_host = value
+        self._energies_dev = None
+
+    def band_separation(self, occ="All"):
+        """Smallest energy separation, over the whole grid, between the
+        states ``occ`` and their complement (an upstream wish-list
+        feature, /root/reference/notes/TODO:50-54: "Automatic check ...
+        that bands are well separated from other bands when computing
+        berry phases etc").
+
+        Requires :attr:`energies` (filled by :meth:`solve_on_grid` or
+        assigned manually).  Returns ``inf`` when ``occ`` is all stored
+        states.  A separation of ~0 means the Berry quantities of
+        ``occ`` are mathematically ill-defined on this grid.
+        """
+        occ = self._occ_index(occ)
+        comp = np.setdiff1d(np.arange(self._nsta_arr), occ)
+        if comp.size == 0 or occ.size == 0:
+            return np.inf
+        if self._min_gaps is not None:
+            # sorted eigenvalues: the minimum |E_comp - E_occ| is attained
+            # at an adjacent pair straddling an occ/comp boundary, and
+            # solve_on_grid already reduced those gaps on device
+            mask = np.zeros(self._nsta_arr, dtype=bool)
+            mask[occ] = True
+            boundary = np.nonzero(mask[:-1] != mask[1:])[0]
+            return float(self._min_gaps[boundary].min())
+        E = self.energies
+        if np.isnan(E).any():
+            raise PythtbError(
+                "band_separation requires energies on the whole grid; run "
+                "solve_on_grid or fill wf.energies manually first."
+            )
+        diff = np.abs(E[..., comp][..., None, :] - E[..., occ][..., :, None])
+        return float(diff.min())
+
+    def _check_separation(self, occ, kind):
+        """Automatic degeneracy guard for the Berry methods: if energies
+        (or the solve_on_grid gap summary) are available and the chosen
+        set touches its complement somewhere on the grid, the result is
+        gauge noise -- warn.  Transfer-free when _min_gaps exists."""
+        if (
+            self._min_gaps is None
+            and self._energies_host is None
+            and self._energies_dev is None
+        ):
+            return
+        E = self._energies_host
+        if self._min_gaps is None and E is not None and np.isnan(E).any():
+            return  # manually managed, incomplete -- not our call
+        sep = self.band_separation(occ)
+        if sep < 1e-8:
+            import warnings
+
+            warnings.warn(
+                "wf_array.%s: the chosen states are degenerate with their "
+                "complement somewhere on the grid (min separation %.2e) -- "
+                "the result is gauge-dependent noise there. Choose a set "
+                "closed under degeneracy." % (kind, sep),
+                UserWarning,
+                stacklevel=3,
+            )
 
     def smooth_gauge(self, occ="All", dir=0, closed=True):
         r"""Impose the optimally-smooth parallel-transport gauge of
@@ -521,6 +646,7 @@ class wf_array(object):
         """
         occ = self._occ_index(occ)
         self._check_w90()
+        self._check_separation(occ, "berry_phase")
         if self._dim_arr == 1:
             dir = 0
         if dir is None or dir < 0 or dir >= self._dim_arr:
@@ -593,6 +719,7 @@ class wf_array(object):
         """
         occ = self._occ_index(occ)
         self._check_w90()
+        self._check_separation(occ, "berry_flux")
         if dirs is None:
             dirs = [0, 1]
         if dirs[0] == dirs[1]:
