@@ -425,6 +425,20 @@ class tb_model(object):
 
         _display(self)
 
+    def hamiltonian_string(self, precision=4):
+        """Closed-form text of the Bloch Hamiltonian H(k) -- diagonal
+        entries as ``2|t|cos(2*pi*k.rv + arg)`` terms, off-diagonal as
+        complex exponentials (upper triangle; k reduced).  An upstream
+        wish-list debugging aid (/root/reference/notes/TODO:61-62).
+
+        Example::
+
+            print(model.hamiltonian_string())
+        """
+        from .viz import hamiltonian_string as _hs
+
+        return _hs(self, precision=precision)
+
     def visualize(self, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True, ph_color="black"):
         """Matplotlib sketch of the model geometry / an eigenstate
         (reference pythtb.py:636-860).  Returns (fig, ax)."""

@@ -242,3 +242,120 @@ def visualize(model, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True
     ax.set_xlim(centx - mx * (0.5 + extr), centx + mx * (0.5 + extr))
     ax.set_ylim(centy - mx * (0.5 + extr), centy + mx * (0.5 + extr))
     return (fig, ax)
+
+
+def hamiltonian_string(model, precision=4):
+    """Human-readable closed form of the Bloch Hamiltonian H(k) -- an
+    upstream wish-list feature (/root/reference/notes/TODO:61-62: "Make
+    it possible to print out a tb model in terms of cos sin and so on
+    that would help with debugging").
+
+    Convention I (pythtb.py:912-916): each hopping contributes
+    ``amp * exp(2j*pi*k.rv)`` with ``rv = -t_i + t_j + R`` restricted to
+    the periodic directions, plus the Hermitian conjugate.  Diagonal
+    entries combine each hop with its conjugate into a real
+    ``2*|amp|*cos(2*pi*k.rv + arg)`` term; off-diagonal entries are
+    printed as complex exponentials (their conjugates live in the lower
+    triangle, which is omitted).  k is in reduced coordinates.
+
+    :param model: a tb_model
+    :param precision: digits for the numeric coefficients
+    :returns: multi-line string, one line per independent H(k) entry
+    """
+    import numpy as np
+
+    p = int(precision)
+
+    def _num(x):
+        if abs(x.imag if isinstance(x, complex) else 0.0) < 10.0 ** (-p - 6):
+            return "%.*g" % (p, float(np.real(x)))
+        return "(%.*g%+.*gj)" % (p, x.real, p, x.imag)
+
+    def _kdot(rv):
+        terms = []
+        for d, r in enumerate(rv):
+            if abs(r) < 1e-12:
+                continue
+            if abs(r - 1.0) < 1e-12:
+                terms.append("k%d" % d)
+            elif abs(r + 1.0) < 1e-12:
+                terms.append("-k%d" % d)
+            else:
+                terms.append("%.*g*k%d" % (p, r, d))
+        if not terms:
+            return ""
+        out = terms[0]
+        for t in terms[1:]:
+            out += (" - " + t[1:]) if t.startswith("-") else (" + " + t)
+        return out
+
+    per = model._per
+    spin_labels = ("u", "d") if model._nspin == 2 else (None,)
+
+    def _entry_label(i, si, j, sj):
+        if model._nspin == 2:
+            return "H[%d%s,%d%s]" % (i, spin_labels[si], j, spin_labels[sj])
+        return "H[%d,%d]" % (i, j)
+
+    # collect terms per (i, si, j, sj): list of (amp, rv)
+    terms = {}
+
+    def _add(i, si, j, sj, amp, rv):
+        terms.setdefault((i, si, j, sj), []).append((complex(amp), np.asarray(rv)))
+
+    def _add_hop(i, si, j, sj, amp, rv):
+        # stored hops carry an implicit Hermitian conjugate; fold any
+        # lower-triangle contribution into its upper-triangle entry so
+        # the printed upper triangle is complete
+        if (j, sj) < (i, si):
+            _add(j, sj, i, si, np.conj(complex(amp)), -np.asarray(rv))
+        else:
+            _add(i, si, j, sj, amp, rv)
+
+    for i in range(model._norb):
+        if model._nspin == 1:
+            _add(i, 0, i, 0, model._site_energies[i], np.zeros(len(per)))
+        else:
+            blk = model._site_energies[i]
+            for si in range(2):
+                for sj in range(2):
+                    if abs(blk[si, sj]) > 1e-14:
+                        _add(i, si, i, sj, blk[si, sj], np.zeros(len(per)))
+    for h in model._hoppings:
+        amp, i, j = h[0], h[1], h[2]
+        if model._dim_k > 0:
+            R = np.asarray(h[3], dtype=float)
+            rv = (-model._orb[i] + model._orb[j] + R)[list(per)]
+        else:
+            rv = np.zeros(0)
+        if model._nspin == 1:
+            _add_hop(i, 0, j, 0, amp, rv)
+        else:
+            blk = np.asarray(amp, dtype=complex).reshape(2, 2)
+            for si in range(2):
+                for sj in range(2):
+                    if abs(blk[si, sj]) > 1e-14:
+                        _add_hop(i, si, j, sj, blk[si, sj], rv)
+
+    lines = []
+    for (i, si, j, sj), tl in sorted(terms.items()):
+        # keep the upper triangle of the (orbital, spin) index pair
+        if (j, sj) < (i, si):
+            continue
+        parts = []
+        diagonal = (i, si) == (j, sj)
+        for amp, rv in tl:
+            phase = _kdot(rv)
+            if not phase:
+                parts.append(_num(amp if not diagonal else amp.real))
+            elif diagonal:
+                # hop + h.c. on the diagonal: 2|t| cos(2 pi k.rv + arg t)
+                mag, arg = abs(amp), np.angle(amp)
+                c = "2*%s*cos(2*pi*(%s)" % (_num(mag), phase)
+                c += ")" if abs(arg) < 10.0 ** (-p - 6) else " %+.*g)" % (p, arg)
+                parts.append(c)
+            else:
+                parts.append("%s*exp(2j*pi*(%s))" % (_num(amp), phase))
+        lines.append("%s = %s" % (_entry_label(i, si, j, sj), " + ".join(parts)))
+    tail = "  (+ h.c. of the off-diagonal lines; k in reduced coordinates)"
+    return "\n".join(lines) + ("\n" + tail if lines else "")
