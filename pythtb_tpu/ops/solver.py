@@ -165,8 +165,7 @@ def shard_grid_axis0(x, mesh):
     )
 
 
-@partial(jax.jit, static_argnums=(0, 2, 5))
-def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phases_ri, mesh=None):
+def _solve_grid_core(static: ModelStatic, data: BlochData, interior, start, phases_ri, mesh=None):
     """Solve on a uniform grid of shape ``interior`` (per-dim sizes
     n_d - 1) anchored at ``start``, then append the wrapped boundary
     slice per dimension with periodic-gauge phases, sequentially in
@@ -211,6 +210,49 @@ def _solve_grid_jit(static: ModelStatic, data: BlochData, interior, start, phase
     return min_gaps, eg, pack_cplx(w)
 
 
+_solve_grid_jit = partial(jax.jit, static_argnums=(0, 2, 5))(_solve_grid_core)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _solve_grid_family_jit(static: ModelStatic, datas: BlochData, interior, start, phases_ri):
+    """Family variant: ``datas`` is a BlochData pytree whose leaves carry
+    a leading lambda axis (one model per parameter value, identical
+    static shape); the whole lambda x k-grid solve is one vmapped
+    program.  Returns per-lambda (min_gaps, evals, wfs_packed) with the
+    lambda axis leading."""
+    return jax.vmap(
+        lambda d: _solve_grid_core(static, d, interior, start, phases_ri)
+    )(datas)
+
+
+def _grid_phases(interior, orb, per, nspin):
+    """Periodic-gauge boundary phases, ri-packed, one row per grid dim."""
+    phases = []
+    for d in range(len(interior)):
+        ffac = np.exp(-2.0j * np.pi * np.asarray(orb)[:, per[d]])
+        if nspin == 2:
+            ffac = np.repeat(ffac[:, None], 2, axis=1)
+        phases.append(ffac)
+    phases = np.stack(phases, axis=0)
+    return np.stack([phases.real, phases.imag], axis=-1)
+
+
+def solve_grid_family(static: ModelStatic, datas_stacked: BlochData, mesh_sizes, start_k, orb, per, nspin):
+    """One-program lambda-family grid solve (see _solve_grid_family_jit).
+
+    ``mesh_sizes`` are the k-grid sizes (without the lambda axis).
+    Returns (min_gaps (nsta-1,) float64 host, evals device
+    (L, *mesh_sizes, nsta), wfs device (L, *mesh_sizes, nsta, ...))."""
+    interior = tuple(int(m) - 1 for m in mesh_sizes)
+    start = np.asarray(start_k, dtype=np.float64).reshape(len(interior))
+    phases_ri = _grid_phases(interior, orb, per, nspin)
+    min_gaps, evals, wfs = _solve_grid_family_jit(
+        static, datas_stacked, interior, start, phases_ri
+    )
+    min_gaps = np.asarray(jax.device_get(min_gaps), dtype=np.float64)
+    return (min_gaps.min(axis=0) if min_gaps.size else min_gaps[0:0].reshape(0)), evals, wfs
+
+
 def solve_grid_device(static: ModelStatic, data: BlochData, mesh_sizes, start_k, orb, per, nspin, mesh=None):
     """Device-resident uniform-grid solve.
 
@@ -224,13 +266,6 @@ def solve_grid_device(static: ModelStatic, data: BlochData, mesh_sizes, start_k,
     start = np.asarray(start_k, dtype=np.float64).reshape(len(interior))
     # periodic-gauge phases, unflattened (norb, spin) layout to broadcast
     # against (..., nsta, norb, spin) state storage
-    phases = []
-    for d in range(len(interior)):
-        ffac = np.exp(-2.0j * np.pi * np.asarray(orb)[:, per[d]])
-        if nspin == 2:
-            ffac = np.repeat(ffac[:, None], 2, axis=1)
-        phases.append(ffac)
-    phases = np.stack(phases, axis=0)
-    phases_ri = np.stack([phases.real, phases.imag], axis=-1)
+    phases_ri = _grid_phases(interior, orb, per, nspin)
     min_gaps, evals, wfs = _solve_grid_jit(static, data, interior, start, phases_ri, mesh)
     return np.asarray(min_gaps, dtype=np.float64), evals, wfs

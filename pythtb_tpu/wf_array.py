@@ -201,6 +201,94 @@ class wf_array(object):
             return None
         return min_gaps
 
+    def solve_on_grid_models(self, models, param_dir=0, start_k=None):
+        """Fill a (parameter x k-grid) wf_array from a family of models,
+        one per index along ``param_dir`` -- pump cycles, adiabatic
+        interpolations, any lambda x BZ workflow.  The upstream wish
+        list sketches exactly this split of solve_on_grid into k-grid
+        filling per parameter value (/root/reference/notes/TODO:25-37);
+        the reference's examples hand-loop ``solve_on_one_point`` over
+        every (lambda, k) pair instead (e.g. examples/3site_cycle.py).
+
+        When all models share one hopping graph (same shapes: the
+        common case, a parameter sweep over amplitudes/on-site terms),
+        the WHOLE family solves as ONE vmapped device program; otherwise
+        it falls back to one batched grid solve per model.  The k-axes
+        get the same periodic gauge as :meth:`solve_on_grid`; close the
+        parameter axis yourself (``impose_loop(param_dir)`` /
+        ``impose_pbc``) if lambda is cyclic.  Band energies are stored
+        (see :attr:`energies`).
+
+        :param models: sequence of finalizable models,
+          ``len(models) == mesh_arr[param_dir]``, each with
+          ``dim_k == dim_arr - 1``
+        :param param_dir: which grid axis is the parameter axis
+        :param start_k: origin of the k-grid (default zeros)
+        :returns: minimum direct gap per band pair over the whole family
+          (as in :meth:`solve_on_grid`), or None for 1 stored state
+        """
+        models = list(models)
+        if param_dir < 0 or param_dir >= self._dim_arr:
+            raise PythtbError("Wrong value of param_dir.")
+        if len(models) != int(self._mesh_arr[param_dir]):
+            raise PythtbError(
+                "Expected %d models along axis %d, got %d"
+                % (int(self._mesh_arr[param_dir]), param_dir, len(models))
+            )
+        k_sizes = [int(m) for d, m in enumerate(self._mesh_arr) if d != param_dir]
+        fins = [m._get_finalized() for m in models]
+        static0 = fins[0][0]
+        for m in models:
+            if m._dim_k != self._dim_arr - 1:
+                raise PythtbError(
+                    "Each family model must have dim_k == dim_arr - 1 "
+                    "(the non-parameter axes are the k-grid)."
+                )
+            if m._nsta != self._nsta_arr:
+                raise PythtbError(
+                    "solve_on_grid_models requires nsta_arr to match the models."
+                )
+        if start_k is None:
+            start_k = [0.0] * (self._dim_arr - 1)
+
+        same_shape = all(s == static0 for s, _ in fins)
+        if same_shape:
+            import jax.numpy as jnp
+
+            datas = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[d for _, d in fins]
+            )
+            min_gaps, evals, wfs = _solver.solve_grid_family(
+                static0, datas, k_sizes, start_k,
+                models[0]._orb, models[0]._per, self._nspin,
+            )
+            wfs = jnp.moveaxis(wfs, 0, param_dir)
+            evals = jnp.moveaxis(evals, 0, param_dir)
+            self._set_device(wfs)
+            self._energies_dev = evals
+            self._energies_host = None
+        else:
+            # heterogeneous graphs: one batched device solve per model
+            host = self._host_rw()
+            E = np.empty(tuple(self._mesh_arr) + (self._nsta_arr,))
+            gap_rows = []
+            for i, ((s, d), m) in enumerate(zip(fins, models)):
+                g, ev, w = _solver.solve_grid_device(
+                    s, d, k_sizes, start_k, m._orb, m._per, self._nspin
+                )
+                sel = (slice(None),) * param_dir + (i,)
+                host[sel] = host_unpack(np.asarray(jax.device_get(w)))
+                E[sel] = np.asarray(jax.device_get(ev), dtype=np.float64)
+                gap_rows.append(g)
+            min_gaps = np.min(np.stack(gap_rows), axis=0)
+            self._energies_dev = None
+            self._energies_host = E
+        self._min_gaps = np.array(min_gaps) if self._nsta_arr > 1 else None
+        if self._nsta_arr <= 1:
+            return None
+        return min_gaps
+
     def solve_on_one_point(self, kpt, mesh_indices):
         """Solve at one k-point and store at mesh_indices
         (reference pythtb.py:2534-2566)."""
