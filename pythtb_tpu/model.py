@@ -439,12 +439,14 @@ class tb_model(object):
 
         return _hs(self, precision=precision)
 
-    def visualize(self, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True, ph_color="black"):
+    def visualize(self, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True, ph_color="black", annotate_hoppings=False):
         """Matplotlib sketch of the model geometry / an eigenstate
-        (reference pythtb.py:636-860).  Returns (fig, ax)."""
+        (reference pythtb.py:636-860).  Returns (fig, ax).
+        ``annotate_hoppings=True`` labels each bond with its amplitude
+        **[tpu]** (upstream wish-list, notes/TODO:49)."""
         from .viz import visualize as _visualize
 
-        return _visualize(self, dir_first, dir_second, eig_dr, draw_hoppings, ph_color)
+        return _visualize(self, dir_first, dir_second, eig_dr, draw_hoppings, ph_color, annotate_hoppings)
 
     # -- solving --------------------------------------------------------
 

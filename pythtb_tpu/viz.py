@@ -169,12 +169,17 @@ def _visualize_geometry(model, dir_first, dir_second, draw_hoppings):
     return out
 
 
-def visualize(model, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True, ph_color="black"):
+def visualize(model, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True, ph_color="black", annotate_hoppings=False):
     """2-D projected sketch of the model; returns (fig, ax).
 
     Figure content matches the reference's ``visualize``
     (pythtb.py:636-860: same projection, bend, marker sizes, colors and
     z-order), drawn with vectorized artist collections.
+
+    ``annotate_hoppings=True`` additionally labels each hopping with its
+    amplitude at the bond's bend point (an upstream wish-list feature,
+    /root/reference/notes/TODO:49 "Put labels for hopping terms"; spin
+    blocks are labelled by their Frobenius norm).
     """
     if eig_dr is not None:
         if np.asarray(eig_dr).shape != (model._norb,):
@@ -215,6 +220,27 @@ def visualize(model, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True
         ends = geo["hop_ends"]
         ax.plot(ends[:, 0], ends[:, 1], "o", c=c_nei, zorder=9, mew=0.0,
                 ms=4.0, mec="w", ls="none")
+
+    if annotate_hoppings and geo["hop_lines"].shape[0]:
+        # one label per stored hopping (first nhop polylines are the
+        # <i|H|j+R> drawing direction, in _hoppings order)
+        mids = geo["hop_lines"][: len(model._hoppings), 1]
+        for h, xy in zip(model._hoppings, mids):
+            z = np.asarray(h[0], dtype=complex)
+            if model._nspin == 2:
+                txt = "|t|=%.3g" % np.linalg.norm(z)
+            else:
+                scale = abs(z) + 1e-300
+                re = 0.0 if abs(z.real) < 1e-9 * scale else float(z.real)
+                im = 0.0 if abs(z.imag) < 1e-9 * scale else float(z.imag)
+                if im == 0.0:
+                    txt = "%.3g" % re
+                elif re == 0.0:
+                    txt = "%.3gj" % im
+                else:
+                    txt = "%.3g%+.3gj" % (re, im)
+            ax.annotate(txt, xy, fontsize=6.0, ha="center", va="bottom",
+                        color=c_hop, zorder=12)
 
     # orbitals
     orb_xy = geo["orb_xy"]

@@ -201,3 +201,40 @@ def test_error_cases():
     ribbon = sq.cut_piece(3, 0)
     with pytest.raises(PythtbError):
         magnetic.magnetic_supercell(ribbon, 1, 2, dirs=(0, 1))  # finite d1
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_random_models_oracle(seed):
+    """Random 2-D models (random lattices, fractional orbital positions,
+    complex hops, random rational flux): the magnetic-supercell route
+    must reproduce the brute-force Peierls open cluster exactly."""
+    rng = np.random.RandomState(100 + seed)
+    norb = rng.randint(1, 4)
+    lat = np.eye(2) * (1.0 + rng.rand(2)) + 0.3 * rng.randn(2, 2)
+    if np.linalg.det(lat) < 0.3:
+        lat = np.eye(2) * 1.5
+    orb = rng.rand(norb, 2)
+    m = tb_model(2, 2, lat=lat, orb=orb)
+    m.set_onsite(rng.randn(norb))
+    # candidate bonds with canonical orientation (no conjugate dupes)
+    added = 0
+    for _ in range(12):
+        i, j = rng.randint(norb), rng.randint(norb)
+        R = rng.randint(-1, 2, size=2)
+        if (tuple(R) < (0, 0)) or (tuple(R) == (0, 0) and i >= j):
+            continue
+        amp = rng.randn() + 1j * rng.randn()
+        try:
+            m.set_hop(amp, i, j, R, mode="set")
+            added += 1
+        except Exception:
+            pass
+    if added == 0:
+        m.set_hop(1.0, 0, 0, [1, 0])
+    q = rng.randint(1, 5)
+    p = rng.randint(-q, q + 1)
+    n1 = q * rng.randint(1, 3)
+    n2 = rng.randint(2, 4)
+    ours = _sorted_evals(msc_flake(m, n1, n2, p, q))
+    oracle = _sorted_evals(brute_force_flake(m, n1, n2, p / q))
+    np.testing.assert_allclose(ours, oracle, atol=1e-9)

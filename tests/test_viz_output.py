@@ -166,3 +166,25 @@ def test_visualize_errors():
         m.visualize(0, 1, ph_color="rainbow")
     with pytest.raises(Exception):
         m.visualize(0, 1, eig_dr=np.ones(5))
+
+
+def test_visualize_hopping_labels():
+    """annotate_hoppings labels each bond with its amplitude (upstream
+    wish-list, /root/reference/notes/TODO:49)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pythtb_tpu.models import library as zoo
+
+    m = zoo.haldane()
+    fig, ax = m.visualize(0, 1, annotate_hoppings=True)
+    texts = [t.get_text() for t in ax.texts]
+    assert len(texts) == len(m._hoppings)
+    assert "-1" in texts and "0.15j" in texts  # NN real, NNN imaginary
+    # default stays label-free (reference-compatible figure content)
+    fig2, ax2 = m.visualize(0, 1)
+    assert len(ax2.texts) == 0
+    # spin blocks labelled by Frobenius norm
+    km = zoo.kane_mele()
+    fig3, ax3 = km.visualize(0, 1, annotate_hoppings=True)
+    assert all(t.get_text().startswith("|t|=") for t in ax3.texts)
