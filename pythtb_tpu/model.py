@@ -683,7 +683,7 @@ class tb_model(object):
 
     # -- model surgery ---------------------------------------------------
 
-    def cut_piece(self, num, fin_dir, glue_edgs=False):
+    def cut_piece(self, num, fin_dir, glue_edgs=False, trim_first=None, trim_last=None):
         """Cut a finite piece: repeat the cell ``num`` times along
         periodic direction ``fin_dir`` and make it non-periodic.
 
@@ -694,6 +694,13 @@ class tb_model(object):
         :param num: number of cell copies (>= 1)
         :param fin_dir: which periodic direction to make finite
         :param glue_edgs: periodic wrap instead of open edges
+        :param trim_first, trim_last: **[tpu]** original-cell orbital
+          indices to remove from the first / last cell copy (an
+          upstream wish-list feature, /root/reference/notes/TODO:69-70:
+          "specify for each edge which atoms should be included" --
+          e.g. drop dangling atoms when terminating a surface).  Only
+          with open edges.  Remaining orbitals are renumbered
+          compactly, preserving order.
         :returns: a NEW tb_model with dim_k reduced by one
 
         Example::
@@ -702,6 +709,22 @@ class tb_model(object):
             flake = ribbon.cut_piece(10, 0)          # fully finite
             levels = flake.solve_all()
         """
+        if trim_first or trim_last:
+            if glue_edgs:
+                raise PythtbError(
+                    "Edge trimming (trim_first/trim_last) requires open "
+                    "edges (glue_edgs=False)."
+                )
+            for idx in list(trim_first or []) + list(trim_last or []):
+                if not (0 <= int(idx) < self._norb):
+                    raise PythtbError(
+                        "trim_first/trim_last entries are original-cell "
+                        "orbital indices (0..%d)." % (self._norb - 1)
+                    )
+            cut = self.cut_piece(num, fin_dir, glue_edgs=False)
+            drop = [int(i) for i in (trim_first or [])]
+            drop += [int(i) + self._norb * (num - 1) for i in (trim_last or [])]
+            return cut.remove_orb(sorted(set(drop)))
         if self._dim_k == 0:
             raise PythtbError("Model is already finite")
         if not _is_int(num):

@@ -10,6 +10,7 @@ be further edited (``mode="reset"/"add"``), cut, super-celled, etc.
 """
 
 from .library import (
+    bhz,
     bn,
     chain,
     checkerboard,
@@ -17,10 +18,14 @@ from .library import (
     fu_kane_mele,
     graphene,
     haldane,
+    kagome,
     kane_mele,
+    lieb,
     molecule_nh3,
+    ssh,
     three_site_chain,
     trestle,
+    weyl,
 )
 
 __all__ = [
@@ -35,4 +40,9 @@ __all__ = [
     "three_site_chain",
     "cscl",
     "fu_kane_mele",
+    "ssh",
+    "lieb",
+    "kagome",
+    "bhz",
+    "weyl",
 ]

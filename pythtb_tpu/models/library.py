@@ -178,3 +178,89 @@ def fu_kane_mele(t=1.0, soc=0.125, m=-0.5, beta=0.0):
         model.set_hop(1.0j * soc * spin, 0, 0, lvec)
         model.set_hop(-1.0j * soc * spin, 1, 1, lvec)
     return model
+
+
+def ssh(delta=0.3, t=1.0):
+    """Su-Schrieffer-Heeger dimerized chain (PRL 42, 1698 (1979)):
+    alternating hoppings ``t(1+delta)`` (intracell) and ``t(1-delta)``
+    (intercell).  The two signs of ``delta`` are the two dimerization
+    classes -- Zak phases of the lower band differ by pi (Wannier
+    center on the intracell vs intercell bond center).  See also
+    examples/peierls_ssh.py for the Peierls-instability derivation."""
+    m = tb_model(1, 1, [[1.0]], [[0.0], [0.5]])
+    m.set_hop(t * (1.0 + delta), 0, 1, [0])
+    m.set_hop(t * (1.0 - delta), 1, 0, [1])
+    return m
+
+
+def lieb(t=-1.0):
+    """Lieb lattice (corner + two edge-center sites per square cell):
+    one exactly flat band pinned at E = 0 between two dispersive bands
+    touching it at M."""
+    m = tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]],
+                 [[0.0, 0.0], [0.5, 0.0], [0.0, 0.5]])
+    m.set_hop(t, 0, 1, [0, 0])
+    m.set_hop(t, 1, 0, [1, 0])
+    m.set_hop(t, 0, 2, [0, 0])
+    m.set_hop(t, 2, 0, [0, 1])
+    return m
+
+
+def kagome(t=-1.0):
+    """Kagome lattice (three corner-sharing-triangle sites): one exactly
+    flat band at E = -2t plus two graphene-like dispersive bands."""
+    m = tb_model(2, 2, _HONEYCOMB_LAT, [[0.0, 0.0], [0.5, 0.0], [0.0, 0.5]])
+    m.set_hop(t, 0, 1, [0, 0])
+    m.set_hop(t, 0, 1, [-1, 0])
+    m.set_hop(t, 0, 2, [0, 0])
+    m.set_hop(t, 0, 2, [0, -1])
+    m.set_hop(t, 1, 2, [0, 0])
+    m.set_hop(t, 1, 2, [1, -1])
+    return m
+
+
+def bhz(a=1.0, b=1.0, c=0.0, d=0.0, m=-1.0):
+    """Bernevig-Hughes-Zhang quantum spin Hall model (Science 314,
+    1757 (2006)) regularized on the square lattice: two orbitals (s, p)
+    x spin, upper spin block ``h(k) = eps(k) I + A sin(kx) sx +
+    A sin(ky) sy + d3(k) sz`` with ``eps = C - 2D(2 - cos kx - cos ky)``
+    and ``d3 = M + 2B(2 - cos kx - cos ky)``; lower block = h*(-k)
+    (time-reversal partner).  Band inversion -- the Z2-nontrivial
+    phase -- for ``-8 B < M < 0`` (with B > 0); defaults are
+    topological."""
+    mod = tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0], [0.0, 0.0]], nspin=2)
+    mod.set_onsite([c - 4.0 * d + m + 4.0 * b, c - 4.0 * d - (m + 4.0 * b)])
+    for lv in ([1, 0], [0, 1]):
+        mod.set_hop(d - b, 0, 0, lv)
+        mod.set_hop(d + b, 1, 1, lv)
+    # A sin(kx) sx sz-spin and A sin(ky) sy (see module tests): the s-p
+    # entry of the spin-diagonal Hamiltonian is
+    # A sin(kx) * s_z - 1j * A sin(ky) * s_0
+    mod.set_hop([0.0, 0.0, 0.0, a / 2.0j], 0, 1, [1, 0])
+    mod.set_hop([0.0, 0.0, 0.0, -a / 2.0j], 0, 1, [-1, 0])
+    mod.set_hop([-a / 2.0, 0.0, 0.0, 0.0], 0, 1, [0, 1])
+    mod.set_hop([a / 2.0, 0.0, 0.0, 0.0], 0, 1, [0, -1])
+    return mod
+
+
+def weyl(t=1.0, k0=0.5 * np.pi):
+    """Minimal two-band Weyl semimetal on the cubic lattice:
+    ``H = 2t sin(kx) sx + 2t sin(ky) sy + d3 sz`` with ``d3 =
+    2t(cos kz - cos k0) + 2t(2 - cos kx - cos ky)``: a single pair of
+    Weyl nodes at ``k = (0, 0, +-k0/2pi)`` (reduced).  kz-slices whose
+    Gamma-point gap is inverted (``cos kz < cos k0``, i.e. the arc of
+    slices through kz = 1/2) carry Chern number -1, the others 0 -- the
+    hallmark of the Fermi-arc surface states."""
+    mod = tb_model(3, 3, np.eye(3).tolist(), [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    c0 = 2.0 * t * (2.0 - np.cos(k0))
+    mod.set_onsite([c0, -c0])
+    mod.set_hop(t, 0, 0, [0, 0, 1])
+    mod.set_hop(-t, 1, 1, [0, 0, 1])
+    for lv in ([1, 0, 0], [0, 1, 0]):
+        mod.set_hop(-t, 0, 0, lv)
+        mod.set_hop(t, 1, 1, lv)
+    mod.set_hop(-1.0j * t, 0, 1, [1, 0, 0])
+    mod.set_hop(1.0j * t, 0, 1, [-1, 0, 0])
+    mod.set_hop(-t, 0, 1, [0, 1, 0])
+    mod.set_hop(t, 0, 1, [0, -1, 0])
+    return mod

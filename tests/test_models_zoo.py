@@ -90,3 +90,70 @@ def test_fu_kane_mele_strong_ti():
     z = [flows.z2_invariant(triv.reduce_dim(2, k3), (0, 1), nk=(25, 25))
          for k3 in (0.0, 0.5)]
     assert z[0] == z[1] == 0.0, z
+
+
+def test_ssh_zak_phases():
+    from pythtb_tpu import wf_array
+
+    ph = {}
+    for d in (0.4, -0.4):
+        wf = wf_array(models.ssh(d), [31])
+        wf.solve_on_grid([0.0])
+        ph[d] = float(wf.berry_phase([0], dir=0))
+    # the two dimerizations differ by a Zak phase of pi
+    assert abs(abs(np.angle(np.exp(1j * (ph[0.4] - ph[-0.4])))) - np.pi) < 1e-8
+
+
+def test_lieb_flat_band():
+    m = models.lieb()
+    ev = m.solve_all(m.k_uniform_mesh([13, 13]))
+    flat = ev[1]  # middle band
+    assert np.abs(flat).max() < 1e-10  # exactly flat at E = 0
+    assert np.ptp(ev[2]) > 0.5  # dispersive neighbors
+
+
+def test_kagome_flat_band():
+    t = -1.0
+    m = models.kagome(t)
+    ev = m.solve_all(m.k_uniform_mesh([13, 13]))
+    assert np.abs(ev[2] - (-2.0 * t)).max() < 1e-10  # flat at -2t = 2
+    assert np.ptp(ev[0]) > 0.5
+
+
+def test_bhz_z2():
+    from pythtb_tpu import flows
+
+    assert flows.z2_invariant(models.bhz(m=-1.0), (0, 1), nk=(31, 31)) == 1.0
+    assert flows.z2_invariant(models.bhz(m=0.5), (0, 1), nk=(31, 31)) == 0.0
+    # band inversion at the Gamma point only in the topological phase
+    ev_top = models.bhz(m=-1.0).solve_all([[0.0, 0.0]])
+    assert ev_top.shape == (4, 1)
+
+
+def test_weyl_slice_cherns():
+    from pythtb_tpu import flows
+
+    m = models.weyl()  # nodes at kz = +-0.25 (reduced)
+    # slices on the inverted arc (through kz = 1/2) carry Chern -1;
+    # slices on the arc through kz = 0 are trivial
+    inverted = flows.chern_number(m.reduce_dim(2, 0.5), occ=[0], nk=(41, 41))
+    trivial = flows.chern_number(m.reduce_dim(2, 0.0), occ=[0], nk=(41, 41))
+    assert abs(inverted - (-1.0)) < 1e-4 and abs(trivial) < 1e-4
+
+
+def test_cut_piece_edge_trimming():
+    """cut_piece trim_first/trim_last (upstream wish-list,
+    /root/reference/notes/TODO:69-70) == cut + remove_orb by hand."""
+    g = models.graphene()
+    rib = g.cut_piece(4, 1, trim_first=[0], trim_last=[1])
+    manual = g.cut_piece(4, 1).remove_orb([0, 1 + 2 * 3])
+    assert rib.get_num_orbitals() == 6
+    k = np.linspace(0, 1, 7)[:, None]
+    np.testing.assert_allclose(rib.solve_all(k), manual.solve_all(k), atol=1e-12)
+    np.testing.assert_allclose(rib.get_orb(), manual.get_orb(), atol=1e-15)
+    import pytest
+
+    with pytest.raises(Exception):
+        g.cut_piece(4, 1, glue_edgs=True, trim_first=[0])
+    with pytest.raises(Exception):
+        g.cut_piece(4, 1, trim_first=[5])  # out of original-cell range
