@@ -19,19 +19,12 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
-from pythtb_tpu import magnetic, tb_model, flows
+from pythtb_tpu import magnetic, flows
 from pythtb_tpu.models import library as zoo
 
 
-def square_lattice(t=1.0):
-    m = tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]], orb=[[0.0, 0.0]])
-    m.set_hop(t, 0, 0, [1, 0])
-    m.set_hop(t, 0, 0, [0, 1])
-    return m
-
-
 # ---- the classic square-lattice butterfly -------------------------------
-sq = square_lattice()
+sq = zoo.square()
 q = 40
 t0 = time.time()
 phis, evals = magnetic.hofstadter_butterfly(sq, q, nk=4)

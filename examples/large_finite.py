@@ -23,14 +23,13 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
-from pythtb_tpu import tb_model, flows, magnetic
+from pythtb_tpu import flows, magnetic
+from pythtb_tpu.models import square
 
 L = 100
 phi = 1.0 / 25.0  # flux quanta per plaquette
 
-sq = tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]], orb=[[0.0, 0.0]])
-sq.set_hop(1.0, 0, 0, [1, 0])
-sq.set_hop(1.0, 0, 0, [0, 1])
+sq = square()
 flake = sq.cut_piece(L, 0)
 flake = magnetic.peierls_model(flake, phi, dirs=(0, 1)).cut_piece(L, 1)
 print("flake: %d sites, %d hoppings" % (flake.get_num_orbitals(), len(flake._hoppings)))

@@ -22,15 +22,8 @@ import matplotlib.pyplot as plt
 import jax
 import jax.numpy as jnp
 
-from pythtb_tpu import tb_model, wf_array, flows
-from pythtb_tpu.utils.xfer import host_pack
-
-
-def ssh(delta, t=1.0):
-    m = tb_model(1, 1, lat=[[1.0]], orb=[[0.0], [0.5]])
-    m.set_hop(t * (1.0 + delta), 0, 1, [0])
-    m.set_hop(t * (1.0 - delta), 1, 0, [1])
-    return m
+from pythtb_tpu import wf_array, flows
+from pythtb_tpu.models import ssh
 
 
 # ---- E(delta): one vmapped program over the distortion sweep -------------

@@ -583,33 +583,39 @@ def solve_lowest(model, num_states, eig_vectors=False, max_iters=300, tol=None, 
     X0 = jax.random.normal(key, (2 * N, 2 * k), dtype=rdtype)
     theta, V, _ = lobpcg_standard(amat, X0, m=int(max_iters), tol=tol)
 
-    from .utils.xfer import host_unpack, pack_cplx
+    from .utils.xfer import host_unpack
 
-    @jax.jit
-    def _post(V):
-        # real Ritz block -> complex eigenbasis: SVD extracts the k-dim
-        # column space, a small Rayleigh-Ritz solve re-diagonalizes
-        # (jitted: eager complex constants cannot cross the axon
-        # host<->device boundary)
-        Z = V[:N] + 1j * V[N:]  # (N, 2k), rank k
-        U, _, _ = jnp.linalg.svd(Z, full_matrices=False)
-        U = U[:, :k]  # (N, k) orthonormal
-        HU = matvec(h, U.reshape((h.norb, 2, -1) if h.nspin == 2 else (h.norb, -1)))
-        HU = HU.reshape(N, k)
-        hp = jax.lax.Precision.HIGHEST
-        Hk = jnp.matmul(jnp.conj(U.T), HU, precision=hp)
-        Hk = (Hk + jnp.conj(Hk.T)) / 2
-        w, S = jnp.linalg.eigh(Hk)
-        vecs = jnp.matmul(U, S, precision=hp).T  # (k, N)
-        if h.nspin == 2:
-            vecs = vecs.reshape(k, h.norb, 2)
-        return w, pack_cplx(vecs)
-
-    w, vecs_packed = _post(V)
+    w, vecs_packed = _solve_lowest_post_jit(V, h, k)
     if not eig_vectors:
         return np.asarray(jax.device_get(w), dtype=np.float64)
     w, vecs_packed = jax.device_get((w, vecs_packed))  # one round trip
     return np.asarray(w, dtype=np.float64), host_unpack(np.asarray(vecs_packed))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _solve_lowest_post_jit(V, h, k):
+    """Real Ritz block -> complex eigenbasis: SVD extracts the k-dim
+    column space, a small Rayleigh-Ritz solve re-diagonalizes.  Jitted
+    (eager complex constants cannot cross the axon host<->device
+    boundary) at module level so the compiled kernel is reused across
+    calls of the same shape."""
+    from .ops.matvec import matvec
+    from .utils.xfer import pack_cplx
+
+    N = h.nsta
+    Z = V[:N] + 1j * V[N:]  # (N, 2k), rank k
+    U, _, _ = jnp.linalg.svd(Z, full_matrices=False)
+    U = U[:, :k]  # (N, k) orthonormal
+    HU = matvec(h, U.reshape((h.norb, 2, -1) if h.nspin == 2 else (h.norb, -1)))
+    HU = HU.reshape(N, k)
+    hp = jax.lax.Precision.HIGHEST
+    Hk = jnp.matmul(jnp.conj(U.T), HU, precision=hp)
+    Hk = (Hk + jnp.conj(Hk.T)) / 2
+    w, S = jnp.linalg.eigh(Hk)
+    vecs = jnp.matmul(U, S, precision=hp).T  # (k, N)
+    if h.nspin == 2:
+        vecs = vecs.reshape(k, h.norb, 2)
+    return w, pack_cplx(vecs)
 
 
 @partial(jax.jit, static_argnums=(4, 5))

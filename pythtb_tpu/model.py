@@ -709,22 +709,24 @@ class tb_model(object):
             flake = ribbon.cut_piece(10, 0)          # fully finite
             levels = flake.solve_all()
         """
-        if trim_first or trim_last:
+        if trim_first is not None or trim_last is not None:
             if glue_edgs:
                 raise PythtbError(
                     "Edge trimming (trim_first/trim_last) requires open "
                     "edges (glue_edgs=False)."
                 )
-            for idx in list(trim_first or []) + list(trim_last or []):
-                if not (0 <= int(idx) < self._norb):
+            # accept a scalar index or any sequence (incl. index 0)
+            tf = np.atleast_1d(trim_first if trim_first is not None else []).astype(int)
+            tl = np.atleast_1d(trim_last if trim_last is not None else []).astype(int)
+            for idx in list(tf) + list(tl):
+                if not (0 <= idx < self._norb):
                     raise PythtbError(
                         "trim_first/trim_last entries are original-cell "
                         "orbital indices (0..%d)." % (self._norb - 1)
                     )
             cut = self.cut_piece(num, fin_dir, glue_edgs=False)
-            drop = [int(i) for i in (trim_first or [])]
-            drop += [int(i) + self._norb * (num - 1) for i in (trim_last or [])]
-            return cut.remove_orb(sorted(set(drop)))
+            drop = sorted(set(list(tf) + [int(i) + self._norb * (num - 1) for i in tl]))
+            return cut.remove_orb(drop) if drop else cut
         if self._dim_k == 0:
             raise PythtbError("Model is already finite")
         if not _is_int(num):

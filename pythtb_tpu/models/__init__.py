@@ -22,6 +22,7 @@ from .library import (
     kane_mele,
     lieb,
     molecule_nh3,
+    square,
     ssh,
     three_site_chain,
     trestle,
@@ -40,6 +41,7 @@ __all__ = [
     "three_site_chain",
     "cscl",
     "fu_kane_mele",
+    "square",
     "ssh",
     "lieb",
     "kagome",

@@ -180,6 +180,16 @@ def fu_kane_mele(t=1.0, soc=0.125, m=-0.5, beta=0.0):
     return model
 
 
+def square(t=1.0):
+    """Square lattice with nearest-neighbor hopping (one orbital): the
+    canonical substrate for Hofstadter-butterfly and Landau-level
+    physics (see :mod:`pythtb_tpu.magnetic`)."""
+    m = tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]])
+    m.set_hop(t, 0, 0, [1, 0])
+    m.set_hop(t, 0, 0, [0, 1])
+    return m
+
+
 def ssh(delta=0.3, t=1.0):
     """Su-Schrieffer-Heeger dimerized chain (PRL 42, 1698 (1979)):
     alternating hoppings ``t(1+delta)`` (intracell) and ``t(1-delta)``

@@ -221,10 +221,16 @@ def visualize(model, dir_first, dir_second=None, eig_dr=None, draw_hoppings=True
         ax.plot(ends[:, 0], ends[:, 1], "o", c=c_nei, zorder=9, mew=0.0,
                 ms=4.0, mec="w", ls="none")
 
-    if annotate_hoppings and geo["hop_lines"].shape[0]:
+    if annotate_hoppings and len(model._hoppings):
         # one label per stored hopping (first nhop polylines are the
-        # <i|H|j+R> drawing direction, in _hoppings order)
-        mids = geo["hop_lines"][: len(model._hoppings), 1]
+        # <i|H|j+R> drawing direction, in _hoppings order); labels are
+        # honored even when the bond lines themselves are hidden
+        label_geo = (
+            geo
+            if geo["hop_lines"].shape[0]
+            else _visualize_geometry(model, dir_first, dir_second, True)
+        )
+        mids = label_geo["hop_lines"][: len(model._hoppings), 1]
         for h, xy in zip(model._hoppings, mids):
             z = np.asarray(h[0], dtype=complex)
             if model._nspin == 2:

@@ -251,12 +251,19 @@ class wf_array(object):
         if start_k is None:
             start_k = [0.0] * (self._dim_arr - 1)
 
-        same_shape = all(s == static0 for s, _ in fins)
+        # the one-program path additionally requires identical orbital
+        # positions and periodic axes: the k-boundary periodic-gauge
+        # phases exp(-2*pi*i*orb) are shared across the family
+        same_shape = all(s == static0 for s, _ in fins) and all(
+            np.array_equal(m._orb, models[0]._orb) and m._per == models[0]._per
+            for m in models
+        )
         if same_shape:
             import jax.numpy as jnp
 
+            # stack on host: one h2d upload per leaf at the jit boundary
             datas = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
                 *[d for _, d in fins]
             )
             min_gaps, evals, wfs = _solver.solve_grid_family(
@@ -277,9 +284,10 @@ class wf_array(object):
                 g, ev, w = _solver.solve_grid_device(
                     s, d, k_sizes, start_k, m._orb, m._per, self._nspin
                 )
+                ev, w = jax.device_get((ev, w))  # one round trip for both
                 sel = (slice(None),) * param_dir + (i,)
-                host[sel] = host_unpack(np.asarray(jax.device_get(w)))
-                E[sel] = np.asarray(jax.device_get(ev), dtype=np.float64)
+                host[sel] = host_unpack(np.asarray(w))
+                E[sel] = np.asarray(ev, dtype=np.float64)
                 gap_rows.append(g)
             min_gaps = np.min(np.stack(gap_rows), axis=0)
             self._energies_dev = None

@@ -96,3 +96,27 @@ class TestSolveOnGridModels:
             wf.solve_on_grid_models([zoo.three_site_chain(0.0)] * 4, param_dir=0)
         with pytest.raises(Exception):
             wf.solve_on_grid_models([zoo.haldane()] * 3, param_dir=0)  # wrong dim_k
+
+
+def test_varying_orbital_positions_fall_back_correctly():
+    """Regression: family members with the same hop graph but DIFFERENT
+    orbital positions must not share models[0]'s periodic-gauge
+    boundary phases (they take the per-model path and match per-model
+    solve_on_grid exactly)."""
+    def chain_at(x1):
+        m = tb_model(1, 1, lat=[[1.0]], orb=[[0.0], [x1]])
+        m.set_onsite([0.4, -0.4])
+        m.set_hop(1.0, 0, 1, [0])
+        m.set_hop(0.6, 1, 0, [1])
+        return m
+
+    xs = [0.3, 0.5, 0.7]
+    models = [chain_at(x) for x in xs]
+    wf = wf_array(models[0], [3, 9])
+    wf.solve_on_grid_models(models, param_dir=0)
+    for i, m in enumerate(models):
+        ref = wf_array(m, [9])
+        ref.solve_on_grid([0.0])
+        ph_ref = ref.berry_phase([0], dir=0)
+        ph = wf.berry_phase([0], dir=1, contin=False)[i]
+        np.testing.assert_allclose(ph, ph_ref, atol=1e-10)

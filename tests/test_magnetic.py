@@ -22,10 +22,7 @@ from pythtb_tpu import flows
 
 
 def square_lattice(t=1.0):
-    m = tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]], orb=[[0.0, 0.0]])
-    m.set_hop(t, 0, 0, [1, 0])
-    m.set_hop(t, 0, 0, [0, 1])
-    return m
+    return zoo.square(t)
 
 
 def brute_force_flake(model, n1, n2, phi, dirs=(0, 1)):

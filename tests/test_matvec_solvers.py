@@ -77,10 +77,7 @@ class TestSolveLowest:
         assert evecs.shape == (5, flake._norb, 2)
 
     def test_magnetic_flake_complex_hops(self):
-        sq = tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]], orb=[[0.0, 0.0]])
-        sq.set_hop(1.0, 0, 0, [1, 0])
-        sq.set_hop(1.0, 0, 0, [0, 1])
-        msc = magnetic.magnetic_supercell(sq, 1, 5)
+        msc = magnetic.magnetic_supercell(zoo.square(), 1, 5)
         flake = msc.cut_piece(3, 0).cut_piece(15, 1)  # 225 sites
         dense = np.sort(np.linalg.eigvalsh(_dense_H(flake)))
         evals = flows.solve_lowest(flake, 8, max_iters=500)

@@ -157,3 +157,16 @@ def test_cut_piece_edge_trimming():
         g.cut_piece(4, 1, glue_edgs=True, trim_first=[0])
     with pytest.raises(Exception):
         g.cut_piece(4, 1, trim_first=[5])  # out of original-cell range
+
+
+def test_cut_piece_trim_scalar_and_index_zero():
+    """Regression: scalar trim indices (including the falsy 0) are
+    honored, not silently ignored."""
+    g = models.graphene()
+    rib = g.cut_piece(4, 1, trim_first=0)
+    assert rib.get_num_orbitals() == 7
+    manual = g.cut_piece(4, 1).remove_orb([0])
+    k = np.linspace(0, 1, 5)[:, None]
+    np.testing.assert_allclose(rib.solve_all(k), manual.solve_all(k), atol=1e-12)
+    rib2 = g.cut_piece(4, 1, trim_last=1)
+    assert rib2.get_num_orbitals() == 7

@@ -133,9 +133,7 @@ def run_suite():
     # -- capability rows (no reference equivalent exists) ----------------
     from pythtb_tpu import magnetic
 
-    sq = ptt.tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]], orb=[[0.0, 0.0]])
-    sq.set_hop(1.0, 0, 0, [1, 0])
-    sq.set_hop(1.0, 0, 0, [0, 1])
+    sq = ptt.models.square()
 
     bfn, _sc = magnetic.hofstadter_fn(sq, 40)
     pv = np.arange(41, dtype=np.float64)
