@@ -618,17 +618,27 @@ def _solve_lowest_post_jit(V, h, k):
     return w, pack_cplx(vecs)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _kpm_moments_jit(h, a, b, key, M, R):
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _kpm_moments_jit(h, a, b, key, M, R, mesh=None):
     """Stochastic Chebyshev moments mu_0..mu_{M-1} of the rescaled
     (H - b)/a, R random-phase vectors, doubling identities (two moments
     per matvec), one lax.scan program.  Module-level so the compiled
-    executable is reused across calls of the same shape."""
+    executable is reused across calls of the same shape.
+
+    With a device ``mesh``, the random-vector axis shards over it (the
+    vectors are independent, so this is pure data parallelism; GSPMD
+    inserts one psum for the final moment mean)."""
     from .ops.matvec import matvec
 
     N = h.nsta
     th = jax.random.uniform(key, (N, R), minval=0.0, maxval=2.0 * np.pi)
     x0 = jnp.exp(1j * th)  # random-phase vectors: E<x|A|x> = Tr A
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        x0 = jax.lax.with_sharding_constraint(
+            x0, NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0]))
+        )
     shape = (h.norb, 2, R) if h.nspin == 2 else (h.norb, R)
 
     def hmv(v):
@@ -685,9 +695,15 @@ def kpm_dos(model, energies=None, num_moments=512, num_vectors=8,
     b = 0.5 * (hi + lo)
     M = int(num_moments)
     R = int(num_vectors)
+    mesh = pmesh.current_mesh()
+    if mesh is not None:
+        # independent random vectors shard over the mesh; round R up so
+        # every device carries the same count (more vectors = strictly
+        # better statistics)
+        R = pmesh.pad_to_multiple(R, mesh.devices.size)
 
     mu = np.asarray(
-        jax.device_get(_kpm_moments_jit(h, a, b, jax.random.PRNGKey(seed), M, R)),
+        jax.device_get(_kpm_moments_jit(h, a, b, jax.random.PRNGKey(seed), M, R, mesh)),
         dtype=np.float64,
     )
 

@@ -518,6 +518,22 @@ class wf_array(object):
                 stacklevel=3,
             )
 
+    def save(self, path):
+        """Checkpoint this wf_array (model + states + stored energies)
+        to a compressed .npz -- resume expensive grid solves with
+        :meth:`load` and continue the Berry/Wannier analysis without
+        re-diagonalizing.  No pickle.  **[tpu]**"""
+        from .utils.serialization import save_wf_array
+
+        save_wf_array(self, path)
+
+    @staticmethod
+    def load(path):
+        """Load a wf_array written by :meth:`save`.  **[tpu]**"""
+        from .utils.serialization import load_wf_array
+
+        return load_wf_array(path)
+
     def smooth_gauge(self, occ="All", dir=0, closed=True):
         r"""Impose the optimally-smooth parallel-transport gauge of
         Marzari & Vanderbilt 1997 on states ``occ`` along grid axis

@@ -126,3 +126,22 @@ def test_sharded_chern_transfers_only_scalars(mesh8):
     ]
     assert in_sizes, "expected nonempty input avals"
     assert max(in_sizes) < 256, in_sizes  # B = 16*16 = 256 never appears
+
+
+def test_kpm_dos_shards_random_vectors():
+    """kpm_dos under an active mesh shards the stochastic-trace vectors
+    (pure data parallelism) and returns the same DOS as unsharded for
+    the same seed and vector count."""
+    from pythtb_tpu import flows, parallel
+    from pythtb_tpu.models import library as zoo
+
+    flake = zoo.haldane().cut_piece(6, 0).cut_piece(6, 1)
+    e0, d0 = flows.kpm_dos(flake, num_moments=64, num_vectors=8, seed=3)
+    with parallel.use_mesh(parallel.auto_mesh(8)):
+        e1, d1 = flows.kpm_dos(flake, num_moments=64, num_vectors=8, seed=3)
+    np.testing.assert_allclose(e0, e1, atol=0)
+    np.testing.assert_allclose(d0, d1, atol=1e-8)
+    # non-divisible vector counts are rounded up, not rejected
+    with parallel.use_mesh(parallel.auto_mesh(8)):
+        _, d2 = flows.kpm_dos(flake, num_moments=64, num_vectors=5, seed=3)
+    assert np.all(np.isfinite(d2))

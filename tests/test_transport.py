@@ -180,3 +180,53 @@ class TestAdiabaticEvolve:
         # gap are coarse; ~0.88 captured there is the honest value
         assert fid.min() > 0.85
         assert np.all(np.sort(idx, axis=-1) == idx)  # indices sorted
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_smooth_gauge_random_states(seed):
+    """smooth_gauge on completely random orthonormal frames (not
+    eigenstates of anything): subspaces and gauge invariants preserved,
+    endpoints fixed, transported links Hermitian-positive."""
+    rng = np.random.RandomState(40 + seed)
+    norb = rng.randint(2, 5)
+    nocc = rng.randint(1, norb + 1)
+    L = rng.randint(4, 9)
+    m = tb_model(1, 1, lat=[[1.0]], orb=[[i / norb] for i in range(norb)])
+    wf = wf_array(m, [L])
+    states = rng.randn(L, norb, norb) + 1j * rng.randn(L, norb, norb)
+    for i in range(L):
+        q, _ = np.linalg.qr(states[i].T)
+        wf[i] = q.T  # orthonormal rows
+    wf.impose_loop(0)
+
+    occ = list(range(nocc))
+    before = np.asarray(wf._wfs).copy()
+    ph_before = wf.berry_phase(occ, dir=0, contin=False)
+    wf.smooth_gauge(occ, dir=0, closed=True)
+    after = np.asarray(wf._wfs)
+
+    # endpoints untouched; unchosen states untouched
+    np.testing.assert_allclose(after[0], before[0], atol=1e-12)
+    np.testing.assert_allclose(after[-1], before[-1], atol=1e-10)
+    np.testing.assert_allclose(after[:, nocc:], before[:, nocc:], atol=0)
+    # subspace projectors identical at every point
+    pb = np.einsum("lnf,lng->lfg", before[:, :nocc].conj(), before[:, :nocc])
+    pa = np.einsum("lnf,lng->lfg", after[:, :nocc].conj(), after[:, :nocc])
+    np.testing.assert_allclose(pa, pb, atol=1e-10)
+    # orthonormality preserved
+    g = np.einsum("lnf,lmf->lnm", after[:, :nocc].conj(), after[:, :nocc])
+    np.testing.assert_allclose(g, np.broadcast_to(np.eye(nocc), g.shape), atol=1e-10)
+    # Berry phase (gauge invariant) unchanged
+    ph_after = wf.berry_phase(occ, dir=0, contin=False)
+    assert abs(np.angle(np.exp(1j * (ph_after - ph_before)))) < 1e-8
+
+    # pure parallel transport: every link overlap Hermitian positive
+    wf2 = wf_array(m, [L])
+    wf2._wfs = before.copy()
+    wf2.smooth_gauge(occ, dir=0, closed=False)
+    w2 = np.asarray(wf2._wfs)[:, :nocc]
+    ovr = np.einsum("lnf,lmf->lnm", w2[:-1].conj(), w2[1:])
+    herm = np.abs(ovr - np.swapaxes(ovr.conj(), -1, -2)).max()
+    assert herm < 1e-10
+    evs = np.linalg.eigvalsh((ovr + np.swapaxes(ovr.conj(), -1, -2)) / 2)
+    assert evs.min() > 0.0  # positive definite (random frames overlap)

@@ -1,6 +1,7 @@
 """Serialization round-trips and profiling helpers."""
 
 import numpy as np
+import pytest
 
 import pythtb_tpu as ptt
 from pythtb_tpu.utils.profiling import benchmark, timed
@@ -57,3 +58,48 @@ def test_benchmark_and_timed():
     with timed("solve", out=out):
         m.solve_all(k)
     assert len(out) == 1 and out[0] > 0
+
+
+def test_wf_array_save_load_roundtrip(tmp_path):
+    """wf_array checkpointing: states, energies, model, and all Berry
+    quantities survive the round trip."""
+    import pythtb_tpu as ptt
+    from pythtb_tpu.models import library as zoo
+
+    m = zoo.haldane()
+    wf = ptt.wf_array(m, [9, 9])
+    wf.solve_on_grid([-0.5, -0.5])
+    flux = wf.berry_flux([0])
+    path = str(tmp_path / "ckpt")
+    wf.save(path)
+
+    wf2 = ptt.wf_array.load(path)
+    assert tuple(wf2._mesh_arr) == (9, 9)
+    np.testing.assert_allclose(np.asarray(wf2._wfs), np.asarray(wf._wfs), atol=0)
+    np.testing.assert_allclose(wf2.energies, wf.energies, atol=0)
+    np.testing.assert_allclose(wf2.berry_flux([0]), flux, atol=1e-12)
+    # the embedded model solves identically
+    k = np.array([[0.1, 0.2]])
+    np.testing.assert_allclose(wf2._model.solve_all(k), m.solve_all(k), atol=1e-12)
+    # wrong-kind file detection
+    m.save(str(tmp_path / "model_only"))
+    with pytest.raises(ValueError):
+        ptt.wf_array.load(str(tmp_path / "model_only"))
+
+
+def test_wf_array_save_load_spinful_subset(tmp_path):
+    import pythtb_tpu as ptt
+    from pythtb_tpu.models import library as zoo
+
+    km = zoo.kane_mele()
+    wf = ptt.wf_array(km, [5, 5])
+    wf.solve_on_grid([0.0, 0.0])
+    sub = wf.choose_states([0, 1])
+    path = str(tmp_path / "sub")
+    sub.save(path)
+    back = ptt.wf_array.load(path)
+    assert back._nsta_arr == 2 and back._nspin == 2
+    np.testing.assert_allclose(np.asarray(back._wfs), np.asarray(sub._wfs), atol=0)
+    np.testing.assert_allclose(
+        back.berry_phase([0, 1], dir=0, contin=False),
+        sub.berry_phase([0, 1], dir=0, contin=False), atol=1e-12)
