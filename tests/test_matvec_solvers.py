@@ -134,3 +134,18 @@ class TestKpmDos:
         energies, dos = flows.kpm_dos(flake, energies=egrid, num_moments=128)
         assert energies.shape == (51,) and dos.shape == (51,)
         assert np.all(np.isfinite(dos))
+
+    def test_spinful_kpm(self):
+        flake = km_flake(3, 3)  # 72 states, spin blocks
+        ev = np.linalg.eigvalsh(_dense_H(flake))
+        energies, dos = flows.kpm_dos(
+            flake, num_moments=192, num_vectors=24, n_energies=301, seed=4
+        )
+        de = energies[1] - energies[0]
+        assert abs(dos.sum() * de - flake._nsta) / flake._nsta < 0.03
+        a = (energies[-1] - energies[0]) / 2
+        sig = np.pi * a / 192
+        dense_dos = np.exp(
+            -0.5 * ((energies[:, None] - ev[None, :]) / sig) ** 2
+        ).sum(axis=1) / (sig * np.sqrt(2 * np.pi))
+        assert np.corrcoef(dos, dense_dos)[0, 1] > 0.97

@@ -132,6 +132,31 @@ def main():
     check("autodiff vs finite diff", abs(float(g[0, 0]) - float(fd)) < 1e-3,
           "grad=%.5f fd=%.5f" % (float(g[0, 0]), float(fd)))
 
+    # 10. magnetic supercell: TKNN Chern of the flux-1/3 lowest subband
+    from pythtb_tpu import magnetic
+
+    msc = magnetic.magnetic_supercell(ptt.models.square(), 1, 3)
+    cm = flows.chern_number(msc, occ=[0], nk=(31, 31))
+    check("magnetic TKNN chern (flux 1/3)", abs(cm - 1.0) < 1e-3, "c=%.5f" % cm)
+
+    # 11. matrix-free KPM DOS normalization on a magnetic flake
+    flake = magnetic.peierls_model(
+        ptt.models.square().cut_piece(40, 0), 1.0 / 7.0, dirs=(0, 1)
+    ).cut_piece(40, 1)
+    e, d = flows.kpm_dos(flake, num_moments=128, num_vectors=4)
+    integral = float(d.sum() * (e[1] - e[0]))
+    check("kpm dos integral (1600 sites)", abs(integral - 1600.0) < 40.0,
+          "integral=%.1f" % integral)
+
+    # 12. smooth gauge preserves the Chern number
+    wf3 = ptt.wf_array(m, [13, 13])
+    wf3.solve_on_grid([-0.5, -0.5])
+    f_before = wf3.berry_flux([0])
+    wf3.smooth_gauge([0], dir=0, closed=True)
+    f_after = wf3.berry_flux([0])
+    check("smooth gauge invariance", abs(f_before - f_after) < 1e-4,
+          "flux %.5f -> %.5f" % (f_before, f_after))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
