@@ -236,11 +236,32 @@ def hofstadter_fn(model, q, dirs=(0, 1)):
         data = data0._replace(amps=pack_cplx(a))
         return eigvalsh_batched(assemble(static, data, kpts))
 
-    @jax.jit
+    def _impl(mesh, p_values, k_list):
+        p_values = jnp.asarray(p_values, dtype=float)
+        if mesh is not None:
+            # flux values are independent: shard the p axis over the
+            # mesh (caller should make len(p_values) divisible)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            p_values = jax.lax.with_sharding_constraint(
+                p_values, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            )
+        return jax.vmap(_one_p, in_axes=(0, None))(p_values, jnp.asarray(k_list))
+
+    # one compiled program per active mesh (the mesh is resolved at
+    # call time, so entering parallel.use_mesh after a first unsharded
+    # call cannot serve a stale executable)
+    compiled = {}
+
     def fn(p_values, k_list):
-        return jax.vmap(_one_p, in_axes=(0, None))(
-            jnp.asarray(p_values, dtype=float), jnp.asarray(k_list)
-        )
+        from functools import partial as _partial
+
+        from .parallel import mesh as _pmesh
+
+        mesh = _pmesh.current_mesh()
+        if mesh not in compiled:
+            compiled[mesh] = jax.jit(_partial(_impl, mesh))
+        return compiled[mesh](p_values, k_list)
 
     return fn, sc
 

@@ -149,3 +149,53 @@ class TestKpmDos:
             -0.5 * ((energies[:, None] - ev[None, :]) / sig) ** 2
         ).sum(axis=1) / (sig * np.sqrt(2 * np.pi))
         assert np.corrcoef(dos, dense_dos)[0, 1] > 0.97
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_random_finite_models(seed):
+    """Random finite models (random graphs, complex hops, random onsite,
+    both spin sectors): matvec == dense, Gershgorin contains the
+    spectrum, solve_lowest matches dense, KPM integrates to nsta."""
+    rng = np.random.RandomState(200 + seed)
+    nspin = 2 if seed % 3 == 0 else 1
+    norb = rng.randint(60, 120)
+    m = tb_model(0, 1, lat=[[1.0]], orb=[[i / norb] for i in range(norb)],
+                 nspin=nspin)
+    if nspin == 1:
+        m.set_onsite(rng.randn(norb))
+    else:
+        # random Hermitian 2x2 onsite blocks, set via the matrix form
+        for i in range(norb):
+            b = rng.randn(2, 2) + 1j * rng.randn(2, 2)
+            m._site_energies[i] = (b + b.conj().T) / 2
+            m._site_energies_specified[i] = True
+        m._invalidate()
+    for _ in range(3 * norb):
+        i, j = rng.randint(norb), rng.randint(norb)
+        if i >= j:
+            continue
+        amp = rng.randn() + 1j * rng.randn()
+        if nspin == 2:
+            amp = rng.randn(2, 2) + 1j * rng.randn(2, 2)
+        try:
+            m.set_hop(amp, i, j, mode="set")
+        except Exception:
+            pass
+    h = sparse_h(m)
+    H = _dense_H(m)
+    # matvec == dense
+    x = rng.randn(h.nsta, 2) + 1j * rng.randn(h.nsta, 2)
+    shape = (h.norb, 2, 2) if nspin == 2 else (h.norb, 2)
+    y = np.asarray(matvec(h, jnp.asarray(x.reshape(shape)))).reshape(h.nsta, 2)
+    np.testing.assert_allclose(y, H @ x, atol=1e-10)
+    # Gershgorin window
+    ev = np.linalg.eigvalsh(H)
+    lo, hi = gershgorin_window(h)
+    assert lo <= ev.min() + 1e-12 and ev.max() <= hi + 1e-12
+    # lowest eigenpairs
+    k = 4
+    low = flows.solve_lowest(m, k, max_iters=600, tol=None)
+    np.testing.assert_allclose(low, ev[:k], atol=1e-6)
+    # KPM normalization
+    e, d = flows.kpm_dos(m, num_moments=128, num_vectors=12, seed=seed)
+    assert abs(d.sum() * (e[1] - e[0]) - h.nsta) / h.nsta < 0.05

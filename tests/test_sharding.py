@@ -145,3 +145,19 @@ def test_kpm_dos_shards_random_vectors():
     with parallel.use_mesh(parallel.auto_mesh(8)):
         _, d2 = flows.kpm_dos(flake, num_moments=64, num_vectors=5, seed=3)
     assert np.all(np.isfinite(d2))
+
+
+def test_hofstadter_fn_shards_flux_axis():
+    """hofstadter_fn under a mesh shards the flux axis; spectra equal
+    the unsharded run, and the mesh is resolved at call time (no stale
+    executable after entering use_mesh)."""
+    from pythtb_tpu import magnetic, parallel
+    from pythtb_tpu.models import library as zoo
+
+    fn, _ = magnetic.hofstadter_fn(zoo.square(), 8)
+    pv = np.arange(8, dtype=float)
+    kg = np.array([[0.0, 0.0], [0.25, 0.5]])
+    base = np.asarray(fn(pv, kg))  # first call unsharded
+    with parallel.use_mesh(parallel.auto_mesh(8)):
+        sharded = np.asarray(fn(pv, kg))
+    np.testing.assert_allclose(base, sharded, atol=1e-10)
