@@ -1,0 +1,220 @@
+"""Projection-based Wannier interpolation, self-contained.
+
+The reference can only *import* Wannier90 output (pythtb.py:3208-3759);
+producing a Wannier-interpolated band structure requires running
+Wannier90 itself.  This module implements the one-shot projection
+method natively: solve the model on a coarse uniform BZ grid, project a
+chosen band group onto trial vectors (Lowdin / polar orthonormalization
+-- the "one-shot" limit of Marzari-Vanderbilt), Fourier-transform the
+projected Hamiltonian to real space, and interpolate to arbitrary k.
+For an isolated band group the projected gauge is smooth, so the
+effective hoppings H(R) decay exponentially and a modest coarse grid
+interpolates the group's bands to high accuracy anywhere in the BZ --
+the standard Wannier-interpolation workflow, with zero external tools.
+
+Formulation.  Work in the lattice-periodic convention: Convention-I
+eigenvector coefficients c_alpha(k) are rephased to
+``c'_alpha = exp(2j*pi*k.t_alpha) * c_alpha`` so every k-dependent
+object below is exactly periodic under k -> k+G (the Convention-II
+Hamiltonian H'(k) = sum_R t exp(2j*pi*k.R) is G-periodic, so its
+spectral functions are too).  With trial vectors g (nw x nsta) the
+projection ``A(k) = <u'_n(k)|g_m>`` is polar-decomposed, V =
+unitarize(A); the projected Hamiltonian ``B(k) = V^H diag(E_occ) V`` is
+smooth and periodic, its Fourier coefficients
+
+    H(R) = (1/Nk) sum_k exp(-2j*pi*k.R) B(k)
+
+decay exponentially (isolated group, nonsingular projection), and
+
+    E_int(k') = eigvalsh(sum_R exp(2j*pi*k'.R) H(R))
+
+reproduces the group's bands: exactly at coarse-grid points (B is
+similar to diag(E) there), and to exponential accuracy in between.
+Everything -- coarse solve, rephasing, projection, polar, Fourier
+transforms, interpolation eigh -- is two compiled device programs (one
+at construction, one per k-batch).
+
+When the chosen group is NOT Wannierizable with the given trials
+(e.g. a nonzero-Chern band, where no smooth periodic gauge exists), the
+projection necessarily becomes (near-)singular somewhere on the grid;
+the smallest projection singular value is reported and warned about.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .model import PythtbError
+from .utils.xfer import host_pack, pack_cplx, unpack_cplx
+
+__all__ = ["WannierInterpolator", "interpolator"]
+
+
+@partial(jax.jit, static_argnums=(0, 2, 5, 6))
+def _build_jit(static, data, nk, t_orb, trial_ri, occ, auto_trial):
+    """Coarse solve -> rephase -> project -> polar -> B(k) -> H(R).
+
+    Returns (hr_packed (NR, nw, nw, 2) with NR = prod(nk), min proj
+    singular value, evals at grid (B, nocc))."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble
+    from .ops.solver import device_uniform_grid
+
+    dim = len(nk)
+    kpts = device_uniform_grid(tuple(nk), jnp.zeros((dim,)))  # (B, dim), k=j/n
+    H = assemble(static, data, kpts)
+    evals, vecs = eigh_batched(H)  # vecs rows = states, (B, nsta, nsta)
+    occ_idx = jnp.asarray(occ, dtype=jnp.int32)
+    e = evals[:, occ_idx]  # (B, nocc)
+    u = vecs[:, occ_idx, :]  # (B, nocc, nsta)
+
+    # Convention-II rephasing: c'_alpha = exp(2j*pi*k.t_alpha) c_alpha
+    # (t_orb: (dim, nsta) orbital positions along the periodic axes)
+    ph = jnp.exp(2.0j * jnp.pi * jnp.einsum("bd,ds->bs", kpts, t_orb,
+                                            precision=jax.lax.Precision.HIGHEST))
+    u = u * ph[:, None, :]
+
+    hp = jax.lax.Precision.HIGHEST
+    if auto_trial:
+        # natural trial orbitals: top eigenvectors of the grid-averaged
+        # band projector (the fixed vectors with maximal mean overlap
+        # with the group -- a one-shot SCDM-like choice)
+        Q = jnp.einsum("bns,bnt->st", u, jnp.conj(u), precision=hp) / u.shape[0]
+        _, qv = jnp.linalg.eigh((Q + jnp.conj(Q.T)) / 2)
+        g = qv[:, -len(occ):].T  # (nw, nsta)
+    else:
+        g = unpack_cplx(trial_ri)  # (nw, nsta)
+    A = jnp.einsum("bns,ms->bnm", jnp.conj(u), g, precision=hp)  # (B, nocc, nw)
+    U, s, Vh = jnp.linalg.svd(A, full_matrices=False)
+    V = jnp.matmul(U, Vh, precision=hp)  # (B, nocc, nw) isometry (nocc == nw)
+    B = jnp.einsum(
+        "bnm,bn,bnl->bml", jnp.conj(V), e, V, precision=hp
+    )  # (B, nw, nw) projected Hamiltonian, Hermitian
+
+    # H(R) over the centered R grid via an explicit small DFT
+    grids = jnp.meshgrid(
+        *[jnp.arange(n) - (n // 2) for n in nk], indexing="ij"
+    )
+    Rs = jnp.stack([g_.ravel() for g_ in grids], axis=-1).astype(kpts.dtype)  # (NR, dim)
+    w = jnp.exp(-2.0j * jnp.pi * jnp.einsum("rd,bd->rb", Rs, kpts, precision=hp))
+    hr = jnp.einsum("rb,bml->rml", w, B, precision=hp) / B.shape[0]
+    return pack_cplx(hr), jnp.min(s), e
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _bands_jit(hr_packed, k_list, nk):
+    from .ops.eigh import eigvalsh_batched
+
+    hr = unpack_cplx(hr_packed)  # (NR, nw, nw)
+    dim = len(nk)
+    grids = jnp.meshgrid(*[jnp.arange(n) - (n // 2) for n in nk], indexing="ij")
+    Rs = jnp.stack([g_.ravel() for g_ in grids], axis=-1).astype(k_list.dtype)
+    w = jnp.exp(2.0j * jnp.pi * jnp.einsum(
+        "bd,rd->br", k_list, Rs, precision=jax.lax.Precision.HIGHEST))  # (B, NR)
+    Hk = jnp.einsum("br,rml->bml", w, hr, precision=jax.lax.Precision.HIGHEST)
+    Hk = (Hk + jnp.conj(jnp.swapaxes(Hk, -1, -2))) / 2
+    return eigvalsh_batched(Hk)
+
+
+class WannierInterpolator(object):
+    """Interpolate an isolated band group from a coarse BZ grid; see the
+    module docstring.  Build with :func:`interpolator`."""
+
+    def __init__(self, model, occ, nk, trial=None):
+        static, data = model._get_finalized()
+        if static.dim_k < 1:
+            raise PythtbError("Wannier interpolation requires a periodic model.")
+        occ = [int(o) for o in occ]
+        if len(occ) == 0:
+            raise PythtbError("Need at least one band to interpolate.")
+        if min(occ) < 0 or max(occ) >= static.nsta:
+            raise IndexError(
+                "occ indices %s out of range for %d states" % (occ, static.nsta)
+            )
+        nk = (nk,) * static.dim_k if np.isscalar(nk) else tuple(int(n) for n in nk)
+        if len(nk) != static.dim_k:
+            raise PythtbError("nk must give one grid size per periodic direction.")
+        self._nk = nk
+        self._dim_k = static.dim_k
+        nocc = len(occ)
+
+        # orbital positions along periodic directions, per state
+        t = np.asarray(model._orb)[:, model._per].T  # (dim_k, norb)
+        if model._nspin == 2:
+            t = np.repeat(t, 2, axis=1)
+
+        if trial is None:
+            # default trials are computed in-program: the top
+            # eigenvectors of the grid-averaged band projector
+            g = np.zeros((nocc, static.nsta), dtype=complex)  # placeholder
+        else:
+            g = np.asarray(trial, dtype=complex).reshape(nocc, static.nsta)
+        hr_packed, min_s, e_grid = _build_jit(
+            static, data, nk, jnp.asarray(t),
+            jnp.asarray(host_pack(g)), tuple(occ), trial is None,
+        )
+        self._hr = hr_packed
+        self.min_projection_sv = float(jax.device_get(min_s))
+        self._e_grid = e_grid
+        if self.min_projection_sv < 1e-3:
+            import warnings
+
+            warnings.warn(
+                "Wannier projection is near-singular (min singular value "
+                "%.2e): the chosen band group is not smoothly Wannierizable "
+                "with these trial vectors (topological obstruction, or a "
+                "band touching) -- interpolated bands are unreliable."
+                % self.min_projection_sv,
+                UserWarning,
+                stacklevel=3,
+            )
+
+    @property
+    def hoppings(self):
+        """Effective hoppings H(R) of the projected group: complex
+        (NR, nw, nw) over the centered R grid (see :meth:`r_vectors`);
+        exponential decay with |R| is the Wannierizability check."""
+        from .utils.xfer import host_unpack
+
+        return host_unpack(np.asarray(jax.device_get(self._hr)))
+
+    def r_vectors(self):
+        """(NR, dim_k) integer lattice vectors matching :attr:`hoppings`."""
+        grids = np.meshgrid(*[np.arange(n) - (n // 2) for n in self._nk], indexing="ij")
+        return np.stack([g.ravel() for g in grids], axis=-1)
+
+    def bands(self, k_list):
+        """Interpolated band energies of the group at arbitrary reduced
+        k-points: (nw, nkp) in solve_all layout."""
+        kpts = np.asarray(k_list, dtype=np.float64)
+        if kpts.ndim == 1:
+            kpts = kpts[:, None] if self._dim_k == 1 else kpts[None, :]
+        if kpts.shape[1] != self._dim_k:
+            raise PythtbError("k-vectors have wrong dimension.")
+        out = _bands_jit(self._hr, jnp.asarray(kpts), self._nk)
+        return np.asarray(jax.device_get(out), dtype=np.float64).T
+
+
+def interpolator(model, occ, nk=8, trial=None) -> WannierInterpolator:
+    """Build a :class:`WannierInterpolator` for the band group ``occ``
+    of ``model`` from an ``nk``-per-direction coarse grid.
+
+    :param occ: band indices of an ISOLATED group (gapped from the rest
+      everywhere; for spinful models include both Kramers partners)
+    :param nk: coarse grid size per periodic direction (scalar or tuple)
+    :param trial: optional (nocc, nsta) complex trial vectors; default =
+      the group's Gamma-point eigenvectors
+    :returns: interpolator with ``.bands(k_list)``, ``.hoppings``,
+      ``.r_vectors()``, ``.min_projection_sv``
+
+    Example::
+
+        itp = wannier.interpolator(models.bn(), [0], nk=10)
+        ek = itp.bands(kpts)        # lower band anywhere, no re-solve
+    """
+    return WannierInterpolator(model, occ, nk, trial=trial)
