@@ -8,7 +8,8 @@ anywhere -- band structures on dense paths and meshes with no further
 diagonalization of the full model.
 
 Runs on h-BN (lower band) and, when the Wannier90 silicon dataset is
-available, on silicon's four valence bands from a coarse 6x6x6 grid.
+available, on silicon: all 8 bands recovered exactly from an 8x8x8 grid, plus
+the valence-only group as the honest one-shot-projection hard case.
 """
 import os
 import time
@@ -22,7 +23,7 @@ import matplotlib.pyplot as plt
 from pythtb_tpu import wannier, w90
 from pythtb_tpu.models import bn
 
-# ---- h-BN lower band from a 14x14 grid -----------------------------------
+# ---- h-BN lower band from a 20x20 grid -----------------------------------
 m = bn()
 itp = wannier.interpolator(m, [0], nk=20)
 kpts, kdist, knode = m.k_path([[0, 0], [2.0 / 3.0, 1.0 / 3.0], [0.5, 0.5], [0, 0]],

@@ -684,7 +684,11 @@ def kpm_dos(model, energies=None, num_moments=512, num_vectors=8,
     :param num_moments: Chebyshev moments (resolution ~ spectral width
       / num_moments; Jackson-kernel broadening is automatic)
     :param num_vectors: random-phase vectors for the stochastic trace
-      (relative error ~ 1/sqrt(num_vectors * norb))
+      (relative error ~ 1/sqrt(num_vectors * norb)).  Under an active
+      device mesh the count is rounded UP to a multiple of the device
+      number (every device carries the same share), so the sharded
+      stochastic ensemble can differ from the unsharded one unless the
+      requested count is already divisible
     :returns: ``(energies, dos)`` with ``sum(dos) * dE ~ norb * nspin``
     """
     from .ops.matvec import gershgorin_window, sparse_h

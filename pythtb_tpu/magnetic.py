@@ -60,7 +60,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .model import PythtbError, tb_model
+from .model import PythtbError
 from .utils.xfer import pack_cplx, unpack_cplx
 
 __all__ = [

@@ -161,6 +161,15 @@ def load_wf_array(path):
         energies = np.array(f["energies"]) if "energies" in f.files else None
         m = _restore_model(f, meta)
     nsta_arr = meta["nsta_arr"]
+    nspin = meta["nspin"]
+    expect = tuple(meta["mesh_arr"]) + (nsta_arr, meta["norb"]) + (
+        (2,) if nspin == 2 else ()
+    )
+    if states.shape != expect:
+        raise ValueError(
+            "Corrupt wf_array file: states shape %s does not match the "
+            "recorded mesh/model (%s)." % (states.shape, expect)
+        )
     wf = _wf_array(
         m, meta["mesh_arr"],
         nsta_arr=None if nsta_arr == m._nsta else nsta_arr,

@@ -55,6 +55,17 @@ from .utils.xfer import host_pack, pack_cplx, unpack_cplx
 __all__ = ["WannierInterpolator", "interpolator"]
 
 
+def _r_grid(nk, like_np=False):
+    """Centered integer R-lattice for the nk coarse grid: (NR, dim),
+    components in [-n//2, n - n//2).  The SINGLE home of the R ordering
+    -- _build_jit's DFT, _bands_jit's inverse transform, and the public
+    r_vectors() must all index H(R) identically."""
+    xp = np if like_np else jnp
+    grids = xp.meshgrid(*[xp.arange(n) - (n // 2) for n in nk], indexing="ij")
+    return xp.stack([g.ravel() for g in grids], axis=-1)
+
+
+
 @partial(jax.jit, static_argnums=(0, 2, 5, 6))
 def _build_jit(static, data, nk, t_orb, trial_ri, occ, auto_trial):
     """Coarse solve -> rephase -> project -> polar -> B(k) -> H(R).
@@ -97,10 +108,7 @@ def _build_jit(static, data, nk, t_orb, trial_ri, occ, auto_trial):
     )  # (B, nw, nw) projected Hamiltonian, Hermitian
 
     # H(R) over the centered R grid via an explicit small DFT
-    grids = jnp.meshgrid(
-        *[jnp.arange(n) - (n // 2) for n in nk], indexing="ij"
-    )
-    Rs = jnp.stack([g_.ravel() for g_ in grids], axis=-1).astype(kpts.dtype)  # (NR, dim)
+    Rs = _r_grid(nk).astype(kpts.dtype)  # (NR, dim)
     w = jnp.exp(-2.0j * jnp.pi * jnp.einsum("rd,bd->rb", Rs, kpts, precision=hp))
     hr = jnp.einsum("rb,bml->rml", w, B, precision=hp) / B.shape[0]
     return pack_cplx(hr), jnp.min(s), e
@@ -111,9 +119,7 @@ def _bands_jit(hr_packed, k_list, nk):
     from .ops.eigh import eigvalsh_batched
 
     hr = unpack_cplx(hr_packed)  # (NR, nw, nw)
-    dim = len(nk)
-    grids = jnp.meshgrid(*[jnp.arange(n) - (n // 2) for n in nk], indexing="ij")
-    Rs = jnp.stack([g_.ravel() for g_ in grids], axis=-1).astype(k_list.dtype)
+    Rs = _r_grid(nk).astype(k_list.dtype)
     w = jnp.exp(2.0j * jnp.pi * jnp.einsum(
         "bd,rd->br", k_list, Rs, precision=jax.lax.Precision.HIGHEST))  # (B, NR)
     Hk = jnp.einsum("br,rml->bml", w, hr, precision=jax.lax.Precision.HIGHEST)
@@ -160,7 +166,7 @@ class WannierInterpolator(object):
         )
         self._hr = hr_packed
         self.min_projection_sv = float(jax.device_get(min_s))
-        self._e_grid = e_grid
+        self._e_grid = e_grid  # (Nk, nocc) device; see grid_energies
         if self.min_projection_sv < 1e-3:
             import warnings
 
@@ -175,6 +181,13 @@ class WannierInterpolator(object):
             )
 
     @property
+    def grid_energies(self):
+        """Exact band energies of the group at the coarse-grid k-points
+        (flat (prod(nk), nocc) float array, row-major over the grid) --
+        the interpolation's anchor data, free as a by-product."""
+        return np.asarray(jax.device_get(self._e_grid), dtype=np.float64)
+
+    @property
     def hoppings(self):
         """Effective hoppings H(R) of the projected group: complex
         (NR, nw, nw) over the centered R grid (see :meth:`r_vectors`);
@@ -185,8 +198,7 @@ class WannierInterpolator(object):
 
     def r_vectors(self):
         """(NR, dim_k) integer lattice vectors matching :attr:`hoppings`."""
-        grids = np.meshgrid(*[np.arange(n) - (n // 2) for n in self._nk], indexing="ij")
-        return np.stack([g.ravel() for g in grids], axis=-1)
+        return _r_grid(self._nk, like_np=True)
 
     def bands(self, k_list):
         """Interpolated band energies of the group at arbitrary reduced
@@ -208,7 +220,8 @@ def interpolator(model, occ, nk=8, trial=None) -> WannierInterpolator:
       everywhere; for spinful models include both Kramers partners)
     :param nk: coarse grid size per periodic direction (scalar or tuple)
     :param trial: optional (nocc, nsta) complex trial vectors; default =
-      the group's Gamma-point eigenvectors
+      the top eigenvectors of the grid-averaged band projector (an
+      automatic SCDM-like choice, computed in-program)
     :returns: interpolator with ``.bands(k_list)``, ``.hoppings``,
       ``.r_vectors()``, ``.min_projection_sv``
 

@@ -128,36 +128,36 @@ def test_sharded_chern_transfers_only_scalars(mesh8):
     assert max(in_sizes) < 256, in_sizes  # B = 16*16 = 256 never appears
 
 
-def test_kpm_dos_shards_random_vectors():
+def test_kpm_dos_shards_random_vectors(mesh8):
     """kpm_dos under an active mesh shards the stochastic-trace vectors
     (pure data parallelism) and returns the same DOS as unsharded for
     the same seed and vector count."""
-    from pythtb_tpu import flows, parallel
-    from pythtb_tpu.models import library as zoo
+    from pythtb_tpu import flows
+    from pythtb_tpu.models import library as zoo2
 
-    flake = zoo.haldane().cut_piece(6, 0).cut_piece(6, 1)
+    flake = zoo2.haldane().cut_piece(6, 0).cut_piece(6, 1)
     e0, d0 = flows.kpm_dos(flake, num_moments=64, num_vectors=8, seed=3)
-    with parallel.use_mesh(parallel.auto_mesh(8)):
+    with use_mesh(mesh8):
         e1, d1 = flows.kpm_dos(flake, num_moments=64, num_vectors=8, seed=3)
     np.testing.assert_allclose(e0, e1, atol=0)
     np.testing.assert_allclose(d0, d1, atol=1e-8)
     # non-divisible vector counts are rounded up, not rejected
-    with parallel.use_mesh(parallel.auto_mesh(8)):
+    with use_mesh(mesh8):
         _, d2 = flows.kpm_dos(flake, num_moments=64, num_vectors=5, seed=3)
     assert np.all(np.isfinite(d2))
 
 
-def test_hofstadter_fn_shards_flux_axis():
+def test_hofstadter_fn_shards_flux_axis(mesh8):
     """hofstadter_fn under a mesh shards the flux axis; spectra equal
     the unsharded run, and the mesh is resolved at call time (no stale
     executable after entering use_mesh)."""
-    from pythtb_tpu import magnetic, parallel
-    from pythtb_tpu.models import library as zoo
+    from pythtb_tpu import magnetic
+    from pythtb_tpu.models import library as zoo2
 
-    fn, _ = magnetic.hofstadter_fn(zoo.square(), 8)
+    fn, _ = magnetic.hofstadter_fn(zoo2.square(), 8)
     pv = np.arange(8, dtype=float)
     kg = np.array([[0.0, 0.0], [0.25, 0.5]])
     base = np.asarray(fn(pv, kg))  # first call unsharded
-    with parallel.use_mesh(parallel.auto_mesh(8)):
+    with use_mesh(mesh8):
         sharded = np.asarray(fn(pv, kg))
     np.testing.assert_allclose(base, sharded, atol=1e-10)
