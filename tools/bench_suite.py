@@ -88,16 +88,13 @@ def run_suite():
            "chern=%.7f" % c)
 
     # -- row 4: Kane-Mele 41x41 grid + Wilson-loop HWF flow (0.38 s) -----
+    # the fused one-dispatch pipeline (flows.wilson_flow, exact-equality
+    # tested against the wf_array route in tests/test_wilson_device.py)
     km = ptt.models.kane_mele(esite=1.0)
 
-    def km_flow():
-        wf = ptt.wf_array(km, [41, 41])
-        wf.solve_on_grid([-0.5, -0.5])
-        evph = wf.berry_phase([0, 1], dir=1, contin=False, berry_evals=True)
-        tr = wf.berry_phase([0, 1], dir=1, contin=False)
-        return evph, tr
-
-    wall, (evph, tr) = _timed(km_flow)
+    wall, (evph, tr) = _timed(
+        lambda: flows.wilson_flow(km, [0, 1], nk=(41, 41), start_k=(-0.5, -0.5))
+    )
     dev = np.abs(np.angle(np.exp(1j * (evph.sum(-1) - tr)))).max()
     report("kane_mele_wilson_flow_41x41", 0.38, wall,
            evph.shape == (41, 2) and dev < 1e-3, "evals-vs-trace dev=%.1e" % dev)
