@@ -148,3 +148,24 @@ def test_shift_to_home_documented_intent():
     # physics identical either way
     k = np.random.RandomState(3).rand(6, 2)
     np.testing.assert_allclose(sc_home.solve_all(k), sc_raw.solve_all(k), atol=1e-12)
+
+
+def test_fused_chern_equals_wf_array_route():
+    """flows.chern_number / berry_flux_grid (one fused dispatch) equals
+    the wf_array route (solve_on_grid + berry_flux) to float precision,
+    for single bands and multiband sets at several grid sizes/origins."""
+    import pythtb_tpu as ptt
+    from pythtb_tpu import flows
+    from pythtb_tpu.models import library as zoo
+
+    cases = [
+        (zoo.haldane(), [0], (31, 31), (-0.5, -0.5)),
+        (zoo.haldane(), [0, 1], (12, 17), (0.0, 0.0)),
+        (zoo.kane_mele(esite=1.0), [0, 1], (15, 15), (-0.5, -0.5)),
+    ]
+    for m, occ, nk, start in cases:
+        wf = ptt.wf_array(m, list(nk))
+        wf.solve_on_grid(list(start))
+        ref = wf.berry_flux(occ)
+        fused = flows.berry_flux_grid(m, occ, nk=nk, start_k=start)
+        np.testing.assert_allclose(fused, ref, atol=1e-10)

@@ -70,13 +70,13 @@ def run_suite():
            ev.shape == (2, 10000) and abs(float(ev.min()) + 3.007) < 0.05,
            "Emin=%.3f" % ev.min())
 
-    # -- row 2: 31x31 solve_on_grid + berry_flux (baseline 0.131 s) -----
-    def chern31():
-        wf = ptt.wf_array(hal, [31, 31])
-        wf.solve_on_grid([-0.5, -0.5])
-        return wf.berry_flux([0]) / (2 * np.pi)
-
-    wall, c = _timed(chern31)
+    # -- row 2: 31x31 grid Chern (baseline 0.131 s) ----------------------
+    # fused one-dispatch pipeline (flows.chern_number, same API as the
+    # north-star row; bit-parity with the wf_array route is tested in
+    # tests/test_invariance.py)
+    wall, c = _timed(
+        lambda: flows.chern_number(hal, [0], nk=(31, 31), start_k=(-0.5, -0.5))
+    )
     report("haldane_chern_31x31", 0.131, wall, abs(abs(c) - 1.0) < 1e-4,
            "chern=%.6f" % c)
 
