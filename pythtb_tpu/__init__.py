@@ -33,7 +33,7 @@ from .utils.continuity import no_2pi
 from .wf_array import wf_array
 from .w90 import w90
 from . import models, parallel
-from . import magnetic, wannier
+from . import magnetic, surface, wannier
 from .family import family, ModelFamily
 
 __version__ = "0.1.0"
@@ -47,6 +47,7 @@ __all__ = [
     "models",
     "parallel",
     "magnetic",
+    "surface",
     "wannier",
     "no_2pi",
     "PythtbError",

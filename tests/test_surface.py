@@ -1,0 +1,140 @@
+"""Semi-infinite surface spectral functions (Sancho-Rubio decimation;
+no reference counterpart -- the reference only cuts finite pieces).
+
+Oracles: the exact analytic surface Green's function of the
+semi-infinite chain, and direct inversion of deep finite slabs built
+with completely independent machinery (cut_piece + gen_ham)."""
+
+import numpy as np
+import pytest
+
+from pythtb_tpu import surface, tb_model
+from pythtb_tpu.models import library as zoo
+
+
+def test_chain_matches_analytic():
+    # semi-infinite chain: g_s(z) = (z - sqrt(z^2 - 4 t^2)) / (2 t^2)
+    t = -1.0
+    m = zoo.chain(t=t)
+    E = np.linspace(-3.0, 3.0, 241)
+    eta = 0.02
+    A = surface.spectral_function(m, 0, energies=E, eta=eta)[:, 0]
+    z = E + 1j * eta
+    sq = np.sqrt(z**2 - 4.0 * t * t)
+    sq = np.where(np.imag(sq) * np.imag(z) < 0, -sq, sq)
+    Aref = -np.imag((z - sq) / (2.0 * t * t)) / np.pi
+    np.testing.assert_allclose(A, Aref, atol=1e-10)
+    # the opposite surface of the symmetric chain is identical
+    At = surface.spectral_function(m, 0, energies=E, eta=eta, side="top")[:, 0]
+    np.testing.assert_allclose(At, Aref, atol=1e-10)
+
+
+def _slab_surface_A(model, surf_dir, kpar, energies, eta, nlayers, top=False):
+    """Independent oracle: direct inversion of a deep finite slab; the
+    spectral trace over the outermost layer's states."""
+    slab = model.cut_piece(nlayers, surf_dir, glue_edgs=False)
+    norb = model._norb * model._nspin
+    out = np.zeros((len(energies), len(kpar)))
+    for jk, k in enumerate(kpar):
+        H = np.asarray(slab.gen_ham([list(k)]))[0]
+        H = H.reshape(slab._nsta, slab._nsta)
+        for je, e in enumerate(energies):
+            G = np.linalg.inv((e + 1j * eta) * np.eye(slab._nsta) - H)
+            blk = slice(-norb, None) if top else slice(0, norb)
+            out[je, jk] = -np.imag(np.trace(G[blk, blk])) / np.pi
+    return out
+
+
+@pytest.mark.parametrize("side", ["bottom", "top"])
+def test_haldane_vs_deep_slab(side):
+    m = zoo.haldane()
+    kpar = np.array([[0.15], [0.35], [0.6]])
+    energies = np.array([-1.2, -0.3, 0.4, 1.5])
+    eta = 0.08
+    A = surface.spectral_function(m, 1, k_par=kpar, energies=energies,
+                                  eta=eta, side=side)
+    ref = _slab_surface_A(m, 1, kpar, energies, eta, nlayers=120,
+                          top=(side == "top"))
+    np.testing.assert_allclose(A, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_second_neighbor_layering_vs_slab():
+    # R_surf = 2 hops force a 2-cell principal layer (the m > 1 path)
+    m = tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]], orb=[[0.0, 0.0]])
+    m.set_hop(1.0, 0, 0, [1, 0])
+    m.set_hop(1.0, 0, 0, [0, 1])
+    m.set_hop(0.35, 0, 0, [0, 2])
+    kpar = np.array([[0.1], [0.45]])
+    energies = np.array([-2.0, 0.0, 1.3])
+    eta = 0.08
+    A = surface.spectral_function(m, 1, k_par=kpar, energies=energies, eta=eta)
+    # the m=2 principal layer spans TWO original cells, so compare
+    # against the slab trace over the outermost two cells
+    slab = m.cut_piece(120, 1, glue_edgs=False)
+    out = np.zeros_like(A)
+    for jk, k in enumerate(kpar):
+        H = np.asarray(slab.gen_ham([list(k)]))[0].reshape(slab._nsta, slab._nsta)
+        for je, e in enumerate(energies):
+            G = np.linalg.inv((e + 1j * eta) * np.eye(slab._nsta) - H)
+            out[je, jk] = -np.imag(np.trace(G[:2, :2])) / np.pi
+    np.testing.assert_allclose(A, out, atol=2e-4, rtol=1e-3)
+
+
+def test_graphene_zigzag_flat_band():
+    g = zoo.graphene()
+    kpar = np.linspace(0.0, 1.0, 31)[:, None]
+    As, Ab = surface.spectral_function(
+        g, 1, k_par=kpar, energies=np.array([0.0]), eta=0.02, return_bulk=True
+    )
+    # zigzag edge flat band lives between the projected Dirac points
+    # (k in (1/3, 2/3)); absent outside; absent in the bulk
+    mid = np.abs(kpar[:, 0] - 0.5) < 0.1
+    outside = kpar[:, 0] < 0.2
+    assert As[0, mid].min() > 30 * As[0, outside].max()
+    assert As[0, mid].min() > 30 * Ab[0, mid].max()
+
+
+def test_kane_mele_helical_edge_spinful():
+    km = zoo.kane_mele(esite=1.0)  # QSH phase: gapless helical edge
+    ev = km.solve_all(km.k_uniform_mesh([25, 25]))
+    mid = 0.5 * (ev[1].max() + ev[2].min())  # center of the bulk gap
+    kpar = np.linspace(0.0, 1.0, 41)[:, None]
+    As, Ab = surface.spectral_function(
+        km, 1, k_par=kpar, energies=np.array([mid]), eta=0.03, return_bulk=True
+    )
+    # mid-gap: helical edge states on the surface, nothing in the bulk
+    assert As.max() > 1.0
+    assert As.max() > 20 * Ab.max()
+
+
+def test_weyl_fermi_arc():
+    m = zoo.weyl()
+    # surface perpendicular to x; surface momenta (ky, kz)
+    ky = np.linspace(-0.2, 0.2, 21)
+    for kz, expect_arc in ((0.5, True), (0.0, False)):
+        kpar = np.stack([ky, np.full_like(ky, kz)], axis=-1)
+        A = surface.spectral_function(
+            m, 0, k_par=kpar, energies=np.array([0.0]), eta=0.03
+        )
+        if expect_arc:
+            arc_peak = A.max()
+        else:
+            no_arc = A.max()
+    assert arc_peak > 10 * no_arc
+
+
+def test_validation():
+    from pythtb_tpu import PythtbError
+
+    with pytest.raises(PythtbError):
+        surface.spectral_function(zoo.molecule_nh3(), 0)
+    with pytest.raises(PythtbError):
+        surface.spectral_function(zoo.graphene(), 0)  # k_par required
+    with pytest.raises(PythtbError):
+        surface.spectral_function(
+            zoo.graphene(), 0, k_par=np.zeros((3, 2)), energies=np.zeros(3)
+        )
+    with pytest.raises(PythtbError):
+        surface.spectral_function(
+            zoo.chain(), 0, energies=np.zeros(3), side="left"
+        )
