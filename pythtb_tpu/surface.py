@@ -155,12 +155,14 @@ def _spectral_jit(static00, static01, data00, data01, kpar, energies, eta, iters
     (es, e, _, _), _ = jax.lax.scan(step, (es, e, a, b), None, length=iters)
     Gs = jnp.linalg.solve(wI - es, jnp.broadcast_to(eye, es.shape))
     Gb = jnp.linalg.solve(wI - e, jnp.broadcast_to(eye, e.shape))
-    tr = lambda G: -jnp.imag(jnp.trace(G, axis1=-2, axis2=-1)) / jnp.pi
-    return tr(Gs), tr(Gb)
+    # per-state spectral weights; callers trace or keep them resolved
+    dg = lambda G: -jnp.imag(jnp.diagonal(G, axis1=-2, axis2=-1)) / jnp.pi
+    return dg(Gs), dg(Gb)
 
 
 def spectral_function(model, surf_dir, k_par=None, energies=None, eta=0.05,
-                      iters=35, side="bottom", return_bulk=False):
+                      iters=35, side="bottom", return_bulk=False,
+                      resolved=False):
     """Surface spectral function A(E, k_par) of the SEMI-INFINITE
     crystal terminated perpendicular to ``surf_dir``; see the module
     docstring.
@@ -179,8 +181,12 @@ def spectral_function(model, surf_dir, k_par=None, energies=None, eta=0.05,
     :param return_bulk: also return the bulk-projected spectral
       function (same decimation, no surface termination) -- the
       surface-minus-bulk contrast isolates true surface states
-    :returns: A (nE, K) float array (and A_bulk with ``return_bulk``);
-      states per layer: integral over E of A/(2 pi) ~ S
+    :param resolved: keep the per-state (orbital/spin within the
+      principal layer) weights instead of tracing: output gains a
+      trailing S axis (sublattice-resolved edges, spin textures)
+    :returns: A (nE, K) float array -- (nE, K, S) with ``resolved`` --
+      (and A_bulk alike with ``return_bulk``); states per layer:
+      integral over E of A/(2 pi) ~ S
     """
     static00, static01, data00, data01, m = _layer_blocks(model, int(surf_dir))
     dpar = static00.dim_k
@@ -229,6 +235,9 @@ def spectral_function(model, surf_dir, k_par=None, energies=None, eta=0.05,
         )
     )
     A_s = np.asarray(A_s, dtype=np.float64)
+    A_b = np.asarray(A_b, dtype=np.float64)
+    if not resolved:
+        A_s, A_b = A_s.sum(axis=-1), A_b.sum(axis=-1)
     if return_bulk:
-        return A_s, np.asarray(A_b, dtype=np.float64)
+        return A_s, A_b
     return A_s

@@ -138,3 +138,17 @@ def test_validation():
         surface.spectral_function(
             zoo.chain(), 0, energies=np.zeros(3), side="left"
         )
+
+
+def test_resolved_weights_sum_to_trace():
+    g = zoo.graphene()
+    kpar = np.array([[0.45], [0.55]])
+    energies = np.array([0.0, 0.8])
+    Ar = surface.spectral_function(g, 1, k_par=kpar, energies=energies,
+                                   eta=0.05, resolved=True)
+    A = surface.spectral_function(g, 1, k_par=kpar, energies=energies, eta=0.05)
+    assert Ar.shape == (2, 2, 2)
+    np.testing.assert_allclose(Ar.sum(-1), A, atol=1e-12)
+    # the zigzag edge state at E=0 is sublattice-polarized
+    pol = Ar[0, 0] / Ar[0, 0].sum()
+    assert pol.max() > 0.9

@@ -162,6 +162,20 @@ def run_suite():
            abs(low[0] + 3.3616) < 5e-3,
            "E0=%.4f (dense: -3.3616); per call incl LOBPCG retrace" % low[0])
 
+    from pythtb_tpu import surface
+
+    wm = ptt.models.weyl()
+    ky = np.linspace(-0.5, 0.5, 101)
+    kz = np.linspace(0.0, 1.0, 101)
+    kgrid = np.stack(np.meshgrid(ky, kz, indexing="ij"), -1).reshape(-1, 2)
+
+    wall, Aarc = _timed(lambda: surface.spectral_function(
+        wm, 0, k_par=kgrid, energies=np.array([0.0]), eta=0.02), n=2)
+    arc = Aarc.reshape(101, 101)
+    report("weyl_fermi_arc_10201px", None, wall,
+           arc[50, 50] > 50 * arc[5, 5] and np.isfinite(arc).all(),
+           "semi-infinite surface map, one program")
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

@@ -157,6 +157,16 @@ def main():
     check("smooth gauge invariance", abs(f_before - f_after) < 1e-4,
           "flux %.5f -> %.5f" % (f_before, f_after))
 
+    # 13. semi-infinite surface: graphene zigzag edge flat band
+    from pythtb_tpu import surface
+
+    kz = np.linspace(0.0, 1.0, 31)[:, None]
+    As, Ab = surface.spectral_function(
+        ptt.models.graphene(), 1, k_par=kz, energies=np.array([0.0]),
+        eta=0.02, return_bulk=True)
+    check("surface zigzag edge band", float(As[0, 15]) > 30 * float(Ab[0, 15]),
+          "A_surf=%.1f A_bulk=%.4f" % (As[0, 15], Ab[0, 15]))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
