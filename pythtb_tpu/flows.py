@@ -736,7 +736,7 @@ def _wilson_flow_jit(static, data, occ, n0, n1, loop_dir, start, phases_ri):
     flow row, flow boundary appended (the per-orbital pbc phase along
     the flow axis is a k-independent diagonal unitary, so Wilson
     spectra at the boundary row equal row 0 exactly)."""
-    from .ops.berry import _dets, _overlap, _unitarize, wilson_eigenphases
+    from .ops.berry import _dets, _overlap, wilson_eigenphases
     from .utils.xfer import unpack_cplx
 
     kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
@@ -746,7 +746,9 @@ def _wilson_flow_jit(static, data, occ, n0, n1, loop_dir, start, phases_ri):
     w = extend_pbc_seq(jnp.swapaxes(w, 0, 1), [unpack_cplx(phases_ri)])
     w = jnp.swapaxes(w, 0, 1)  # (nflow-1, nloop, nocc, F), loop closed
     ovr = _overlap(w[:, :-1], w[:, 1:])  # (nflow-1, nloop-1, nocc, nocc)
-    Wl = _unitarize(ovr)
+    U, sing_all, Vh = jnp.linalg.svd(ovr, full_matrices=False)
+    Wl = jnp.matmul(U, Vh, precision=jax.lax.Precision.HIGHEST)
+    sing = jnp.min(sing_all)
     prod = jax.lax.associative_scan(
         lambda a, b: jnp.einsum(
             "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
@@ -759,7 +761,6 @@ def _wilson_flow_jit(static, data, occ, n0, n1, loop_dir, start, phases_ri):
     # flow boundary row = row 0 (see docstring)
     evph = jnp.concatenate([evph, evph[:1]], axis=0)
     traced = jnp.concatenate([traced, traced[:1]], axis=0)
-    sing = jnp.min(jnp.linalg.svd(ovr, compute_uv=False))
     return evph, traced, sing
 
 

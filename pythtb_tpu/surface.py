@@ -51,6 +51,15 @@ def _layer_blocks(model, surf_dir):
     principal-layer chain along ``surf_dir``."""
     if surf_dir not in model._per:
         raise PythtbError("surf_dir must be a periodic direction of the model.")
+    for h in model._hoppings:
+        r = float(h[3][surf_dir])
+        if abs(r - round(r)) > 1e-9:
+            raise PythtbError(
+                "Layer construction needs integer lattice vectors along "
+                "surf_dir; found R[%d] = %s (fractional R is legal for "
+                "Bloch phases but has no layer decomposition)."
+                % (surf_dir, r)
+            )
     Rs_abs = [
         abs(int(np.round(h[3][surf_dir]))) for h in model._hoppings
     ] or [0]
@@ -126,7 +135,7 @@ def _one_sided(static, data, kpts):
     return Hblk.transpose(0, 1, 3, 2, 4).reshape(B, nsta, nsta)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 7))
 def _spectral_jit(static00, static01, data00, data01, kpar, energies, eta, iters):
     H00 = assemble(static00, data00, kpar)  # (K, S, S) Hermitian
     H01 = _one_sided(static01, data01, kpar)  # (K, S, S)
@@ -185,8 +194,8 @@ def spectral_function(model, surf_dir, k_par=None, energies=None, eta=0.05,
       principal layer) weights instead of tracing: output gains a
       trailing S axis (sublattice-resolved edges, spin textures)
     :returns: A (nE, K) float array -- (nE, K, S) with ``resolved`` --
-      (and A_bulk alike with ``return_bulk``); states per layer:
-      integral over E of A/(2 pi) ~ S
+      (and A_bulk alike with ``return_bulk``); normalization: the
+      integral of A over E is ~ S (states per principal layer)
     """
     static00, static01, data00, data01, m = _layer_blocks(model, int(surf_dir))
     dpar = static00.dim_k

@@ -152,3 +152,28 @@ def test_resolved_weights_sum_to_trace():
     # the zigzag edge state at E=0 is sublattice-polarized
     pol = Ar[0, 0] / Ar[0, 0].sum()
     assert pol.max() > 0.9
+
+
+def test_fractional_surface_R_rejected():
+    from pythtb_tpu import PythtbError
+
+    m = tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]],
+                 orb=[[0.0, 0.0], [0.5, 0.5]])
+    m.set_hop(1.0, 0, 1, [1, 0])
+    m.set_hop(0.3, 0, 1, [0, 0.5])  # fractional R: legal for Bloch phases
+    with pytest.raises(PythtbError):
+        surface.spectral_function(m, 1, k_par=np.zeros((1, 1)),
+                                  energies=np.zeros(2))
+
+
+def test_eta_sweep_single_compile():
+    # eta is traced, not static: sweeping it must not recompile
+    m = zoo.chain()
+    E = np.linspace(-3, 3, 31)
+    base = surface.spectral_function(m, 0, energies=E, eta=0.05)
+    import time
+    t0 = time.time()
+    for eta in (0.03, 0.07, 0.11):
+        A = surface.spectral_function(m, 0, energies=E, eta=eta)
+        assert np.isfinite(A).all()
+    assert time.time() - t0 < 5.0  # three traced-eta calls, no recompiles

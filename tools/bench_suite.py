@@ -88,7 +88,7 @@ def run_suite():
            "chern=%.7f" % c)
 
     # -- row 4: Kane-Mele 41x41 grid + Wilson-loop HWF flow (0.38 s) -----
-    # the fused one-dispatch pipeline (flows.wilson_flow, exact-equality
+    # the fused one-dispatch pipeline (flows.wilson_flow, 1e-10-parity
     # tested against the wf_array route in tests/test_wilson_device.py)
     km = ptt.models.kane_mele(esite=1.0)
 
