@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -817,3 +817,58 @@ def wilson_flow(model, occ, nk=(41, 41), loop_dir=1, start_k=(-0.5, -0.5)):
             stacklevel=2,
         )
     return np.asarray(evph, dtype=np.float64), np.asarray(traced, dtype=np.float64)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _ahc_jit(static, data, n0, n1, start, phases_ri, efs):
+    """Band-resolved Berry curvature with zero-temperature occupation
+    factors, one program: solve the grid, per-band plaquette fluxes
+    (abelian curvatures), mask by E <= E_F per requested Fermi level,
+    reduce.  Returns sigma_xy (nef,) in e^2/h."""
+    from .utils.xfer import unpack_cplx
+
+    kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
+    H = assemble(static, data, kpts)
+    evals, v = eigh_batched(H)  # (B, nsta), (B, nsta, F)
+    w = v.reshape(n0 - 1, n1 - 1, static.nsta, static.nsta)
+    w = extend_pbc_seq(w, [unpack_cplx(phases_ri[0]), unpack_cplx(phases_ri[1])])
+    wb = jnp.moveaxis(w, 2, 0)[..., None, :]  # (nsta, n0, n1, 1, F)
+    om = plaquette_phases(wb)  # (nsta, n0-1, n1-1) per-band fluxes
+    E = evals.reshape(n0 - 1, n1 - 1, static.nsta).transpose(2, 0, 1)
+    occ = (E[None] <= efs[:, None, None, None]).astype(om.dtype)
+    return jnp.sum(om[None] * occ, axis=(1, 2, 3)) / (2.0 * np.pi)
+
+
+def anomalous_hall(model, fermi_levels, nk=(101, 101), start_k=(-0.5, -0.5)):
+    """Intrinsic anomalous Hall conductivity sigma_xy(E_F) in units of
+    e^2/h, from the band-resolved Berry curvature with zero-temperature
+    occupations -- the whole Fermi-level sweep is ONE device program.
+
+    For E_F inside a global gap this is the (integer) Chern number of
+    the filled bands (TKNN); inside a band it is the non-quantized
+    intrinsic contribution.  Time-reversal-symmetric models give 0 at
+    every E_F.  No reference counterpart (the reference computes only
+    filled-band Chern numbers).
+
+    Individual-band curvatures are ill-defined where bands touch; as
+    long as degenerate partners are jointly occupied (E_F away from the
+    touching energy) their curvature sum -- which is what enters here --
+    is well-defined.
+
+    :param fermi_levels: scalar or (nef,) Fermi energies
+    :param nk: BZ grid (as :func:`chern_number`)
+    :returns: sigma_xy float array (nef,) -- scalar input gives a float
+    """
+    static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k)
+    from .utils.xfer import host_pack
+
+    efs = np.atleast_1d(np.asarray(fermi_levels, dtype=np.float64))
+    phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
+    start = np.asarray(start_k, dtype=np.float64)
+    out = np.asarray(
+        jax.device_get(
+            _ahc_jit(static, data, n0, n1, start, phases_ri, jnp.asarray(efs))
+        ),
+        dtype=np.float64,
+    )
+    return float(out[0]) if np.isscalar(fermi_levels) else out

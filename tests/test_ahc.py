@@ -1,0 +1,56 @@
+"""Anomalous Hall conductivity sigma_xy(E_F) (no reference counterpart;
+oracles: TKNN quantization against the package's own golden-tested
+Chern numbers, time-reversal symmetry, and Fermi-sea limits)."""
+
+import numpy as np
+import pytest
+
+from pythtb_tpu import flows
+from pythtb_tpu.models import library as zoo
+
+
+def test_haldane_plateaus_and_limits():
+    m = zoo.haldane()
+    ev = m.solve_all(m.k_uniform_mesh([25, 25]))
+    gap_lo, gap_hi = ev[0].max(), ev[1].min()
+    efs = np.array([
+        ev[0].min() - 1.0,                     # below all bands
+        0.5 * (gap_lo + gap_hi),               # in the topological gap
+        0.45 * gap_lo + 0.55 * gap_hi,         # elsewhere in the gap
+        ev[1].max() + 1.0,                     # above all bands
+    ])
+    sig = flows.anomalous_hall(m, efs, nk=(61, 61))
+    c = flows.chern_number(m, [0], nk=(61, 61))
+    assert abs(sig[0]) < 1e-10                       # empty: 0
+    np.testing.assert_allclose(sig[1], c, atol=1e-8)  # gap: Chern
+    np.testing.assert_allclose(sig[2], sig[1], atol=1e-8)  # flat plateau
+    assert abs(sig[3]) < 1e-6                        # filled: total Chern 0
+
+
+def test_metallic_fermi_level_not_quantized():
+    m = zoo.haldane()
+    ev = m.solve_all(m.k_uniform_mesh([25, 25]))
+    ef_mid_band = 0.5 * (ev[0].min() + ev[0].max())  # inside band 0
+    s = flows.anomalous_hall(m, ef_mid_band, nk=(61, 61))
+    assert isinstance(s, float)
+    assert 0.02 < abs(s) < 0.98  # partial Berry flux, not quantized
+
+
+def test_time_reversal_symmetric_vanishes():
+    km = zoo.kane_mele(esite=1.0)
+    efs = np.linspace(-2.5, 2.5, 7)
+    sig = flows.anomalous_hall(km, efs, nk=(41, 41))
+    np.testing.assert_allclose(sig, 0.0, atol=1e-8)
+
+
+def test_magnetic_subbands_staircase():
+    # Hofstadter at flux 1/3: sigma_xy plateaus follow TKNN (1, -2)
+    from pythtb_tpu import magnetic
+    from pythtb_tpu.models import square
+
+    msc = magnetic.magnetic_supercell(square(), 1, 3)
+    ev = msc.solve_all(msc.k_uniform_mesh([31, 31]))
+    ef1 = 0.5 * (ev[0].max() + ev[1].min())  # first gap
+    ef2 = 0.5 * (ev[1].max() + ev[2].min())  # second gap
+    sig = flows.anomalous_hall(msc, np.array([ef1, ef2]), nk=(41, 41))
+    np.testing.assert_allclose(sig, [1.0, -1.0], atol=1e-6)
