@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "quadrupole"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -872,3 +872,136 @@ def anomalous_hall(model, fermi_levels, nk=(101, 101), start_k=(-0.5, -0.5)):
         dtype=np.float64,
     )
     return float(out[0]) if np.isscalar(fermi_levels) else out
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _nested_wilson_jit(static, data, occ, n0, n1, nest_dir, start, phases_ri):
+    """Wannier-sector polarizations by nested Wilson loops (Benalcazar,
+    Bernevig & Hughes, PRB 96, 245115 (2017), Sec. VI), one program.
+
+    Wilson loops wind along grid axis 1, the nested loop along axis 0
+    (callers transpose for the other combination via ``nest_dir``).
+    Steps: solve the grid; per base point, the Wilson-loop eigvecs via
+    the cyclic-product similarity P_j = C_j^H W_tot C_j (one
+    associative scan + one unitary_eig per string, not one eig per base
+    point); build the Wannier-band basis |w^s> = sum_n nu^s_n |u_n>;
+    close the nested axis with the periodic gauge EXPLICITLY (the
+    arbitrary eigvec phases at the duplicate row would contaminate the
+    traced phase otherwise); traced Berry phase per sector and base
+    point.  Returns (p (nsec, n1-1) polarizations in [0,1), min Wannier
+    gap diagnostic, min link singular value)."""
+    from .ops.berry import _dets, _overlap, _unitarize, unitary_eig
+    from .utils.xfer import unpack_cplx
+
+    kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
+    w = _solve_grid_states(static, data, kpts, occ, n0, n1)  # (n0-1, n1-1, S, F)
+    p_loop = unpack_cplx(phases_ri[1])
+    p_nest = unpack_cplx(phases_ri[0])
+    if nest_dir == 1:
+        w = jnp.swapaxes(w, 0, 1)
+        p_loop, p_nest = p_nest, p_loop
+    # close the LOOP axis (now axis 1) with the periodic gauge
+    w = jnp.swapaxes(extend_pbc_seq(jnp.swapaxes(w, 0, 1), [p_loop]), 0, 1)
+    # Wilson links along the loop axis
+    ovr = _overlap(w[:, :-1], w[:, 1:])  # (nx, ny-1, S, S)
+    U, s, Vh = jnp.linalg.svd(ovr, full_matrices=False)
+    Wl = jnp.matmul(U, Vh, precision=jax.lax.Precision.HIGHEST)
+    C = jax.lax.associative_scan(
+        lambda a, b: jnp.einsum(
+            "...ij,...jk->...ik", a, b, precision=jax.lax.Precision.HIGHEST
+        ),
+        Wl,
+        axis=1,
+    )  # C[:, j] = W_0 ... W_j
+    Wtot = C[:, -1]  # (nx, S, S) full Wilson loop, base point j=0
+    theta, P = unitary_eig(Wtot)  # (nx, S), (nx, S, S)
+    order = jnp.argsort(theta, axis=-1)
+    theta = jnp.take_along_axis(theta, order, axis=-1)
+    P = jnp.take_along_axis(P, order[:, None, :], axis=-1)
+    # Wannier gap diagnostic: smallest circular gap between sorted
+    # Wannier bands (sector tracking needs them separated)
+    gaps = jnp.concatenate(
+        [theta[:, 1:] - theta[:, :-1],
+         (2.0 * np.pi - (theta[:, -1] - theta[:, 0]))[:, None]], axis=-1,
+    )
+    wgap = jnp.min(gaps)
+    # eigvecs of the Wilson loop based at j: nu_j = C_{j-1}^H P (C_0
+    # convention: base 0 uses the identity)
+    eye = jnp.broadcast_to(jnp.eye(Wl.shape[-1], dtype=Wl.dtype), Wl.shape[:1] + Wl.shape[2:])
+    Cfull = jnp.concatenate([eye[:, None], C[:, :-1]], axis=1)  # (nx, ny-1, S, S)
+    Ch = jnp.conj(jnp.swapaxes(Cfull, -1, -2))
+    nu = jnp.einsum(
+        "xjnm,xms->xjns", Ch, P, precision=jax.lax.Precision.HIGHEST
+    )  # (nx, ny-1, S, nsec)
+    # Wannier-band basis states, rows = sector
+    ws = jnp.einsum(
+        "xjnf,xjns->xjsf", w[:, :-1], nu, precision=jax.lax.Precision.HIGHEST
+    )  # (nx, ny-1, nsec, F)
+    # close the nested axis with the periodic gauge (NOT the duplicate
+    # row's own eigvecs -- their phases are arbitrary)
+    ws = extend_pbc_seq(ws, [p_nest])  # (nx+1, ny-1, nsec, F)
+    link = jnp.einsum(
+        "xjsf,xjsf->xjs", jnp.conj(ws[:-1]), ws[1:],
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (nx, ny-1, nsec) single-sector links
+    p = _wrap(-jnp.sum(jnp.angle(link), axis=0)).T / (2.0 * np.pi)  # (nsec, ny-1)
+    p = jnp.mod(p, 1.0)
+    return p, wgap, jnp.min(s)
+
+
+def quadrupole(model, occ=(0, 1), nk=(31, 31), start_k=(0.0, 0.0)):
+    """Wannier-sector polarizations and the quadrupole invariant by
+    nested Wilson loops (Benalcazar-Bernevig-Hughes, PRB 96, 245115
+    (2017)) -- higher-order band topology, all on device.
+
+    For each Wannier sector s of the occupied-band Wilson loop along
+    one axis, the nested Berry phase of the Wannier-band basis along
+    the other axis gives the sector polarization p^s in [0, 1).  In the
+    BBH quadrupole phase p_x^s = p_y^s = 1/2 for both sectors and the
+    corner charge is q_xy = 2 p_x^- p_y^- = 1/2; all vanish in the
+    trivial phase.  Requires a gapped Wannier spectrum (reported as
+    ``wannier_gap``; sector tracking is meaningless when it closes).
+
+    :param occ: occupied bands (even count; sectors = Wannier bands)
+    :returns: dict with ``px``/``py`` ((nsec,) sector polarizations,
+      averaged over base points), ``px_spread``/``py_spread`` (max
+      deviation across base points -- a convergence diagnostic),
+      ``qxy`` (2 px[0] py[0] mod 1), ``wannier_gap`` (min circular gap
+      of the Wilson eigenphases, per nesting)
+
+    Example::
+
+        flows.quadrupole(models.bbh(0.5, 1.0))["qxy"]   # -> 0.5
+    """
+    static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k)
+    occ = tuple(int(o) for o in occ)
+    if occ and (min(occ) < 0 or max(occ) >= static.nsta):
+        raise IndexError(
+            "occ indices %s out of range for %d states" % (sorted(set(occ)), static.nsta)
+        )
+    from .utils.xfer import host_pack
+
+    start = np.asarray(start_k, dtype=np.float64)
+    phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
+    out = {}
+    for name, nest_dir in (("px", 0), ("py", 1)):
+        p, wgap, sing = jax.device_get(
+            _nested_wilson_jit(static, data, occ, n0, n1, nest_dir, start, phases_ri)
+        )
+        p = np.asarray(p, dtype=np.float64)
+        # circular mean over base points (values live on a circle)
+        mean = np.mod(np.angle(np.exp(2j * np.pi * p).mean(axis=1)) / (2 * np.pi), 1.0)
+        dev = np.abs(np.angle(np.exp(2j * np.pi * (p - mean[:, None])))).max() / (2 * np.pi)
+        out[name] = mean
+        out[name + "_spread"] = float(dev)
+        out.setdefault("wannier_gap", float(wgap))
+        out["wannier_gap"] = min(out["wannier_gap"], float(wgap))
+        if float(sing) < 1e-8:
+            import warnings
+
+            warnings.warn(
+                "quadrupole: (near-)singular Wilson links -- refine the grid.",
+                UserWarning, stacklevel=2,
+            )
+    out["qxy"] = float(np.mod(2.0 * out["px"][0] * out["py"][0], 1.0))
+    return out

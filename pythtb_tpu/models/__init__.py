@@ -10,6 +10,7 @@ be further edited (``mode="reset"/"add"``), cut, super-celled, etc.
 """
 
 from .library import (
+    bbh,
     bhz,
     bn,
     chain,
@@ -46,5 +47,6 @@ __all__ = [
     "lieb",
     "kagome",
     "bhz",
+    "bbh",
     "weyl",
 ]

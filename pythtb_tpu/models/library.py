@@ -274,3 +274,32 @@ def weyl(t=1.0, k0=0.5 * np.pi):
     mod.set_hop(-t, 0, 1, [0, 1, 0])
     mod.set_hop(t, 0, 1, [0, -1, 0])
     return mod
+
+
+def bbh(gamma=0.5, lam=1.0):
+    """Benalcazar-Bernevig-Hughes quadrupole model (Science 357, 61
+    (2017)): four orbitals on the square lattice threaded by pi flux
+    (one negative intracell bond), intracell hopping ``gamma`` and
+    intercell ``lam``.  For ``|gamma/lam| < 1`` the insulator is a
+    quadrupole: Wannier-sector polarizations p_x = p_y = 1/2 (nested
+    Wilson loops) and four +-corner-localized zero modes on a finite
+    flake; ``|gamma/lam| > 1`` is trivial.
+
+    All four orbitals sit at the cell origin -- the convention of the
+    BBH paper (the Bloch Hamiltonian is defined without orbital-position
+    embedding), which makes the sector polarizations read exactly 1/2
+    (quadrupole phase) vs 0 (trivial)."""
+    orb = [[0.0, 0.0], [0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]
+    m = tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]], orb)
+    # intracell (pi flux: the 0-2 bond carries the minus sign)
+    m.set_hop(gamma, 0, 1, [0, 0])
+    m.set_hop(-gamma, 0, 2, [0, 0])
+    m.set_hop(gamma, 1, 3, [0, 0])
+    m.set_hop(gamma, 2, 3, [0, 0])
+    # intercell along x
+    m.set_hop(lam, 1, 0, [1, 0])
+    m.set_hop(lam, 3, 2, [1, 0])
+    # intercell along y (the 2->0 bond continues the pi-flux pattern)
+    m.set_hop(-lam, 2, 0, [0, 1])
+    m.set_hop(lam, 3, 1, [0, 1])
+    return m

@@ -54,3 +54,26 @@ def test_magnetic_subbands_staircase():
     ef2 = 0.5 * (ev[1].max() + ev[2].min())  # second gap
     sig = flows.anomalous_hall(msc, np.array([ef1, ef2]), nk=(41, 41))
     np.testing.assert_allclose(sig, [1.0, -1.0], atol=1e-6)
+
+
+class TestQuadrupole:
+    def test_bbh_quadrupole_phase(self):
+        q = flows.quadrupole(zoo.bbh(0.5, 1.0), nk=(21, 21))
+        np.testing.assert_allclose(q["px"], 0.5, atol=1e-8)
+        np.testing.assert_allclose(q["py"], 0.5, atol=1e-8)
+        assert abs(q["qxy"] - 0.5) < 1e-8
+        assert q["wannier_gap"] > 0.5
+        assert q["px_spread"] < 1e-10 and q["py_spread"] < 1e-10
+
+    def test_bbh_trivial_phase(self):
+        q = flows.quadrupole(zoo.bbh(1.5, 1.0), nk=(21, 21))
+        # polarizations are defined mod 1: distance to 0 on the circle
+        for p in np.concatenate([q["px"], q["py"]]):
+            assert min(p, 1.0 - p) < 1e-8
+        assert q["qxy"] < 1e-8 or q["qxy"] > 1 - 1e-8
+
+    def test_grid_convergence(self):
+        a = flows.quadrupole(zoo.bbh(0.7, 1.0), nk=(15, 15))
+        b = flows.quadrupole(zoo.bbh(0.7, 1.0), nk=(31, 31))
+        np.testing.assert_allclose(a["px"], b["px"], atol=1e-6)
+        np.testing.assert_allclose(a["qxy"], b["qxy"], atol=1e-6)

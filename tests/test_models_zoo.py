@@ -170,3 +170,22 @@ def test_cut_piece_trim_scalar_and_index_zero():
     np.testing.assert_allclose(rib.solve_all(k), manual.solve_all(k), atol=1e-12)
     rib2 = g.cut_piece(4, 1, trim_last=1)
     assert rib2.get_num_orbitals() == 7
+
+
+def test_bbh_corner_modes():
+    """BBH flake: exactly four near-zero corner modes in the quadrupole
+    phase, none in the trivial phase."""
+    flake = models.bbh(0.5, 1.0).cut_piece(8, 0).cut_piece(8, 1)
+    ev = np.sort(flake.solve_all())
+    assert np.sum(np.abs(ev) < 0.05) == 4
+    # the four-mode subspace is corner-localized (individual eigvecs
+    # mix arbitrarily within the degenerate quartet, so test the
+    # projector weight, not per-state centers)
+    evals2, evecs2 = flake.solve_all(eig_vectors=True)
+    zero_idx = np.nonzero(np.abs(evals2) < 0.05)[0]
+    pos = flake.get_orb()
+    w = (np.abs(evecs2[zero_idx]) ** 2).sum(0)  # (norb,) subspace weight
+    corner_dist = np.minimum(pos, 7.0 - pos).max(axis=1)  # Chebyshev-to-corner
+    assert w[corner_dist <= 2.0].sum() > 0.9 * w.sum()
+    triv = models.bbh(1.5, 1.0).cut_piece(8, 0).cut_piece(8, 1)
+    assert np.sum(np.abs(np.sort(triv.solve_all())) < 0.05) == 0
