@@ -81,11 +81,11 @@ def _chern_jit(static: ModelStatic, data: BlochData, occ, n0, n1, start, phases_
     return _total_flux(w)
 
 
-def _grid_inputs(model, nk, start_k):
+def _grid_inputs(model, nk, start_k, caller="chern_number"):
     n0, n1 = int(nk[0]), int(nk[1])
     static, data = model._get_finalized()
     if static.dim_k != 2:
-        raise ValueError("chern_number requires a model with dim_k == 2")
+        raise ValueError("%s requires a model with dim_k == 2" % caller)
     return static, data, (n0, n1), gauge_phases(model, (0, 1))
 
 
@@ -836,7 +836,24 @@ def _ahc_jit(static, data, n0, n1, start, phases_ri, efs):
     om = plaquette_phases(wb)  # (nsta, n0-1, n1-1) per-band fluxes
     E = evals.reshape(n0 - 1, n1 - 1, static.nsta).transpose(2, 0, 1)
     occ = (E[None] <= efs[:, None, None, None]).astype(om.dtype)
-    return jnp.sum(om[None] * occ, axis=(1, 2, 3)) / (2.0 * np.pi)
+    sigma = jnp.sum(om[None] * occ, axis=(1, 2, 3)) / (2.0 * np.pi)
+    # diagnostic: E_F passing through a band DEGENERACY at a grid point
+    # makes the per-band curvatures there basis-arbitrary (the
+    # occupation factor may split degenerate partners) -- flag it
+    if static.nsta > 1:
+        tol = 100.0 * jnp.sqrt(jnp.finfo(E.dtype).eps) * jnp.maximum(
+            jnp.max(jnp.abs(E)), 1.0
+        )
+        gap = E[1:] - E[:-1]  # (nsta-1, n0-1, n1-1)
+        near = (
+            (gap[None] < tol)
+            & (E[None, :-1] <= efs[:, None, None, None] + tol)
+            & (E[None, 1:] >= efs[:, None, None, None] - tol)
+        )
+        flagged = jnp.any(near, axis=(1, 2, 3))  # (nef,)
+    else:
+        flagged = jnp.zeros(efs.shape, dtype=bool)
+    return sigma, flagged
 
 
 def anomalous_hall(model, fermi_levels, nk=(101, 101), start_k=(-0.5, -0.5)):
@@ -859,19 +876,28 @@ def anomalous_hall(model, fermi_levels, nk=(101, 101), start_k=(-0.5, -0.5)):
     :param nk: BZ grid (as :func:`chern_number`)
     :returns: sigma_xy float array (nef,) -- scalar input gives a float
     """
-    static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k)
+    static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k, "anomalous_hall")
     from .utils.xfer import host_pack
 
     efs = np.atleast_1d(np.asarray(fermi_levels, dtype=np.float64))
     phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
     start = np.asarray(start_k, dtype=np.float64)
-    out = np.asarray(
-        jax.device_get(
-            _ahc_jit(static, data, n0, n1, start, phases_ri, jnp.asarray(efs))
-        ),
-        dtype=np.float64,
+    out, flagged = jax.device_get(
+        _ahc_jit(static, data, n0, n1, start, phases_ri, jnp.asarray(efs))
     )
-    return float(out[0]) if np.isscalar(fermi_levels) else out
+    out = np.asarray(out, dtype=np.float64)
+    if np.any(flagged):
+        import warnings
+
+        warnings.warn(
+            "anomalous_hall: E_F = %s passes through a band degeneracy at "
+            "a grid point -- the occupation factor splits degenerate "
+            "partners there and the band-resolved curvature is "
+            "basis-arbitrary. Shift the grid origin or E_F."
+            % np.asarray(efs)[np.asarray(flagged)].tolist(),
+            UserWarning, stacklevel=2,
+        )
+    return float(out[0]) if np.ndim(fermi_levels) == 0 else out
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
@@ -890,7 +916,7 @@ def _nested_wilson_jit(static, data, occ, n0, n1, nest_dir, start, phases_ri):
     traced phase otherwise); traced Berry phase per sector and base
     point.  Returns (p (nsec, n1-1) polarizations in [0,1), min Wannier
     gap diagnostic, min link singular value)."""
-    from .ops.berry import _dets, _overlap, _unitarize, unitary_eig
+    from .ops.berry import _overlap, unitary_eig
     from .utils.xfer import unpack_cplx
 
     kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
@@ -973,7 +999,7 @@ def quadrupole(model, occ=(0, 1), nk=(31, 31), start_k=(0.0, 0.0)):
 
         flows.quadrupole(models.bbh(0.5, 1.0))["qxy"]   # -> 0.5
     """
-    static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k)
+    static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k, "quadrupole")
     occ = tuple(int(o) for o in occ)
     if occ and (min(occ) < 0 or max(occ) >= static.nsta):
         raise IndexError(
@@ -994,8 +1020,7 @@ def quadrupole(model, occ=(0, 1), nk=(31, 31), start_k=(0.0, 0.0)):
         dev = np.abs(np.angle(np.exp(2j * np.pi * (p - mean[:, None])))).max() / (2 * np.pi)
         out[name] = mean
         out[name + "_spread"] = float(dev)
-        out.setdefault("wannier_gap", float(wgap))
-        out["wannier_gap"] = min(out["wannier_gap"], float(wgap))
+        out["wannier_gap"] = min(out.get("wannier_gap", np.inf), float(wgap))
         if float(sing) < 1e-8:
             import warnings
 

@@ -77,3 +77,30 @@ class TestQuadrupole:
         b = flows.quadrupole(zoo.bbh(0.7, 1.0), nk=(31, 31))
         np.testing.assert_allclose(a["px"], b["px"], atol=1e-6)
         np.testing.assert_allclose(a["qxy"], b["qxy"], atol=1e-6)
+
+
+def test_on_grid_degeneracy_warns():
+    """Regression: E_F through a band degeneracy sitting ON a grid point
+    (graphene Dirac point at K with a K-inclusive grid) is flagged --
+    the per-band curvature is basis-arbitrary there."""
+    import warnings
+
+    g = zoo.graphene()
+    with pytest.warns(UserWarning, match="band degeneracy"):
+        flows.anomalous_hall(g, [0.0], nk=(31, 31), start_k=(0.0, 0.0))
+    # off-grid Dirac points (61 interior steps: j/61 never hits 5/6):
+    # clean zero, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s = flows.anomalous_hall(g, 0.0, nk=(62, 62), start_k=(-0.5, -0.5))
+    assert abs(s) < 1e-8
+
+
+def test_scalar_contracts_and_wrong_dim_message():
+    m = zoo.haldane()
+    s = flows.anomalous_hall(m, np.array(0.0), nk=(31, 31))
+    assert isinstance(s, float)
+    with pytest.raises(ValueError, match="anomalous_hall"):
+        flows.anomalous_hall(zoo.chain(), 0.0)
+    with pytest.raises(ValueError, match="quadrupole"):
+        flows.quadrupole(zoo.fu_kane_mele())
