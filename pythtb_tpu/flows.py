@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "quadrupole"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "quadrupole", "spin_chern"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -1030,3 +1030,87 @@ def quadrupole(model, occ=(0, 1), nk=(31, 31), start_k=(0.0, 0.0)):
             )
     out["qxy"] = float(np.mod(2.0 * out["px"][0] * out["py"][0], 1.0))
     return out
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _spin_chern_jit(static, data, occ, n0, n1, start, phases_ri):
+    """Prodan spin Chern (PRB 80, 125327 (2009)): diagonalize the
+    projected spin P Sz P within the occupied space, split it into the
+    Sz<0 / Sz>0 sectors, and integrate each sector's (non-abelian)
+    Berry flux.  Plaquette det-phases are invariant under k-dependent
+    basis rotations within a sector, so the arbitrary eigh phases are
+    harmless.  Returns (flux-, flux+, min Sz-projection gap)."""
+    from .ops.berry import plaquette_phases
+    from .utils.xfer import unpack_cplx
+
+    kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
+    w = _solve_grid_states(static, data, kpts, occ, n0, n1)
+    w = extend_pbc_seq(w, [unpack_cplx(phases_ri[0]), unpack_cplx(phases_ri[1])])
+    # Sz in the flattened orb x spin layout (spin fastest)
+    sz = jnp.tile(jnp.array([1.0, -1.0]), static.norb)
+    M = jnp.einsum(
+        "...nf,f,...mf->...nm", jnp.conj(w), sz.astype(w.dtype), w,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (n0, n1, nocc, nocc) Hermitian
+    ev, V = jnp.linalg.eigh(M)  # ascending
+    half = len(occ) // 2
+    gap = jnp.min(ev[..., half] - ev[..., half - 1])
+    ws = jnp.einsum(
+        "...nf,...ns->...sf", w, V, precision=jax.lax.Precision.HIGHEST
+    )  # rows = P Sz P eigenstates
+    w_minus = ws[..., :half, :]
+    w_plus = ws[..., half:, :]
+    fm = jnp.sum(plaquette_phases(w_minus))
+    fp = jnp.sum(plaquette_phases(w_plus))
+    return fm, fp, gap
+
+
+def spin_chern(model, occ=(0, 1), nk=(41, 41), start_k=(-0.5, -0.5)):
+    """Spin Chern number by the Prodan projection construction, one
+    device program: split the occupied space by the sign of the
+    projected spin P Sz P and integrate each sector's Berry flux.
+
+    Robust beyond Sz conservation: well-defined whenever the P Sz P
+    spectrum stays gapped across the BZ (reported as ``sz_gap``; e.g.
+    Kane-Mele WITH Rashba still gives Cs = 1).  ``Cs mod 2`` equals the
+    Z2 invariant; ``chern_plus + chern_minus`` is the ordinary (total)
+    Chern number.  No reference counterpart.
+
+    :param occ: occupied bands (even count)
+    :returns: dict with ``spin_chern`` ((C+ - C-)/2), ``chern_plus``,
+      ``chern_minus``, ``sz_gap``
+    """
+    static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k, "spin_chern")
+    if static.nspin != 2:
+        raise ValueError("spin_chern requires a spinful model (nspin=2)")
+    occ = tuple(int(o) for o in occ)
+    if len(occ) % 2 != 0 or len(occ) == 0:
+        raise ValueError("spin_chern needs an even, nonempty set of occupied bands")
+    if min(occ) < 0 or max(occ) >= static.nsta:
+        raise IndexError(
+            "occ indices %s out of range for %d states" % (sorted(set(occ)), static.nsta)
+        )
+    from .utils.xfer import host_pack
+
+    start = np.asarray(start_k, dtype=np.float64)
+    phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
+    fm, fp, gap = jax.device_get(
+        _spin_chern_jit(static, data, occ, n0, n1, start, phases_ri)
+    )
+    cm = float(fm) / (2.0 * np.pi)
+    cp = float(fp) / (2.0 * np.pi)
+    if float(gap) < 1e-3:
+        import warnings
+
+        warnings.warn(
+            "spin_chern: the P Sz P spectrum is (nearly) gapless "
+            "(min gap %.2e) -- the spin Chern number is ill-defined for "
+            "this model/band choice." % float(gap),
+            UserWarning, stacklevel=2,
+        )
+    return {
+        "spin_chern": 0.5 * (cp - cm),
+        "chern_plus": cp,
+        "chern_minus": cm,
+        "sz_gap": float(gap),
+    }

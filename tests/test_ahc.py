@@ -104,3 +104,29 @@ def test_scalar_contracts_and_wrong_dim_message():
         flows.anomalous_hall(zoo.chain(), 0.0)
     with pytest.raises(ValueError, match="quadrupole"):
         flows.quadrupole(zoo.fu_kane_mele())
+
+
+class TestSpinChern:
+    def test_kane_mele_phases(self):
+        # Prodan spin Chern: +-1 in the QSH phase -- including WITH
+        # Rashba (Sz not conserved, but P Sz P stays gapped) -- and 0
+        # in the trivial phase; |Cs| mod 2 equals Z2
+        for esite, rashba, expect in ((1.0, 0.0, 1.0), (1.0, 0.25, 1.0),
+                                      (2.5, 0.25, 0.0)):
+            r = flows.spin_chern(zoo.kane_mele(esite=esite, rashba=rashba),
+                                 (0, 1), nk=(31, 31))
+            assert abs(abs(r["spin_chern"]) - expect) < 1e-6, (esite, rashba)
+            assert r["sz_gap"] > 1.0
+            # sector Cherns sum to the (zero) total Chern
+            assert abs(r["chern_plus"] + r["chern_minus"]) < 1e-8
+            z2 = flows.z2_invariant(zoo.kane_mele(esite=esite, rashba=rashba),
+                                    (0, 1), nk=(25, 25))
+            assert abs(abs(r["spin_chern"]) % 2 - z2) < 1e-6
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="spinful"):
+            flows.spin_chern(zoo.haldane(), (0,) * 2)
+        with pytest.raises(ValueError, match="even"):
+            flows.spin_chern(zoo.kane_mele(), (0,))
+        with pytest.raises(ValueError, match="spin_chern requires"):
+            flows.spin_chern(zoo.fu_kane_mele(), (0, 1))
