@@ -130,3 +130,48 @@ class TestSpinChern:
             flows.spin_chern(zoo.kane_mele(), (0,))
         with pytest.raises(ValueError, match="spin_chern requires"):
             flows.spin_chern(zoo.fu_kane_mele(), (0, 1))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_random_haldane_family(seed):
+    """Random Haldane-family parameters: sigma_xy at mid-gap equals the
+    filled-band Chern number (whatever it is), empty/full limits vanish,
+    and the value is insensitive to the grid origin."""
+    rng = np.random.RandomState(300 + seed)
+    m = zoo.haldane(
+        delta=rng.uniform(0.0, 1.2),
+        t=-1.0,
+        t2=rng.uniform(0.05, 0.35) * np.exp(1j * rng.uniform(0.2, np.pi - 0.2)),
+    )
+    ev = m.solve_all(m.k_uniform_mesh([21, 21]))
+    gap = ev[1].min() - ev[0].max()
+    if gap < 0.15:
+        pytest.skip("near-critical draw: mid-gap ill-defined")
+    mid = 0.5 * (ev[0].max() + ev[1].min())
+    c = flows.chern_number(m, [0], nk=(41, 41))
+    s1 = flows.anomalous_hall(m, mid, nk=(41, 41))
+    s2 = flows.anomalous_hall(m, mid, nk=(41, 41), start_k=(0.11, -0.23))
+    np.testing.assert_allclose(s1, c, atol=1e-7)
+    np.testing.assert_allclose(s2, c, atol=1e-7)
+    lims = flows.anomalous_hall(m, np.array([ev.min() - 1, ev.max() + 1]), nk=(41, 41))
+    np.testing.assert_allclose(lims, 0.0, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_spin_chern_random_kane_mele(seed):
+    """Random Kane-Mele parameters: spin Chern is an integer, matches
+    Z2 mod 2, and the sector Cherns cancel (TR symmetry)."""
+    rng = np.random.RandomState(400 + seed)
+    m = zoo.kane_mele(
+        esite=rng.uniform(0.3, 3.0),
+        spin_orb=rng.uniform(0.15, 0.4),
+        rashba=rng.uniform(0.0, 0.3),
+    )
+    r = flows.spin_chern(m, (0, 1), nk=(31, 31))
+    if r["sz_gap"] < 0.3:
+        pytest.skip("P.Sz.P nearly gapless for this draw")
+    cs = r["spin_chern"]
+    assert abs(cs - round(cs)) < 1e-6
+    assert abs(r["chern_plus"] + r["chern_minus"]) < 1e-7
+    z2 = flows.z2_invariant(m, (0, 1), nk=(25, 25), check=True)
+    assert abs(abs(round(cs)) % 2 - z2) < 1e-6
