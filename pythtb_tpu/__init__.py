@@ -36,7 +36,7 @@ from . import models, parallel
 from . import magnetic, surface, wannier
 from .family import family, ModelFamily
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 # feature parity target (the reference release this framework mirrors)
 PYTHTB_COMPAT_VERSION = "1.8.0"
 
