@@ -19,7 +19,7 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
-from pythtb_tpu import magnetic, flows
+from pythtb_tpu import magnetic, flows, surface
 from pythtb_tpu.models import library as zoo
 
 
@@ -75,5 +75,20 @@ ax2.set_title("ribbon Landau levels + chiral edge modes")
 fig2.tight_layout()
 fig2.savefig("hofstadter_ribbon.pdf")
 print("saved hofstadter_ribbon.pdf")
+
+# ---- semi-infinite Hofstadter edge spectrum (no finite-size effects) -----
+msc = magnetic.magnetic_supercell(sq, 1, 4)
+kpar = np.linspace(0.0, 1.0, 121)[:, None]
+energies = np.linspace(-3.2, 3.2, 161)
+As = surface.spectral_function(msc, 1, k_par=kpar, energies=energies, eta=0.03)
+fig3, ax3 = plt.subplots(figsize=(5.0, 4.0))
+ax3.imshow(As, origin="lower", extent=[0, 1, energies[0], energies[-1]],
+           aspect="auto", cmap="magma", vmax=np.percentile(As, 99))
+ax3.set_xlabel(r"$k_\parallel$")
+ax3.set_ylabel("E")
+ax3.set_title("semi-infinite Hofstadter edge, flux 1/4 (decimation)")
+fig3.tight_layout()
+fig3.savefig("hofstadter_edge.pdf")
+print("saved hofstadter_edge.pdf (chiral edges bridging every subband gap)")
 
 print("Done.")
