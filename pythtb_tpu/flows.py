@@ -1039,8 +1039,8 @@ def _spin_chern_jit(static, data, occ, n0, n1, start, phases_ri):
     Sz<0 / Sz>0 sectors, and integrate each sector's (non-abelian)
     Berry flux.  Plaquette det-phases are invariant under k-dependent
     basis rotations within a sector, so the arbitrary eigh phases are
-    harmless.  Returns (flux-, flux+, min Sz-projection gap)."""
-    from .ops.berry import plaquette_phases
+    harmless.  Returns (flux-, flux+, min Sz-projection gap, and the
+    extremal middle eigenvalues for the sign-straddle check)."""
     from .utils.xfer import unpack_cplx
 
     kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
@@ -1058,11 +1058,9 @@ def _spin_chern_jit(static, data, occ, n0, n1, start, phases_ri):
     ws = jnp.einsum(
         "...nf,...ns->...sf", w, V, precision=jax.lax.Precision.HIGHEST
     )  # rows = P Sz P eigenstates
-    w_minus = ws[..., :half, :]
-    w_plus = ws[..., half:, :]
-    fm = jnp.sum(plaquette_phases(w_minus))
-    fp = jnp.sum(plaquette_phases(w_plus))
-    return fm, fp, gap
+    fm = _total_flux(ws[..., :half, :])
+    fp = _total_flux(ws[..., half:, :])
+    return fm, fp, gap, jnp.max(ev[..., half - 1]), jnp.min(ev[..., half])
 
 
 def spin_chern(model, occ=(0, 1), nk=(41, 41), start_k=(-0.5, -0.5)):
@@ -1094,18 +1092,27 @@ def spin_chern(model, occ=(0, 1), nk=(41, 41), start_k=(-0.5, -0.5)):
 
     start = np.asarray(start_k, dtype=np.float64)
     phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
-    fm, fp, gap = jax.device_get(
+    fm, fp, gap, lo_max, hi_min = jax.device_get(
         _spin_chern_jit(static, data, occ, n0, n1, start, phases_ri)
     )
     cm = float(fm) / (2.0 * np.pi)
     cp = float(fp) / (2.0 * np.pi)
-    if float(gap) < 1e-3:
-        import warnings
+    import warnings
 
+    if float(gap) < 1e-3:
         warnings.warn(
             "spin_chern: the P Sz P spectrum is (nearly) gapless "
             "(min gap %.2e) -- the spin Chern number is ill-defined for "
             "this model/band choice." % float(gap),
+            UserWarning, stacklevel=2,
+        )
+    elif not (float(lo_max) < 0.0 < float(hi_min)):
+        warnings.warn(
+            "spin_chern: the P Sz P spectrum does not straddle zero "
+            "(middle eigenvalues in [%.3f, %.3f]) -- the occupied space "
+            "is spin-imbalanced, so the equal-count sector split is NOT "
+            "a split by spin sign and the +-labels are arbitrary."
+            % (float(lo_max), float(hi_min)),
             UserWarning, stacklevel=2,
         )
     return {

@@ -175,3 +175,22 @@ def test_fuzz_spin_chern_random_kane_mele(seed):
     assert abs(r["chern_plus"] + r["chern_minus"]) < 1e-7
     z2 = flows.z2_invariant(m, (0, 1), nk=(25, 25), check=True)
     assert abs(abs(round(cs)) % 2 - z2) < 1e-6
+
+
+def test_spin_chern_imbalanced_occupation_warns():
+    """Regression: an occupied space with no spin-down content has a
+    P.Sz.P spectrum entirely above zero; the equal-count sector split is
+    then not a sign split and must be flagged."""
+    from pythtb_tpu import tb_model
+
+    m = tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]], orb=[[0.0, 0.0], [0.5, 0.5]],
+                 nspin=2)
+    # strong Zeeman pushes both lowest bands to net spin-up; DIFFERENT
+    # transverse fields make their P.Sz.P eigenvalues distinct (gapped)
+    # yet both positive
+    m.set_onsite([[-4.0, 0.2, 0.0, -2.0], [-3.5, 1.5, 0.0, -2.0]])
+    m.set_hop(0.4, 0, 1, [0, 0])
+    m.set_hop(0.4, 1, 0, [1, 0])
+    m.set_hop(0.4, 1, 0, [0, 1])
+    with pytest.warns(UserWarning, match="does not straddle zero"):
+        flows.spin_chern(m, (0, 1), nk=(15, 15))

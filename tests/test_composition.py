@@ -56,16 +56,14 @@ def test_magnetic_wilson_flow_hofstadter_chern():
     assert abs(abs(winding) - 1.0) < 0.05
 
 
-def test_checkpoint_family_pump_roundtrip():
+def test_checkpoint_family_pump_roundtrip(tmp_path):
     """Family-filled pump grid -> checkpoint -> reload -> same Chern."""
     lams = np.linspace(0.0, 1.0, 11)
     wf = wf_array(zoo.three_site_chain(0.0), [11, 13])
     wf.solve_on_grid_models([zoo.three_site_chain(l) for l in lams], param_dir=0)
     wf.impose_loop(0)
     c0 = wf.berry_flux([0], dirs=[0, 1]) / (2 * np.pi)
-    import tempfile, os
-
-    p = os.path.join(tempfile.mkdtemp(), "pump")
+    p = str(tmp_path / "pump")
     wf.save(p)
     back = wf_array.load(p)
     c1 = back.berry_flux([0], dirs=[0, 1]) / (2 * np.pi)
