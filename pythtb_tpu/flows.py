@@ -820,7 +820,7 @@ def wilson_flow(model, occ, nk=(41, 41), loop_dir=1, start_k=(-0.5, -0.5)):
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
-def _ahc_jit(static, data, n0, n1, start, phases_ri, efs):
+def _ahc_jit(static, data, n0, n1, start, phases_ri, efs, kt):
     """Band-resolved Berry curvature with zero-temperature occupation
     factors, one program: solve the grid, per-band plaquette fluxes
     (abelian curvatures), mask by E <= E_F per requested Fermi level,
@@ -835,7 +835,12 @@ def _ahc_jit(static, data, n0, n1, start, phases_ri, efs):
     wb = jnp.moveaxis(w, 2, 0)[..., None, :]  # (nsta, n0, n1, 1, F)
     om = plaquette_phases(wb)  # (nsta, n0-1, n1-1) per-band fluxes
     E = evals.reshape(n0 - 1, n1 - 1, static.nsta).transpose(2, 0, 1)
-    occ = (E[None] <= efs[:, None, None, None]).astype(om.dtype)
+    x = (E[None] - efs[:, None, None, None])
+    occ = jnp.where(
+        kt > 0.0,
+        jax.nn.sigmoid(-x / jnp.maximum(kt, 1e-30)),  # Fermi-Dirac
+        (x <= 0.0).astype(om.dtype),                  # T = 0 step
+    )
     sigma = jnp.sum(om[None] * occ, axis=(1, 2, 3)) / (2.0 * np.pi)
     # diagnostic: E_F passing through a band DEGENERACY at a grid point
     # makes the per-band curvatures there basis-arbitrary (the
@@ -856,7 +861,8 @@ def _ahc_jit(static, data, n0, n1, start, phases_ri, efs):
     return sigma, flagged
 
 
-def anomalous_hall(model, fermi_levels, nk=(101, 101), start_k=(-0.5, -0.5)):
+def anomalous_hall(model, fermi_levels, nk=(101, 101), start_k=(-0.5, -0.5),
+                   temperature=0.0):
     """Intrinsic anomalous Hall conductivity sigma_xy(E_F) in units of
     e^2/h, from the band-resolved Berry curvature with zero-temperature
     occupations -- the whole Fermi-level sweep is ONE device program.
@@ -874,6 +880,9 @@ def anomalous_hall(model, fermi_levels, nk=(101, 101), start_k=(-0.5, -0.5)):
 
     :param fermi_levels: scalar or (nef,) Fermi energies
     :param nk: BZ grid (as :func:`chern_number`)
+    :param temperature: k_B T in energy units; > 0 replaces the zero-
+      temperature step with Fermi-Dirac occupations (smears the
+      staircase; also a clean way past on-grid degeneracies at E_F)
     :returns: sigma_xy float array (nef,) -- scalar input gives a float
     """
     static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k, "anomalous_hall")
@@ -883,10 +892,11 @@ def anomalous_hall(model, fermi_levels, nk=(101, 101), start_k=(-0.5, -0.5)):
     phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
     start = np.asarray(start_k, dtype=np.float64)
     out, flagged = jax.device_get(
-        _ahc_jit(static, data, n0, n1, start, phases_ri, jnp.asarray(efs))
+        _ahc_jit(static, data, n0, n1, start, phases_ri, jnp.asarray(efs),
+                 jnp.asarray(float(temperature)))
     )
     out = np.asarray(out, dtype=np.float64)
-    if np.any(flagged):
+    if np.any(flagged) and float(temperature) == 0.0:
         import warnings
 
         warnings.warn(

@@ -194,3 +194,21 @@ def test_spin_chern_imbalanced_occupation_warns():
     m.set_hop(0.4, 1, 0, [0, 1])
     with pytest.warns(UserWarning, match="does not straddle zero"):
         flows.spin_chern(m, (0, 1), nk=(15, 15))
+
+
+def test_finite_temperature_occupations():
+    m = zoo.haldane()
+    ev = m.solve_all(m.k_uniform_mesh([25, 25]))
+    mid = 0.5 * (ev[0].max() + ev[1].min())
+    s0 = flows.anomalous_hall(m, mid, nk=(41, 41))
+    # tiny T: same plateau
+    st = flows.anomalous_hall(m, mid, nk=(41, 41), temperature=1e-4)
+    np.testing.assert_allclose(st, s0, atol=1e-6)
+    # large T: thermal smearing pulls the plateau toward zero
+    sT = flows.anomalous_hall(m, mid, nk=(41, 41), temperature=1.0)
+    assert abs(sT) < 0.9 * abs(s0)
+    # at the band-edge the T=0 staircase step is smoothed
+    edge = ev[1].min()
+    a = flows.anomalous_hall(m, np.array([edge - 0.05, edge + 0.05]), nk=(41, 41),
+                             temperature=0.2)
+    assert abs(a[1] - a[0]) < 0.3
