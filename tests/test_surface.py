@@ -177,3 +177,47 @@ def test_eta_sweep_single_compile():
         A = surface.spectral_function(m, 0, energies=E, eta=eta)
         assert np.isfinite(A).all()
     assert time.time() - t0 < 5.0  # three traced-eta calls, no recompiles
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_random_models_vs_slab(seed):
+    """Random 2-D models (random graphs, complex hops, |R_surf| up to 2
+    so the multi-cell principal-layer path is exercised): semi-infinite
+    surface spectra must match deep-slab direct inversion."""
+    rng = np.random.RandomState(500 + seed)
+    norb = rng.randint(1, 3)
+    m = tb_model(2, 2, lat=np.eye(2).tolist(),
+                 orb=(rng.rand(norb, 2)).tolist())
+    m.set_onsite(rng.randn(norb))
+    added = 0
+    for _ in range(8):
+        i, j = rng.randint(norb), rng.randint(norb)
+        R = [int(rng.randint(-1, 2)), int(rng.randint(-2, 3))]
+        if (tuple(R) < (0, 0)) or (tuple(R) == (0, 0) and i >= j):
+            continue
+        try:
+            m.set_hop(rng.randn() + 1j * rng.randn(), i, j, R, mode="set")
+            added += 1
+        except Exception:
+            pass
+    if added == 0:
+        m.set_hop(1.0, 0, 0, [0, 1])
+    kpar = rng.rand(2, 1)
+    probe = m.solve_all(m.k_uniform_mesh([5, 5]))
+    energies = np.sort(rng.uniform(probe.min() - 0.5, probe.max() + 0.5, 3))
+    # the slab oracle truncates at finite depth: convergence to the
+    # semi-infinite limit goes like exp(-n_layers * eta / v_max), so a
+    # generous broadening and a deep slab keep the truncation error
+    # below the tolerance for any random bandwidth drawn here
+    eta = 0.3
+    mlayers = max([abs(int(np.round(h[3][1]))) for h in m._hoppings] or [1])
+    A = surface.spectral_function(m, 1, k_par=kpar, energies=energies, eta=eta)
+    slab = m.cut_piece(260, 1, glue_edgs=False)
+    S = mlayers * norb
+    ref = np.zeros_like(A)
+    for jk, k in enumerate(kpar):
+        H = np.asarray(slab.gen_ham([list(k)]))[0].reshape(slab._nsta, slab._nsta)
+        for je, e in enumerate(energies):
+            G = np.linalg.inv((e + 1j * eta) * np.eye(slab._nsta) - H)
+            ref[je, jk] = -np.imag(np.trace(G[:S, :S])) / np.pi
+    np.testing.assert_allclose(A, ref, atol=1e-4, rtol=1e-3)
