@@ -95,3 +95,47 @@ class TestObstruction:
             wannier.interpolator(zoo.bn(), [7], nk=4)
         with pytest.raises(PythtbError):
             wannier.interpolator(zoo.bn(), [0], nk=(4, 4, 4))  # wrong dim
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_full_space_exactness(seed):
+    """Random models (1-D/2-D, random graphs, complex hops, spinless or
+    spinful): full-space projection must recover the finite-range model
+    exactly, so interpolation is exact at ANY k once the coarse grid
+    covers the hopping range."""
+    import pythtb_tpu as ptt
+
+    rng = np.random.RandomState(600 + seed)
+    dim = rng.randint(1, 3)
+    nspin = 2 if seed % 2 else 1
+    norb = rng.randint(1, 3)
+    m = ptt.tb_model(dim, dim, lat=np.eye(dim).tolist(),
+                     orb=rng.rand(norb, dim).tolist(), nspin=nspin)
+    if nspin == 1:
+        m.set_onsite(rng.randn(norb))
+    else:
+        m.set_onsite([[rng.randn(), rng.randn(), rng.randn(), rng.randn()]
+                      for _ in range(norb)])
+    maxR = 2
+    added = 0
+    for _ in range(10):
+        i, j = rng.randint(norb), rng.randint(norb)
+        R = [int(rng.randint(-maxR, maxR + 1)) for _ in range(dim)]
+        if (tuple(R) < tuple([0] * dim)) or (tuple(R) == tuple([0] * dim) and i >= j):
+            continue
+        amp = rng.randn() + 1j * rng.randn()
+        if nspin == 2:
+            amp = rng.randn(2, 2) + 1j * rng.randn(2, 2)
+        try:
+            m.set_hop(amp, i, j, R, mode="set")
+            added += 1
+        except Exception:
+            pass
+    if added == 0:
+        m.set_hop(1.0, 0, 0, [1] * dim)
+    nsta = norb * nspin
+    nk = 2 * maxR + 2  # covers every |R| <= maxR without aliasing
+    itp = wannier.interpolator(m, list(range(nsta)), nk=nk, trial=np.eye(nsta))
+    k = rng.rand(8, dim)
+    np.testing.assert_allclose(itp.bands(k), m.solve_all(k), atol=1e-9)
+    assert itp.min_projection_sv > 0.999
