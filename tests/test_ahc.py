@@ -212,3 +212,30 @@ def test_finite_temperature_occupations():
     a = flows.anomalous_hall(m, np.array([edge - 0.05, edge + 0.05]), nk=(41, 41),
                              temperature=0.2)
     assert abs(a[1] - a[0]) < 0.3
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_anisotropic_bbh_phase_diagram(seed):
+    """Anisotropic BBH (independent gamma_x, gamma_y): the quadrupole
+    phase requires BOTH intracell couplings weak; q_xy = 1/2 iff
+    gamma_x < lam and gamma_y < lam, else 0 (reflection symmetries
+    keep it quantized)."""
+    from pythtb_tpu import tb_model
+
+    rng = np.random.RandomState(700 + seed)
+    gx, gy = rng.uniform(0.2, 1.8, 2)
+    if min(abs(gx - 1.0), abs(gy - 1.0)) < 0.15:
+        pytest.skip("near-critical draw")
+    m = tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]] * 4)
+    m.set_hop(gx, 0, 1, [0, 0])
+    m.set_hop(-gy, 0, 2, [0, 0])
+    m.set_hop(gy, 1, 3, [0, 0])
+    m.set_hop(gx, 2, 3, [0, 0])
+    m.set_hop(1.0, 1, 0, [1, 0])
+    m.set_hop(1.0, 3, 2, [1, 0])
+    m.set_hop(-1.0, 2, 0, [0, 1])
+    m.set_hop(1.0, 3, 1, [0, 1])
+    q = flows.quadrupole(m, nk=(21, 21))
+    expect = 0.5 if (gx < 1.0 and gy < 1.0) else 0.0
+    d = min(q["qxy"], 1.0 - q["qxy"]) if expect == 0.0 else abs(q["qxy"] - 0.5)
+    assert d < 1e-6, (gx, gy, q["qxy"])
