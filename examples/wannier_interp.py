@@ -11,6 +11,7 @@ Runs on h-BN (lower band) and, when the Wannier90 silicon dataset is
 available, on silicon: all 8 bands recovered exactly from an 8x8x8 grid, plus
 the valence-only group as the honest one-shot-projection hard case.
 """
+import pathlib
 import os
 import time
 
@@ -51,7 +52,7 @@ print("saved wannier_interp.pdf")
 
 # ---- silicon valence bands (real Wannier90 data, if present) -------------
 W90_DIR = os.environ.get(
-    "W90_SILICON", "/root/reference/website/local/w90_example/example_a"
+    "W90_SILICON", str(pathlib.Path(__file__).resolve().parents[1] / "tests" / "data" / "w90_silicon")
 )
 if os.path.isdir(W90_DIR):
     si = w90(W90_DIR, "silicon")

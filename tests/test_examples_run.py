@@ -14,7 +14,7 @@ from contextlib import redirect_stdout
 import pytest
 
 EXAMPLES_DIR = pathlib.Path(__file__).resolve().parents[1] / "examples"
-W90_DIR = "/root/reference/website/local/w90_example/example_a"
+W90_DIR = str(pathlib.Path(__file__).resolve().parent / "data" / "w90_silicon")
 
 FAST = [
     "simple", "0dim", "trestle", "checkerboard", "graphene", "buckled_layer",

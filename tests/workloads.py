@@ -382,5 +382,8 @@ def w90_synthetic(mod, data_dir=None):
     return out
 
 
-W90_DATA_DIR = "/root/reference/website/local/w90_example/example_a"
+# Vendored copy of the reference distribution's silicon Wannier90 dataset
+# (reference website/local/w90_example/example_a) so the flagship ab-initio
+# regression no longer depends on the reference tree at test time.
+W90_DATA_DIR = str(pathlib.Path(__file__).resolve().parent / "data" / "w90_silicon")
 W90_SYNTH_DIR = str(pathlib.Path(__file__).resolve().parent / "data" / "w90_synthetic")

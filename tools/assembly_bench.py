@@ -14,6 +14,7 @@ B in {1e4, 1e5} plus the w90 silicon table.  Reference hot path:
 Run from the repo root:  python tools/assembly_bench.py
 """
 
+import pathlib
 import json
 import os
 import sys
@@ -103,7 +104,7 @@ def main():
     try:
         import pythtb_tpu as ptt
 
-        si = ptt.w90("/root/reference/website/local/w90_example/example_a", "silicon")
+        si = ptt.w90(str(pathlib.Path(__file__).resolve().parents[1] / "tests" / "data" / "w90_silicon"), "silicon")
         bench_model("w90_silicon", si.model(), (10_000, 100_000), rows)
     except FileNotFoundError:
         print("w90 silicon data not available; skipping", flush=True)

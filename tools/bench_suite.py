@@ -10,6 +10,7 @@ correctness check.  Prints one JSON line per row and a markdown table
 Run from the repo root:  python tools/bench_suite.py
 """
 
+import pathlib
 import json
 import os
 import subprocess
@@ -22,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHILD_TIMEOUT_S = 1200
 
-W90_DIR = "/root/reference/website/local/w90_example/example_a"
+W90_DIR = str(pathlib.Path(__file__).resolve().parents[1] / "tests" / "data" / "w90_silicon")
 
 
 def _timed(fn, n=3):

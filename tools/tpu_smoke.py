@@ -8,6 +8,7 @@ with f32-appropriate tolerances.  Exits nonzero on any failure.
 Run from the repo root:  python tools/tpu_smoke.py
 """
 
+import pathlib
 import os
 import sys
 import time
@@ -72,7 +73,7 @@ def main():
 
     # 3. silicon w90 (large hopping table) vs Wannier90 interpolation
     try:
-        si = ptt.w90("/root/reference/website/local/w90_example/example_a", "silicon")
+        si = ptt.w90(str(pathlib.Path(__file__).resolve().parents[1] / "tests" / "data" / "w90_silicon"), "silicon")
         model = si.model()
         kpts, ene = si.w90_bands_consistency()
         dev = np.abs(model.solve_all(kpts) - ene).max()
