@@ -214,12 +214,18 @@ def hofstadter_fn(model, q, dirs=(0, 1)):
 
     Returns ``(fn, sc)`` where ``sc`` is the q-fold zero-field
     supercell and ``fn(p_values, k_list) -> evals`` is a jitted pure
-    function mapping integer flux indices ``p_values`` (float array,
-    shape (P,)) and reduced k-points of the supercell BZ (shape
+    function mapping flux indices ``p_values`` (a float array of shape
+    (P,); entries are typically the integers 0..q but any real flux
+    p/q is accepted) and reduced k-points of the supercell BZ (shape
     (NK, dim_k)) to eigenvalues of shape ``(P, NK, nsta_sc)``.  All
     fluxes and k-points are solved in a single compiled program: the
     hop-phase table is linear in p, so the sweep is a broadcastised
     multiply feeding one batched eigh.
+
+    Under an active device mesh (:func:`pythtb_tpu.parallel.use_mesh`)
+    the flux axis is sharded over the mesh: ``fn`` pads P up to a
+    multiple of the mesh size internally (repeating the last flux) and
+    trims the padded rows from the result, so any P is accepted.
     """
     from .ops.eigh import eigvalsh_batched
     from .ops.hamiltonian import assemble
@@ -240,7 +246,7 @@ def hofstadter_fn(model, q, dirs=(0, 1)):
         p_values = jnp.asarray(p_values, dtype=float)
         if mesh is not None:
             # flux values are independent: shard the p axis over the
-            # mesh (caller should make len(p_values) divisible)
+            # mesh (fn pads P to a multiple of the mesh size)
             from jax.sharding import NamedSharding, PartitionSpec
 
             p_values = jax.lax.with_sharding_constraint(
@@ -259,9 +265,21 @@ def hofstadter_fn(model, q, dirs=(0, 1)):
         from .parallel import mesh as _pmesh
 
         mesh = _pmesh.current_mesh()
+        p_values = np.asarray(p_values, dtype=np.float64)
+        P = p_values.shape[0]
+        if mesh is not None:
+            # pad the flux axis to a mesh-divisible length (repeating
+            # the last flux) so the sharded program always gets even
+            # shards; padded rows are trimmed below
+            Ppad = _pmesh.pad_to_multiple(P, mesh.devices.size)
+            if Ppad != P:
+                p_values = np.concatenate(
+                    [p_values, np.full(Ppad - P, p_values[-1] if P else 0.0)]
+                )
         if mesh not in compiled:
             compiled[mesh] = jax.jit(_partial(_impl, mesh))
-        return compiled[mesh](p_values, k_list)
+        out = compiled[mesh](p_values, k_list)
+        return out[:P] if out.shape[0] != P else out
 
     return fn, sc
 

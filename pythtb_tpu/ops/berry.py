@@ -170,7 +170,10 @@ def unitary_eigenphases(U):
     exactly-commuting blocks the rotated B entries are already ~eps --
     so the tolerance is generous.
 
-    Returns (..., S) float angles in (-pi, pi], unsorted.
+    Returns (..., S) float angles in (-pi, pi], unsorted.  Note the
+    shape contract holds for S == 1 too: a (..., 1, 1) input returns
+    (..., 1), not (...,) (normalized in round 2 when this became a thin
+    wrapper over :func:`unitary_eig`).
     Batched, jittable, differentiable (via eigh JVPs).
     """
     return unitary_eig(U)[0]

@@ -117,6 +117,11 @@ def load_model(path):
                 "model file written by a newer pythtb_tpu (format %s)"
                 % meta["format_version"]
             )
+        if meta.get("kind", "model") != "model":
+            raise ValueError(
+                "%r is a %r checkpoint, not a model file -- use load_%s"
+                % (path, meta["kind"], meta["kind"])
+            )
         return _restore_model(f, meta)
 
 

@@ -104,10 +104,15 @@ class wf_array(object):
 
     def _host_rw(self, exposes_view=False):
         """Host array for mutation; device copy becomes stale (and is
-        released -- it can be a GB-scale grid)."""
+        released -- it can be a GB-scale grid).  The solve-derived
+        ``_min_gaps`` cache is dropped too: once states may have been
+        rewritten it can describe an earlier solve (band_separation then
+        falls back to the stored energies, which remain whatever the
+        last solve / manual assignment produced)."""
         self._sync_host()
         self._dev = None
         self._dev_valid = False
+        self._min_gaps = None
         if exposes_view:
             self._views_exposed = True
         return self._host
@@ -433,6 +438,12 @@ class wf_array(object):
         (``wf.energies[i, j] = evals``) -- unset entries are NaN.  Used
         by :meth:`band_separation` and the automatic band-separation
         warnings in the Berry methods.
+
+        Energies are *not* invalidated by state writes (``wf[key] =
+        ...``): they always describe the last solve or manual
+        assignment.  Manual workflows that refill states should refill
+        the matching energies too (or leave them NaN, which disables
+        the separation warnings).
         """
         if self._energies_host is None:
             if self._energies_dev is not None:

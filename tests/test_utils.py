@@ -103,3 +103,22 @@ def test_wf_array_save_load_spinful_subset(tmp_path):
     np.testing.assert_allclose(
         back.berry_phase([0, 1], dir=0, contin=False),
         sub.berry_phase([0, 1], dir=0, contin=False), atol=1e-12)
+
+
+def test_load_model_rejects_wf_array_checkpoint(tmp_path):
+    """load_model must not silently unwrap a wf_array checkpoint's
+    embedded model (advisor round-2 finding)."""
+    from pythtb_tpu.utils import serialization
+
+    m = zoo.haldane(ptt)
+    wf = ptt.wf_array(m, [4, 4])
+    wf.solve_on_grid([0.0, 0.0])
+    path = tmp_path / "wf.npz"
+    serialization.save_wf_array(wf, path)
+    with pytest.raises(ValueError, match="wf_array"):
+        serialization.load_model(path)
+    # the matching loader still works
+    wf2 = serialization.load_wf_array(path)
+    np.testing.assert_allclose(
+        wf.berry_phase([0], 0), wf2.berry_phase([0], 0), atol=1e-12
+    )

@@ -107,3 +107,20 @@ def test_choose_states_slices_energies():
     assert sub.energies.shape == (5, 5, 2)
     np.testing.assert_allclose(sub.energies, wf.energies[..., :2], atol=1e-15)
     assert sub._min_gaps is None
+
+
+def test_state_write_invalidates_min_gaps():
+    """Mutating states through wf[key]=... (or any host view) drops the
+    solve-derived _min_gaps fast path, so band_separation falls back to
+    the stored energies instead of reporting a stale earlier solve
+    (advisor round-2 finding)."""
+    m = zoo.haldane()
+    wf = wf_array(m, [5, 5])
+    wf.solve_on_grid([0.0, 0.0])
+    assert wf._min_gaps is not None
+    sep0 = wf.band_separation([0])
+    wf[2, 2] = wf[1, 1]  # manual rewrite of one grid point
+    assert wf._min_gaps is None
+    # energies still describe the last solve (documented) -> fallback
+    # path still returns the solve's separation
+    np.testing.assert_allclose(wf.band_separation([0]), sep0, atol=1e-12)
