@@ -155,23 +155,38 @@ def _spectral_jit(static00, static01, data00, data01, kpar, energies, eta, iters
     b = jnp.conj(jnp.swapaxes(a, -1, -2))
 
     def step(carry, _):
-        es, e, a, b = carry
+        es, e, a, b, peak = carry
         g = jnp.linalg.solve(wI - e, jnp.broadcast_to(eye, e.shape))
         agb = mm(a, mm(g, b))
         bga = mm(b, mm(g, a))
-        return (es + agb, e + agb + bga, mm(a, mm(g, a)), mm(b, mm(g, b))), None
+        a_n = mm(a, mm(g, a))
+        peak = jnp.maximum(peak, jnp.max(jnp.abs(a_n)))
+        return (es + agb, e + agb + bga, a_n, mm(b, mm(g, b)), peak), None
 
-    (es, e, _, _), _ = jax.lax.scan(step, (es, e, a, b), None, length=iters)
+    peak0 = jnp.max(jnp.abs(a))
+    (es, e, a_f, _, peak), _ = jax.lax.scan(
+        step, (es, e, a, b, peak0), None, length=iters
+    )
     Gs = jnp.linalg.solve(wI - es, jnp.broadcast_to(eye, es.shape))
     Gb = jnp.linalg.solve(wI - e, jnp.broadcast_to(eye, e.shape))
+    # convergence diagnostic (free: a_f and the running peak live in the
+    # carry): (1) the worst remaining effective coupling relative to the
+    # bare one -- geometric-squared decay underflows this to ~0 on any
+    # converged pixel; (2) the peak intermediate coupling -- at eta -> 0
+    # the recursion overflows and the final coupling spuriously
+    # collapses to 0, so a huge peak marks the result as garbage even
+    # when the residual looks clean
+    scale = jnp.maximum(jnp.max(jnp.abs(H01)), 1e-30)
+    res = jnp.max(jnp.abs(a_f)) / scale
+    res = jnp.where(peak / scale > 1e50, jnp.inf, res)
     # per-state spectral weights; callers trace or keep them resolved
     dg = lambda G: -jnp.imag(jnp.diagonal(G, axis1=-2, axis2=-1)) / jnp.pi
-    return dg(Gs), dg(Gb)
+    return dg(Gs), dg(Gb), res
 
 
 def spectral_function(model, surf_dir, k_par=None, energies=None, eta=0.05,
                       iters=35, side="bottom", return_bulk=False,
-                      resolved=False):
+                      resolved=False, conv_tol=1e-6, max_iters=95):
     """Surface spectral function A(E, k_par) of the SEMI-INFINITE
     crystal terminated perpendicular to ``surf_dir``; see the module
     docstring.
@@ -184,7 +199,14 @@ def spectral_function(model, surf_dir, k_par=None, energies=None, eta=0.05,
       from a quick bulk solve, 201 points)
     :param eta: positive broadening (spectral resolution; f32-safe
       down to ~1e-3)
-    :param iters: decimation steps (effective depth 2^iters layers)
+    :param iters: decimation steps (effective depth 2^iters layers);
+      automatically escalated (in steps of 30, up to ``max_iters``)
+      while the final effective inter-layer coupling has not collapsed
+      below ``conv_tol`` relative to the bare coupling -- geometric-
+      squared decay means any gapped pixel underflows to ~0, so a
+      nonzero residual flags genuine under-convergence (tiny ``eta``
+      on a near-gapless spectrum).  A warning is issued if even
+      ``max_iters`` leaves a residual; increase ``eta`` then.
     :param side: "bottom" or "top" -- which of the two inequivalent
       surfaces to expose (swaps the roles of H01 and H01^dagger)
     :param return_bulk: also return the bulk-projected spectral
@@ -237,12 +259,28 @@ def spectral_function(model, surf_dir, k_par=None, energies=None, eta=0.05,
     elif side != "bottom":
         raise PythtbError('side must be "bottom" or "top"')
 
-    A_s, A_b = jax.device_get(
-        _spectral_jit(
-            static00, static01, data00, data01, jnp.asarray(kpar),
-            jnp.asarray(energies), float(eta), int(iters),
+    it = int(iters)
+    while True:
+        A_s, A_b, res = jax.device_get(
+            _spectral_jit(
+                static00, static01, data00, data01, jnp.asarray(kpar),
+                jnp.asarray(energies), float(eta), it,
+            )
         )
-    )
+        if float(res) <= conv_tol or it >= int(max_iters):
+            break
+        if not np.isfinite(res):
+            break  # numerical blow-up (eta ~ 0): more depth cannot help
+        it = min(int(max_iters), it + 30)
+    if float(res) > conv_tol:
+        import warnings
+
+        warnings.warn(
+            "surface.spectral_function: decimation not converged "
+            "(relative coupling residual %.2e after %d iterations); the "
+            "broadening eta=%g is too small for this spectrum -- "
+            "increase eta (or max_iters)" % (float(res), it, eta)
+        )
     A_s = np.asarray(A_s, dtype=np.float64)
     A_b = np.asarray(A_b, dtype=np.float64)
     if not resolved:

@@ -221,3 +221,49 @@ def test_fuzz_random_models_vs_slab(seed):
             G = np.linalg.inv((e + 1j * eta) * np.eye(slab._nsta) - H)
             ref[je, jk] = -np.imag(np.trace(G[:S, :S])) / np.pi
     np.testing.assert_allclose(A, ref, atol=1e-4, rtol=1e-3)
+
+
+def _chain():
+    m = tb_model(1, 1, lat=[[1.0]], orb=[[0.0]])
+    m.set_hop(1.0, 0, 0, [1])
+    return m
+
+
+def test_decimation_warns_when_unconverged():
+    """eta -> 0 at an in-band energy: the recursion blows up (g ~ 1/(w-e)
+    hits the real-axis pole), the final coupling spuriously collapses to
+    zero, and the peak-coupling detector must warn rather than silently
+    return garbage."""
+    with pytest.warns(UserWarning, match="not converged"):
+        surface.spectral_function(_chain(), 0, energies=[0.0], eta=1e-300)
+
+
+def test_decimation_auto_escalates_iters():
+    """Starting from a depth (2^5 = 32 layers) far below the coherence
+    length v/eta = 200 layers, the residual loop escalates iters
+    automatically and lands on the same answer as a deep fixed run,
+    warning-free."""
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        A = surface.spectral_function(
+            _chain(), 0, energies=[0.0], eta=1e-2, iters=5
+        )
+    assert np.all(np.isfinite(A))
+    A_deep = surface.spectral_function(_chain(), 0, energies=[0.0], eta=1e-2)
+    np.testing.assert_allclose(A, A_deep, rtol=1e-10)
+
+
+def test_decimation_converged_runs_unchanged():
+    """Default workloads sit far below conv_tol: no warning and results
+    identical to a fixed-iteration run."""
+    import warnings as _w
+
+    m = zoo.haldane()
+    kpar = np.linspace(0.0, 1.0, 5)[:, None]
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        A1 = surface.spectral_function(m, 0, k_par=kpar, eta=0.05)
+    A2 = surface.spectral_function(m, 0, k_par=kpar, eta=0.05, conv_tol=np.inf)
+    np.testing.assert_allclose(A1, A2, atol=0)
