@@ -366,6 +366,30 @@ def _z2_from_flow(theta):
     return jnp.mod(jnp.sum(swept.astype(jnp.int32)), 2).astype(config.float_dtype())
 
 
+def _z2_degenerate_flow(theta):
+    """In-program detector for the gap-counting method's blind spot:
+    Wannier centers that stay EXACTLY pairwise degenerate along the
+    whole flow (every crossing of the gap line then sweeps a pair, the
+    parity count is stuck at 0, and grid refinement agrees -- a
+    confidently wrong answer).  A string is "paired" when at least
+    nocc/2 of its circular center gaps sit below the dtype's resolution;
+    the flow is degenerate when every interior string is paired (the two
+    TRIM endpoints are excluded: Kramers pairing there is physical and
+    harmless).  Returns a 0.0/1.0 scalar, jittable/vmappable."""
+    nocc = theta.shape[-1]
+    half_p1 = theta.shape[0]
+    if half_p1 <= 2:  # no interior strings: nothing to diagnose
+        return jnp.zeros((), config.float_dtype())
+    tol = 1e-4 if config.float_dtype() == jnp.float32 else 1e-8
+    th = jnp.sort(theta, axis=-1)
+    gaps = jnp.concatenate(
+        [th[:, 1:] - th[:, :-1], (2.0 * np.pi - (th[:, -1] - th[:, 0]))[:, None]],
+        axis=-1,
+    )
+    paired = jnp.sum((gaps <= tol).astype(jnp.int32), axis=-1) >= nocc // 2
+    return jnp.all(paired[1:-1]).astype(config.float_dtype())
+
+
 def _z2_prep(model, occ, nk):
     """Shared validation/setup for the Z2 flows."""
     from .utils.xfer import host_pack
@@ -404,21 +428,27 @@ def z2_fn(model, occ=(0, 1), nk=(31, 31), check=False):
     Robust to band crossings (individual-center tracking is not).  Use
     ``wf_array.berry_phase(..., berry_evals=True)`` to inspect the flow
     directly; the method needs the k2 resolution to keep the Wannier gap
-    identifiable between adjacent strings, and it is blind when the
-    centers stay exactly degenerate along the whole flow (e.g. models
-    with simultaneous inversion and time-reversal symmetry) -- split the
-    degeneracy with a small symmetry-breaking perturbation there.
+    identifiable between adjacent strings, and it is structurally
+    defeated when the centers stay exactly pairwise degenerate along
+    the whole flow (every gap-line crossing then sweeps a pair, so the
+    parity is stuck at 0 regardless of the true invariant; e.g. two
+    identical decoupled spin copies, or symmetry-locked doublets).
+    With ``check=True`` this case is detected in-program
+    (``converged = 0``); split the degeneracy with a small
+    symmetry-breaking perturbation to get a usable flow.
 
     Returns ``(fn, params0)``, pure in the model parameter arrays --
     composes with ``jax.vmap`` for Z2 phase diagrams.  ``fn(params) ->
     z2`` (0.0 or 1.0); with ``check=True``, ``fn(params) -> (z2,
     converged)`` where ``z2`` is evaluated on the refined grid
     ``(2*nk[0]-1, 2*nk[1]-1)`` and ``converged`` (0.0 or 1.0) reports
-    agreement with the ``nk`` evaluation -- both grids in the SAME
-    compiled program, so a vmapped phase diagram carries its own
-    convergence mask.  Disagreement means the coarse grid under-resolves
-    the Wannier-gap flow; agreement is necessary-but-not-sufficient
-    evidence of convergence (see :func:`z2_invariant`).  Any even
+    agreement with the ``nk`` evaluation AND a non-degenerate Wannier
+    flow -- both grids in the SAME compiled program, so a vmapped phase
+    diagram carries its own convergence mask.  ``converged = 0`` means
+    either the coarse grid under-resolves the Wannier-gap flow or the
+    centers are exactly pairwise degenerate along the whole flow (the
+    structural blind spot above); agreement is necessary-but-not-
+    sufficient evidence of convergence (see :func:`z2_invariant`).  Any even
     ``nocc`` is supported (Wilson eigenphases are extracted on device
     via :func:`~pythtb_tpu.ops.berry.unitary_eigenphases`); ``nk[1]``
     must be odd so the half cycle ends exactly on the second TRIM.
@@ -435,12 +465,17 @@ def z2_fn(model, occ=(0, 1), nk=(31, 31), check=False):
         )
         if not check:
             return z2
-        z2_fine = _z2_from_flow(
-            _wilson_half_cycle(
-                static, data, occ, 2 * n0 - 1, 2 * n1 - 1, start, phase0
-            )
+        theta_fine = _wilson_half_cycle(
+            static, data, occ, 2 * n0 - 1, 2 * n1 - 1, start, phase0
         )
-        converged = (z2 == z2_fine).astype(config.float_dtype())
+        z2_fine = _z2_from_flow(theta_fine)
+        # blind-spot self-diagnosis: an exactly pairwise-degenerate flow
+        # defeats the parity count identically on BOTH grids, so grid
+        # agreement alone would certify a wrong answer
+        degenerate = _z2_degenerate_flow(theta_fine)
+        converged = (
+            (z2 == z2_fine).astype(config.float_dtype()) * (1.0 - degenerate)
+        )
         return z2_fine, converged
 
     return fn, params0
@@ -469,10 +504,14 @@ def z2_invariant(model, occ=(0, 1), nk=(31, 31), check=False):
 
         nk_fine = (2 * int(nk[0]) - 1, 2 * int(nk[1]) - 1)
         warnings.warn(
-            "z2_invariant: value at nk=%s disagrees with %g at nk=%s; "
-            "the coarse grid under-resolves the Wannier-gap flow. "
-            "Returning the refined value; increase nk (and re-check) "
-            "until it is stable." % (tuple(nk), float(v_fine), nk_fine),
+            "z2_invariant: not converged at nk=%s vs nk=%s (refined value "
+            "%g).  Either the coarse grid under-resolves the Wannier-gap "
+            "flow (increase nk and re-check until stable), or the centers "
+            "are exactly pairwise degenerate along the whole flow -- the "
+            "gap-counting method's structural blind spot; split the "
+            "degeneracy with a small symmetry-breaking perturbation "
+            "(inspect with wf_array.berry_phase(..., berry_evals=True))."
+            % (tuple(nk), nk_fine, float(v_fine)),
             UserWarning,
             stacklevel=2,
         )

@@ -210,6 +210,38 @@ def test_z2_invariant_convergence_check():
         assert flows.z2_invariant(m, (0, 1), nk=(21, 21), check=True) == 1.0
 
 
+def test_z2_degenerate_flow_self_diagnosis():
+    """The gap-counting method is structurally defeated by a flow whose
+    centers stay exactly pairwise degenerate (every gap-line crossing
+    sweeps a pair -> parity stuck at 0, identically on both grids).
+    check=True must return converged=0 there instead of a confident
+    wrong answer, and must stay converged=1 on healthy flows (FKM
+    planes, Kane-Mele)."""
+    import jax
+
+    # two identical decoupled spin copies of Haldane C=1: flow exactly
+    # pairwise degenerate everywhere, naive parity count reads 0
+    lat = [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]]
+    orb = [[1.0 / 3.0, 1.0 / 3.0], [2.0 / 3.0, 2.0 / 3.0]]
+    m = ptt.tb_model(2, 2, lat, orb, nspin=2)
+    delta, t, t2 = 0.2, -1.0, 0.15 * np.exp(1.0j * np.pi / 2.0)
+    m.set_onsite([-delta, delta])
+    m.set_hop(t, 0, 1, [0, 0])
+    m.set_hop(t, 1, 0, [1, 0])
+    m.set_hop(t, 1, 0, [0, 1])
+    for lv in ([1, 0], [-1, 1], [0, -1]):
+        m.set_hop(t2, 0, 0, lv)
+        m.set_hop(np.conj(t2), 1, 1, lv)
+    fn, p0 = flows.z2_fn(m, (0, 1), nk=(21, 21), check=True)
+    _, conv = jax.device_get(jax.jit(fn)(p0))
+    assert conv == 0.0
+    # healthy flows keep converged=1 with the detector active
+    plane = ptt.models.fu_kane_mele().reduce_dim(2, 0.5)
+    fn, p0 = flows.z2_fn(plane, (0, 1), nk=(31, 31), check=True)
+    z2, conv = jax.device_get(jax.jit(fn)(p0))
+    assert (z2, conv) == (1.0, 1.0)
+
+
 def test_z2_fn_vmappable():
     import jax
 
