@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from .model import PythtbError
 from .utils.xfer import host_pack, pack_cplx, unpack_cplx
 
-__all__ = ["WannierInterpolator", "interpolator"]
+__all__ = ["WannierInterpolator", "interpolator", "disentangled_interpolator"]
 
 
 def _r_grid(nk, like_np=False):
@@ -64,6 +64,262 @@ def _r_grid(nk, like_np=False):
     grids = xp.meshgrid(*[xp.arange(n) - (n // 2) for n in nk], indexing="ij")
     return xp.stack([g.ravel() for g in grids], axis=-1)
 
+
+
+# -- finite-difference b-shells (Mostofi et al., CPC 178, 685 (2008)) --
+
+
+def _bshells(lat, per, nk, search=3, tol=1e-6):
+    """Nearest-neighbor shells of the coarse k-grid with completeness
+    weights: returns ``(b_int, b_cart, w_b)`` where ``b_int`` (nb,
+    dim_k) are integer grid offsets, ``b_cart`` (nb, dim_r) are the
+    Cartesian b-vectors, and ``w_b`` satisfies the B1 condition
+    ``sum_b w_b b_i b_j = delta_ij`` restricted to the periodic span.
+
+    The gradient discretization behind every MV/SMV quantity (spreads,
+    centers, gauge gradients) needs finite-difference vectors whose
+    weighted outer products resolve the identity; shells of equal-length
+    b's are added in increasing length until a least-squares solve for
+    the shell weights closes the condition (the standard Wannier90
+    construction, re-derived for arbitrary dim_k and row-vector
+    lattices)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    per = list(per)
+    A = lat[per, :]  # (dim_k, dim_r) periodic lattice rows
+    dim_k, dim_r = A.shape
+    # reciprocal rows within the span: G @ A.T = 2 pi I
+    G = 2.0 * np.pi * np.linalg.solve(A @ A.T, A)
+    # orthonormal basis of the span (for the B1 condition)
+    Q = np.linalg.svd(G, full_matrices=False)[2]  # (dim_k, dim_r)
+
+    rng = [np.arange(-search, search + 1)] * dim_k
+    ms = np.stack(np.meshgrid(*rng, indexing="ij"), axis=-1).reshape(-1, dim_k)
+    ms = ms[np.any(ms != 0, axis=1)]
+    bc = (ms / np.asarray(nk, dtype=np.float64)) @ G  # (M, dim_r)
+    ln = np.linalg.norm(bc, axis=1)
+    order = np.argsort(ln, kind="stable")
+    ms, bc, ln = ms[order], bc[order], ln[order]
+
+    # group into shells by length
+    shells = []
+    i = 0
+    while i < len(ln):
+        j = i
+        while j < len(ln) and ln[j] <= ln[i] * (1.0 + tol):
+            j += 1
+        shells.append((ms[i:j], bc[i:j]))
+        i = j
+
+    # B1 condition in span coordinates: for each shell s,
+    # sum_{b in s} (b.q_i)(b.q_j) summed with weight w_s == delta_ij
+    npair = dim_k * (dim_k + 1) // 2
+    iu = np.triu_indices(dim_k)
+    target = np.eye(dim_k)[iu]
+
+    rows = []  # (npair,) per accepted shell
+    acc = []
+    for s_ms, s_bc in shells:
+        bq = s_bc @ Q.T  # (ns, dim_k)
+        outer = np.einsum("ni,nj->ij", bq, bq)[iu]
+        # skip shells linearly dependent on the accepted ones
+        trial_rows = rows + [outer]
+        Mt = np.stack(trial_rows, axis=1)  # (npair, ns+1)
+        if np.linalg.matrix_rank(np.stack(trial_rows, axis=0), tol=1e-10) == len(rows):
+            continue
+        rows = trial_rows
+        acc.append((s_ms, s_bc))
+        w, res, _, _ = np.linalg.lstsq(Mt, target, rcond=None)
+        if np.linalg.norm(Mt @ w - target) < 1e-8 and np.all(
+            np.asarray(w) > 1e-12
+        ):
+            b_int = np.concatenate([a[0] for a in acc], axis=0)
+            b_cart = np.concatenate([a[1] for a in acc], axis=0)
+            w_b = np.concatenate(
+                [np.full(len(a[0]), float(wi)) for a, wi in zip(acc, w)]
+            )
+            return b_int.astype(np.int64), b_cart, w_b
+    raise PythtbError(
+        "could not find finite-difference shells satisfying the B1 "
+        "completeness condition for this lattice/grid (raise `search`)"
+    )
+
+
+def _neighbor_index(nk, b_int):
+    """(Nk, nb) flat row-major index of grid point k + b (periodic)."""
+    nk = np.asarray(nk, dtype=np.int64)
+    grids = np.meshgrid(*[np.arange(n) for n in nk], indexing="ij")
+    idx = np.stack([g.ravel() for g in grids], axis=-1)  # (Nk, dim)
+    nb = (idx[:, None, :] + b_int[None, :, :]) % nk[None, None, :]
+    strides = np.concatenate([np.cumprod(nk[::-1])[::-1][1:], [1]])
+    return (nb * strides[None, None, :]).sum(-1)
+
+
+# -- MV maximal localization + SMV disentanglement device kernels -----
+
+
+def _expm_antiherm(G):
+    """exp(G) for anti-Hermitian (..., n, n) G via eigh of iG."""
+    lam, W = jnp.linalg.eigh(1.0j * G)
+    Wh = jnp.conj(jnp.swapaxes(W, -1, -2))
+    return jnp.einsum(
+        "...ij,...j,...jk->...ik", W, jnp.exp(-1.0j * lam), Wh,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _spread_terms(M, w_b, b_cart):
+    """Centers and spread pieces from current overlaps M (B, nb, n, n).
+
+    Returns (rbar (dc, n), omega_i, omega_tilde): the MV decomposition
+    Omega = Omega_I (gauge invariant) + Omega_tilde (gauge dependent),
+    with centers rbar_n = -(1/N) sum_kb w_b b Im ln M_nn."""
+    N = M.shape[0]
+    n = M.shape[-1]
+    Mnn = jnp.diagonal(M, axis1=-2, axis2=-1)  # (B, nb, n)
+    ang = jnp.angle(Mnn)
+    rbar = -(jnp.einsum("b,bd,kbn->dn", w_b, b_cart, ang) / N)
+    q = ang + jnp.einsum("bd,dn->bn", b_cart, rbar)[None]  # (B, nb, n)
+    absM2 = jnp.abs(M) ** 2
+    sum_all = jnp.sum(absM2, axis=(-1, -2))  # (B, nb)
+    sum_diag = jnp.sum(jnp.abs(Mnn) ** 2, axis=-1)
+    omega_i = jnp.sum(w_b[None, :] * (n - sum_all)) / N
+    omega_od = jnp.sum(w_b[None, :] * (sum_all - sum_diag)) / N
+    omega_d = jnp.sum(w_b[None, :, None] * q**2) / N
+    return rbar, omega_i, omega_od + omega_d
+
+
+def _mv_gradient(M, w_b, b_cart, rbar):
+    """MV steepest-descent direction dOmega/dW (anti-Hermitian, per k)."""
+    Mnn = jnp.diagonal(M, axis1=-2, axis2=-1)  # (B, nb, n)
+    q = jnp.angle(Mnn) + jnp.einsum("bd,dn->bn", b_cart, rbar)[None]
+    R = M * jnp.conj(Mnn)[:, :, None, :]  # M_mn conj(M_nn)
+    T = M / jnp.where(jnp.abs(Mnn) < 1e-12, 1.0, Mnn)[:, :, None, :] * (
+        q[:, :, None, :]
+    )
+    A_ = (R - jnp.conj(jnp.swapaxes(R, -1, -2))) / 2.0
+    S_ = (T + jnp.conj(jnp.swapaxes(T, -1, -2))) / 2.0j
+    return 4.0 * jnp.einsum("b,kbmn->kmn", w_b, A_ - S_)
+
+
+def _gauge_overlaps(M0, U, nbr):
+    """Rotate raw overlaps into the current gauge:
+    M(k,b) = U(k)^H M0(k,b) U(k+b)."""
+    hp = jax.lax.Precision.HIGHEST
+    Ukb = U[nbr]  # (B, nb, n, n)
+    return jnp.einsum(
+        "kmi,kbmn,kbnj->kbij", jnp.conj(U), M0, Ukb, precision=hp
+    )
+
+
+def _mv_localize(M0, nbr, w_b, b_cart, steps, alpha):
+    """Marzari-Vanderbilt spread minimization: fixed-length scan of
+    heavy-ball gradient steps U(k) <- U(k) exp(dW), dW = mu dW_prev +
+    eps G(k), with bold-driver step control (eps grows 1.1x while the
+    spread falls, halves -- and the momentum resets -- on overshoot).
+    Plain steepest descent stalls at large grids (the per-k gauge modes
+    decouple and converge at the rate of the softest one); momentum
+    recovers the missing factor.  Returns (U, omega_history (steps,),
+    final (rbar, Oi, Ot))."""
+    B, nb, n, _ = M0.shape
+    eps0 = alpha / (4.0 * jnp.sum(w_b))
+    mu = 0.9
+    U0 = jnp.broadcast_to(jnp.eye(n, dtype=M0.dtype), (B, n, n))
+    dW0 = jnp.zeros((B, n, n), M0.dtype)
+
+    def step(carry, _):
+        U, dW, eps, om_prev = carry
+        M = _gauge_overlaps(M0, U, nbr)
+        rbar, oi, ot = _spread_terms(M, w_b, b_cart)
+        om = oi + ot
+        up = om > om_prev
+        eps = jnp.where(up, eps * 0.5, eps * 1.1)
+        eps = jnp.minimum(eps, 20.0 * eps0)
+        dW = jnp.where(up, 0.0, mu) * dW
+        G = _mv_gradient(M, w_b, b_cart, rbar)
+        # sign convention: with A/S as defined here, Omega decreases
+        # along +G (checked against finite differences in the tests)
+        dW = dW + eps * G
+        U = jnp.einsum(
+            "kij,kjl->kil", U, _expm_antiherm(dW),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return (U, dW, eps, om), om
+
+    (U, _, _, _), hist = jax.lax.scan(
+        step, (U0, dW0, eps0, jnp.asarray(jnp.inf, jnp.float64 if
+              M0.dtype == jnp.complex128 else jnp.float32)), None,
+        length=steps,
+    )
+    M = _gauge_overlaps(M0, U, nbr)
+    rbar, oi, ot = _spread_terms(M, w_b, b_cart)
+    return U, hist, (rbar, oi, ot)
+
+
+def _smv_disentangle(S_full, e_grid, nbr, w_b, win_mask, froz_mask, nw,
+                     steps, mixing, F0=None):
+    """Souza-Marzari-Vanderbilt subspace selection: at every grid point
+    choose the nw-dimensional subspace of the window bands that
+    maximizes sum_b w_b Tr[P(k) P(k+b)] (minimal Omega_I), keeping the
+    frozen bands exactly.
+
+    Works on the (nsta-dim) band basis with masks instead of ragged
+    windows: the self-consistency matrix is deflated so frozen bands
+    are EXACT eigenvectors with a large eigenvalue and out-of-window
+    bands exact eigenvectors with a large negative one -- top-nw eigh
+    then returns frozen + optimal-complement, whatever the per-k frozen
+    count is, in one fixed-shape batched program.
+
+    Returns F (B, nsta, nw) isometries (columns = subspace states in
+    the band basis; support exactly inside the window)."""
+    hp = jax.lax.Precision.HIGHEST
+    B, nb, ns, _ = S_full.shape
+    BIG = 1.0e4
+
+    # initial subspace: window-masked identity-ish seed -- top-nw of the
+    # frozen-boosted window projector (deterministic, basis-free)
+    def top_nw(Z):
+        _, V = jnp.linalg.eigh(Z)
+        return V[..., -nw:]  # (B, ns, nw) ascending eigh -> last nw
+
+    win = win_mask.astype(S_full.dtype)  # (B, ns)
+    froz = froz_mask.astype(S_full.dtype)
+    if F0 is not None:
+        F = F0
+    else:
+        # energy-ordered tiny tiebreaker keeps the seed deterministic
+        seed_diag = froz * BIG + win - 1.0e-6 * e_grid.astype(
+            jnp.float64 if S_full.dtype == jnp.complex128 else jnp.float32
+        )
+        F = top_nw(jnp.einsum("ks,st->kst", seed_diag,
+                              jnp.eye(ns, dtype=S_full.dtype)))
+
+    def step(carry, _):
+        F, Zold = carry
+        P = jnp.einsum("ksm,ktm->kst", F, jnp.conj(F), precision=hp)
+        Pkb = P[nbr]  # (B, nb, ns, ns)
+        Znew = jnp.einsum(
+            "b,kbst,kbtu,kbvu->ksv", w_b, S_full, Pkb, jnp.conj(S_full),
+            precision=hp,
+        )
+        Z = mixing * Znew + (1.0 - mixing) * Zold
+        Z = (Z + jnp.conj(jnp.swapaxes(Z, -1, -2))) / 2.0
+        # deflate: window-restrict, freeze exactly, expel out-of-window
+        Qc = win[:, :, None] * win[:, None, :] * (
+            (1.0 - froz)[:, :, None] * (1.0 - froz)[:, None, :]
+        )
+        Zd = Z * Qc
+        Zd = Zd + BIG * jnp.einsum(
+            "ks,st->kst", froz, jnp.eye(ns, dtype=S_full.dtype)
+        )
+        Zd = Zd - BIG * jnp.einsum(
+            "ks,st->kst", (1.0 - win), jnp.eye(ns, dtype=S_full.dtype)
+        )
+        F = top_nw(Zd)
+        return (F, Z), jnp.einsum("ksm,ksm->", F, jnp.conj(F)).real
+
+    Z0 = jnp.zeros((B, ns, ns), S_full.dtype)
+    (F, _), _ = jax.lax.scan(step, (F, Z0), None, length=steps)
+    return F
 
 
 @partial(jax.jit, static_argnums=(0, 2, 5, 6))
@@ -114,6 +370,213 @@ def _build_jit(static, data, nk, t_orb, trial_ri, occ, auto_trial):
     return pack_cplx(hr), jnp.min(s), e
 
 
+def _hr_from_B(Bk, nk, kpts):
+    """Fourier coefficients H(R) of the (B, nw, nw) projected
+    Hamiltonian over the centered R grid (shared with _build_jit)."""
+    hp = jax.lax.Precision.HIGHEST
+    Rs = _r_grid(nk).astype(kpts.dtype)
+    w = jnp.exp(-2.0j * jnp.pi * jnp.einsum("rd,bd->rb", Rs, kpts, precision=hp))
+    return jnp.einsum("rb,bml->rml", w, Bk, precision=hp) / Bk.shape[0]
+
+
+def _project_gauge(u, e_or_h, trial_ri, auto_trial, diag_energies):
+    """Lowdin-projected initial gauge: trials -> A -> polar V0.
+
+    ``u`` (B, n_src, nsta) are source states (bands of an isolated
+    group, or disentangled subspace states); ``e_or_h`` their energies
+    (B, n_src) when ``diag_energies`` else subspace Hamiltonian
+    (B, n_src, n_src).  Returns (V0, min_sv, g)."""
+    hp = jax.lax.Precision.HIGHEST
+    nw = u.shape[1]
+    if auto_trial:
+        Q = jnp.einsum("bns,bnt->st", u, jnp.conj(u), precision=hp) / u.shape[0]
+        _, qv = jnp.linalg.eigh((Q + jnp.conj(Q.T)) / 2)
+        g = qv[:, -nw:].T
+    else:
+        g = unpack_cplx(trial_ri)
+    A = jnp.einsum("bns,ms->bnm", jnp.conj(u), g, precision=hp)
+    U, s, Vh = jnp.linalg.svd(A, full_matrices=False)
+    V0 = jnp.matmul(U, Vh, precision=hp)
+    return V0, jnp.min(s), g
+
+
+def _finish_gauge(u, V, e_or_h, nk, kpts, diag_energies):
+    """B(k) in the final gauge -> H(R); plus the re-projection quality:
+    min singular value of <u|g_wf> with g_wf the localized Wannier
+    vectors themselves (a smooth gauge scores ~1)."""
+    hp = jax.lax.Precision.HIGHEST
+    if diag_energies:
+        Bk = jnp.einsum("bnm,bn,bnl->bml", jnp.conj(V), e_or_h, V, precision=hp)
+    else:
+        Bk = jnp.einsum("bnm,bnl,blp->bmp", jnp.conj(V), e_or_h, V, precision=hp)
+    hr = _hr_from_B(Bk, nk, kpts)
+    g_wf = jnp.einsum("knm,kns->ms", V, u) / u.shape[0]
+    # orthonormalize the WF vectors before scoring (their norms dip
+    # below 1 exactly when the gauge is non-smooth)
+    A2 = jnp.einsum("bns,ms->bnm", jnp.conj(u), g_wf, precision=hp)
+    s2 = jnp.linalg.svd(A2, compute_uv=False)
+    return hr, jnp.min(s2)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 5, 6, 10))
+def _build_loc_jit(static, data, nk, t_orb, trial_ri, occ, auto_trial,
+                   nbr, w_b, b_cart, mv_steps, alpha):
+    """Isolated-group build with MV maximal localization: coarse solve
+    -> rephase -> project -> MV scan -> H(R).  Returns (hr_packed,
+    min proj sv, e grid, spread history, centers, Omega_I, Omega_tilde,
+    final re-projection sv)."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble
+    from .ops.solver import device_uniform_grid
+
+    hp = jax.lax.Precision.HIGHEST
+    dim = len(nk)
+    kpts = device_uniform_grid(tuple(nk), jnp.zeros((dim,)))
+    H = assemble(static, data, kpts)
+    evals, vecs = eigh_batched(H)
+    occ_idx = jnp.asarray(occ, dtype=jnp.int32)
+    e = evals[:, occ_idx]
+    u = vecs[:, occ_idx, :]
+    ph = jnp.exp(2.0j * jnp.pi * jnp.einsum("bd,ds->bs", kpts, t_orb,
+                                            precision=hp))
+    u = u * ph[:, None, :]
+
+    V0, min_s, _ = _project_gauge(u, e, trial_ri, auto_trial, True)
+    # raw neighbor overlaps of the band group, then into the projected
+    # gauge for the MV scan
+    S = jnp.einsum("kms,kbns->kbmn", jnp.conj(u), u[nbr], precision=hp)
+    M0 = jnp.einsum("kmi,kbmn,kbnj->kbij", jnp.conj(V0), S, V0[nbr],
+                    precision=hp)
+    U, hist, (rbar, oi, ot) = _mv_localize(M0, nbr, w_b, b_cart,
+                                           mv_steps, alpha)
+    V = jnp.matmul(V0, U, precision=hp)
+    hr, final_sv = _finish_gauge(u, V, e, nk, kpts, True)
+    # real-space Wannier vectors over the centered R grid -- the trials
+    # for a finer-grid refinement pass (multigrid).  NOTE the sign:
+    # w_m(R) = (1/N) sum_k e^{+2 pi i k.R} (V^T u)_m, while the trial
+    # projection below uses e^{-2 pi i k.R} (their product is the
+    # Fourier inversion delta, so A(k) == V(k) exactly on this grid).
+    Rs = _r_grid(nk).astype(kpts.dtype)
+    wph = jnp.exp(2.0j * jnp.pi * jnp.einsum("rd,bd->rb", Rs, kpts,
+                                             precision=hp))
+    wR = jnp.einsum("rb,bnm,bns->rms", wph, V, u, precision=hp) / V.shape[0]
+    return pack_cplx(hr), min_s, e, hist, rbar, oi, ot, final_sv, pack_cplx(wR)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 5, 6, 10))
+def _build_fine_jit(static, data, nk, t_orb, wR_ri, occ, nk_coarse,
+                    nbr, w_b, b_cart, mv_steps, alpha):
+    """Multigrid refinement: re-solve on the fine ``nk`` grid and
+    project onto the COARSE run's real-space Wannier vectors ``wR``
+    (support on the coarse centered R grid -- k-dependent trials
+    G(k) = sum_R wR e^{-2 pi i k.R}), then polish with a short MV scan.
+    The coarse gauge's basin is inherited, so the fine optimization
+    starts smooth and converges in tens of steps."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble
+    from .ops.solver import device_uniform_grid
+
+    hp = jax.lax.Precision.HIGHEST
+    dim = len(nk)
+    kpts = device_uniform_grid(tuple(nk), jnp.zeros((dim,)))
+    H = assemble(static, data, kpts)
+    evals, vecs = eigh_batched(H)
+    occ_idx = jnp.asarray(occ, dtype=jnp.int32)
+    e = evals[:, occ_idx]
+    u = vecs[:, occ_idx, :]
+    ph = jnp.exp(2.0j * jnp.pi * jnp.einsum("bd,ds->bs", kpts, t_orb,
+                                            precision=hp))
+    u = u * ph[:, None, :]
+
+    wR = unpack_cplx(wR_ri)  # (NRc, nw, nsta)
+    Rs = _r_grid(nk_coarse).astype(kpts.dtype)
+    tph = jnp.exp(-2.0j * jnp.pi * jnp.einsum("bd,rd->br", kpts, Rs,
+                                              precision=hp))
+    G = jnp.einsum("br,rms->bms", tph, wR, precision=hp)  # (B, nw, nsta)
+    A = jnp.einsum("bns,bms->bnm", jnp.conj(u), G, precision=hp)
+    Uu, s, Vh = jnp.linalg.svd(A, full_matrices=False)
+    V0 = jnp.matmul(Uu, Vh, precision=hp)
+    min_s = jnp.min(s)
+
+    S = jnp.einsum("kms,kbns->kbmn", jnp.conj(u), u[nbr], precision=hp)
+    M0 = jnp.einsum("kmi,kbmn,kbnj->kbij", jnp.conj(V0), S, V0[nbr],
+                    precision=hp)
+    U, hist, (rbar, oi, ot) = _mv_localize(M0, nbr, w_b, b_cart,
+                                           mv_steps, alpha)
+    V = jnp.matmul(V0, U, precision=hp)
+    hr, final_sv = _finish_gauge(u, V, e, nk, kpts, True)
+    return pack_cplx(hr), min_s, e, hist, rbar, oi, ot, final_sv
+
+
+@partial(jax.jit, static_argnums=(0, 2, 5, 6, 11, 13, 15))
+def _build_disent_jit(static, data, nk, t_orb, trial_ri, nw, auto_trial,
+                      nbr, w_b, b_cart, windows, dis_steps, mixing,
+                      mv_steps, alpha, has_frozen):
+    """Entangled build: coarse solve -> rephase -> SMV disentangle an
+    nw-dim subspace inside the energy window (frozen window kept
+    exactly) -> project -> optional MV scan -> H(R).
+
+    ``windows`` = (emin, emax, fmin, fmax) float array; frozen window
+    used only when ``has_frozen``."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble
+    from .ops.solver import device_uniform_grid
+
+    hp = jax.lax.Precision.HIGHEST
+    dim = len(nk)
+    kpts = device_uniform_grid(tuple(nk), jnp.zeros((dim,)))
+    H = assemble(static, data, kpts)
+    evals, vecs = eigh_batched(H)  # (B, nsta), (B, nsta, nsta)
+    ph = jnp.exp(2.0j * jnp.pi * jnp.einsum("bd,ds->bs", kpts, t_orb,
+                                            precision=hp))
+    uall = vecs * ph[:, None, :]
+
+    emin, emax, fmin, fmax = windows[0], windows[1], windows[2], windows[3]
+    win = (evals >= emin) & (evals <= emax)
+    if has_frozen:
+        froz = win & (evals >= fmin) & (evals <= fmax)
+    else:
+        froz = jnp.zeros_like(win)
+
+    S_full = jnp.einsum("kms,kbns->kbmn", jnp.conj(uall), uall[nbr],
+                        precision=hp)
+    # seed the subspace iteration from the trials, projected into the
+    # window bands and polar-orthonormalized (the iteration refines the
+    # subspace; without a trial seed it would start energy-ordered and
+    # can converge to a kinked union of lowest bands)
+    winf = win.astype(uall.dtype)
+    if auto_trial:
+        Qw = jnp.einsum("kns,kn,knt->st", uall, winf, jnp.conj(uall),
+                        precision=hp) / uall.shape[0]
+        _, qv = jnp.linalg.eigh((Qw + jnp.conj(Qw.T)) / 2)
+        g_seed = qv[:, -nw:].T
+    else:
+        g_seed = unpack_cplx(trial_ri)
+    A0 = jnp.einsum("kns,ms->knm", jnp.conj(uall), g_seed, precision=hp)
+    A0 = A0 * winf[:, :, None]
+    U0_, _, Vh0 = jnp.linalg.svd(A0, full_matrices=False)
+    F0 = jnp.matmul(U0_, Vh0, precision=hp)  # (B, nsta, nw) isometry
+    F = _smv_disentangle(S_full, evals, nbr, w_b, win, froz, nw,
+                         dis_steps, mixing, F0=F0)  # (B, nsta, nw)
+    # subspace states in the orbital basis + subspace Hamiltonian
+    usub = jnp.einsum("knm,kns->kms", F, uall, precision=hp)
+    Hsub = jnp.einsum("knm,kn,knl->kml", jnp.conj(F), evals, F,
+                      precision=hp)
+
+    V0, min_s, _ = _project_gauge(usub, Hsub, trial_ri, auto_trial, False)
+    Msub = jnp.einsum("kms,kbns->kbmn", jnp.conj(usub), usub[nbr],
+                      precision=hp)
+    M0 = jnp.einsum("kmi,kbmn,kbnj->kbij", jnp.conj(V0), Msub, V0[nbr],
+                    precision=hp)
+    U, hist, (rbar, oi, ot) = _mv_localize(M0, nbr, w_b, b_cart,
+                                           mv_steps, alpha)
+    V = jnp.matmul(V0, U, precision=hp)
+    hr, final_sv = _finish_gauge(usub, V, Hsub, nk, kpts, False)
+    # grid "energies" of the subspace = eigenvalues of Hsub
+    esub = jnp.linalg.eigvalsh(Hsub)
+    return pack_cplx(hr), min_s, esub, hist, rbar, oi, ot, final_sv
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _bands_jit(hr_packed, k_list, nk):
     from .ops.eigh import eigvalsh_batched
@@ -131,7 +594,8 @@ class WannierInterpolator(object):
     """Interpolate an isolated band group from a coarse BZ grid; see the
     module docstring.  Build with :func:`interpolator`."""
 
-    def __init__(self, model, occ, nk, trial=None):
+    def __init__(self, model, occ, nk, trial=None, localize=0,
+                 localize_step=0.5, coarse_nk=None):
         static, data = model._get_finalized()
         if static.dim_k < 1:
             raise PythtbError("Wannier interpolation requires a periodic model.")
@@ -148,25 +612,84 @@ class WannierInterpolator(object):
         self._nk = nk
         self._dim_k = static.dim_k
         nocc = len(occ)
+        t = self._t_orb(model)
+        g = self._trial_array(trial, nocc, static.nsta)
 
-        # orbital positions along periodic directions, per state
+        if localize is True:
+            localize = 200
+        if not localize:
+            hr_packed, min_s, e_grid = _build_jit(
+                static, data, nk, jnp.asarray(t),
+                jnp.asarray(host_pack(g)), tuple(occ), trial is None,
+            )
+            self._set_diagnostics(min_s)
+        else:
+            run_nk = nk
+            if coarse_nk is not None:
+                run_nk = ((coarse_nk,) * static.dim_k
+                          if np.isscalar(coarse_nk)
+                          else tuple(int(n) for n in coarse_nk))
+            b_int, b_cart, w_b = _bshells(model._lat, model._per, run_nk)
+            nbr = _neighbor_index(run_nk, b_int)
+            out = _build_loc_jit(
+                static, data, run_nk, jnp.asarray(t),
+                jnp.asarray(host_pack(g)), tuple(occ), trial is None,
+                jnp.asarray(nbr), jnp.asarray(w_b), jnp.asarray(b_cart),
+                int(localize), float(localize_step),
+            )
+            hr_packed, min_s, e_grid, hist, rbar, oi, ot, fsv, wR = out
+            if coarse_nk is not None and run_nk != nk:
+                # multigrid: the coarse run's real-space Wannier vectors
+                # become (k-dependent) trials on the fine grid -- the
+                # fine gauge starts in the coarse basin and a short MV
+                # polish converges where a cold start stalls
+                b_int, b_cart, w_b = _bshells(model._lat, model._per, nk)
+                nbr = _neighbor_index(nk, b_int)
+                polish = max(100, int(localize) // 4)
+                out = _build_fine_jit(
+                    static, data, nk, jnp.asarray(t), wR, tuple(occ),
+                    run_nk, jnp.asarray(nbr), jnp.asarray(w_b),
+                    jnp.asarray(b_cart), polish, float(localize_step),
+                )
+                hr_packed, min_s, e_grid, hist, rbar, oi, ot, fsv = out
+            self._set_diagnostics(min_s, hist, rbar, oi, ot, fsv)
+        self._hr = hr_packed
+        self._e_grid = e_grid  # (Nk, nw) device; see grid_energies
+        self._warn_singular()
+
+    # -- construction helpers -------------------------------------------
+
+    @staticmethod
+    def _t_orb(model):
+        """Orbital positions along periodic directions, per state."""
         t = np.asarray(model._orb)[:, model._per].T  # (dim_k, norb)
         if model._nspin == 2:
             t = np.repeat(t, 2, axis=1)
+        return t
 
+    @staticmethod
+    def _trial_array(trial, nw, nsta):
         if trial is None:
             # default trials are computed in-program: the top
-            # eigenvectors of the grid-averaged band projector
-            g = np.zeros((nocc, static.nsta), dtype=complex)  # placeholder
-        else:
-            g = np.asarray(trial, dtype=complex).reshape(nocc, static.nsta)
-        hr_packed, min_s, e_grid = _build_jit(
-            static, data, nk, jnp.asarray(t),
-            jnp.asarray(host_pack(g)), tuple(occ), trial is None,
+            # eigenvectors of the grid-averaged source-state projector
+            return np.zeros((nw, nsta), dtype=complex)  # placeholder
+        return np.asarray(trial, dtype=complex).reshape(nw, nsta)
+
+    def _set_diagnostics(self, min_s, hist=None, rbar=None, oi=None,
+                         ot=None, fsv=None):
+        got = jax.device_get((min_s, hist, rbar, oi, ot, fsv))
+        self.min_projection_sv = float(got[0])
+        self.spread_history = (
+            None if got[1] is None else np.asarray(got[1], dtype=np.float64)
         )
-        self._hr = hr_packed
-        self.min_projection_sv = float(jax.device_get(min_s))
-        self._e_grid = e_grid  # (Nk, nocc) device; see grid_energies
+        self.centers = (
+            None if got[2] is None else np.asarray(got[2], dtype=np.float64).T
+        )
+        self.omega_i = None if got[3] is None else float(got[3])
+        self.omega_tilde = None if got[4] is None else float(got[4])
+        self.final_projection_sv = None if got[5] is None else float(got[5])
+
+    def _warn_singular(self):
         if self.min_projection_sv < 1e-3:
             import warnings
 
@@ -177,7 +700,7 @@ class WannierInterpolator(object):
                 "band touching) -- interpolated bands are unreliable."
                 % self.min_projection_sv,
                 UserWarning,
-                stacklevel=3,
+                stacklevel=4,
             )
 
     @property
@@ -212,7 +735,8 @@ class WannierInterpolator(object):
         return np.asarray(jax.device_get(out), dtype=np.float64).T
 
 
-def interpolator(model, occ, nk=8, trial=None) -> WannierInterpolator:
+def interpolator(model, occ, nk=8, trial=None, localize=0,
+                 localize_step=0.5, coarse_nk=None) -> WannierInterpolator:
     """Build a :class:`WannierInterpolator` for the band group ``occ``
     of ``model`` from an ``nk``-per-direction coarse grid.
 
@@ -222,12 +746,112 @@ def interpolator(model, occ, nk=8, trial=None) -> WannierInterpolator:
     :param trial: optional (nocc, nsta) complex trial vectors; default =
       the top eigenvectors of the grid-averaged band projector (an
       automatic SCDM-like choice, computed in-program)
+    :param localize: Marzari-Vanderbilt maximal-localization steps run
+      after the one-shot projection (``True`` = 200).  The MV descent
+      smooths kinks the one-shot gauge leaves when the trials have the
+      wrong character somewhere in the BZ (the classic valence-only
+      silicon failure), restoring exponential H(R) decay; inspect
+      ``.spread_history`` / ``.omega_tilde`` / ``.final_projection_sv``.
+    :param localize_step: initial MV step-size factor (halved
+      automatically whenever the spread rises)
     :returns: interpolator with ``.bands(k_list)``, ``.hoppings``,
-      ``.r_vectors()``, ``.min_projection_sv``
+      ``.r_vectors()``, ``.min_projection_sv`` (+ with ``localize``:
+      ``.spread_history``, ``.centers``, ``.omega_i``, ``.omega_tilde``,
+      ``.final_projection_sv``)
 
     Example::
 
         itp = wannier.interpolator(models.bn(), [0], nk=10)
         ek = itp.bands(kpts)        # lower band anywhere, no re-solve
     """
-    return WannierInterpolator(model, occ, nk, trial=trial)
+    return WannierInterpolator(model, occ, nk, trial=trial,
+                               localize=localize,
+                               localize_step=localize_step,
+                               coarse_nk=coarse_nk)
+
+
+def disentangled_interpolator(model, nw, nk, window, frozen=None,
+                              trial=None, dis_steps=80, mixing=0.7,
+                              localize=200,
+                              localize_step=0.5) -> WannierInterpolator:
+    """Wannier interpolation of an ENTANGLED band group: select an
+    optimally-smooth ``nw``-dimensional subspace inside the energy
+    ``window`` by Souza-Marzari-Vanderbilt disentanglement (PRB 65,
+    035109 (2001)), then project + maximally localize inside it.
+
+    The subspace at each coarse-grid k maximizes the inter-k overlap
+    functional (minimal gauge-invariant spread Omega_I), iterated to
+    self-consistency as a fixed-length device scan; bands inside the
+    ``frozen`` window are kept EXACTLY (they are reproduced by the
+    interpolation wherever they fall inside it).  Replaces the
+    reference's external-Wannier90 pipeline (pythtb.py:3448-3586) for
+    metals and crossing band groups.
+
+    :param nw: number of Wannier functions (subspace dimension); must
+      not exceed the number of window bands at any grid point and must
+      be >= the number of frozen bands everywhere
+    :param window: (emin, emax) outer energy window
+    :param frozen: optional (fmin, fmax) inner window kept exactly
+    :param dis_steps: disentanglement self-consistency iterations
+    :param mixing: Z-matrix mixing factor (0 < mixing <= 1)
+    :param localize: MV maximal-localization steps after projection
+    :returns: :class:`WannierInterpolator` (``.bands`` etc.); grid
+      energies are the subspace eigenvalues
+    """
+    static, data = model._get_finalized()
+    if static.dim_k < 1:
+        raise PythtbError("Wannier interpolation requires a periodic model.")
+    nw = int(nw)
+    if nw < 1 or nw > static.nsta:
+        raise PythtbError("nw must be in 1..%d" % static.nsta)
+    nk = (nk,) * static.dim_k if np.isscalar(nk) else tuple(int(n) for n in nk)
+    if len(nk) != static.dim_k:
+        raise PythtbError("nk must give one grid size per periodic direction.")
+    emin, emax = (float(window[0]), float(window[1]))
+    if frozen is None:
+        fmin, fmax = 0.0, -1.0
+    else:
+        fmin, fmax = float(frozen[0]), float(frozen[1])
+        if fmin < emin or fmax > emax:
+            raise PythtbError("frozen window must lie inside the outer window")
+
+    # host-side window feasibility check on the actual coarse grid
+    kgrid = model.k_uniform_mesh(nk) if static.dim_k > 1 else (
+        np.arange(nk[0], dtype=np.float64)[:, None] / nk[0]
+    )
+    evals = model.solve_all(kgrid).T  # (Nk, nsta)
+    n_win = ((evals >= emin) & (evals <= emax)).sum(axis=1)
+    if n_win.min() < nw:
+        raise PythtbError(
+            "outer window holds only %d bands at some grid point; nw=%d "
+            "needs at least nw window bands everywhere" % (n_win.min(), nw)
+        )
+    if frozen is not None:
+        n_froz = ((evals >= fmin) & (evals <= fmax)).sum(axis=1)
+        if n_froz.max() > nw:
+            raise PythtbError(
+                "frozen window holds %d bands at some grid point; must "
+                "not exceed nw=%d" % (n_froz.max(), nw)
+            )
+
+    if localize is True:
+        localize = 200
+    self = WannierInterpolator.__new__(WannierInterpolator)
+    self._nk = nk
+    self._dim_k = static.dim_k
+    t = WannierInterpolator._t_orb(model)
+    g = WannierInterpolator._trial_array(trial, nw, static.nsta)
+    b_int, b_cart, w_b = _bshells(model._lat, model._per, nk)
+    nbr = _neighbor_index(nk, b_int)
+    windows = jnp.asarray([emin, emax, fmin, fmax])
+    hr_packed, min_s, e_grid, hist, rbar, oi, ot, fsv = _build_disent_jit(
+        static, data, nk, jnp.asarray(t), jnp.asarray(host_pack(g)), nw,
+        trial is None, jnp.asarray(nbr), jnp.asarray(w_b),
+        jnp.asarray(b_cart), windows, int(dis_steps), float(mixing),
+        int(localize), float(localize_step), frozen is not None,
+    )
+    self._hr = hr_packed
+    self._e_grid = e_grid
+    self._set_diagnostics(min_s, hist, rbar, oi, ot, fsv)
+    self._warn_singular()
+    return self

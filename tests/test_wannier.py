@@ -139,3 +139,282 @@ def test_fuzz_full_space_exactness(seed):
     k = rng.rand(8, dim)
     np.testing.assert_allclose(itp.bands(k), m.solve_all(k), atol=1e-9)
     assert itp.min_projection_sv > 0.999
+
+
+# -- MLWF machinery: b-shells, MV localization, SMV disentanglement ---
+
+
+class TestBShells:
+    def test_completeness_across_lattices(self):
+        """B1 condition sum_b w_b b b^T = I (in the periodic span) for
+        cubic/fcc/hex/chain/anisotropic/slab lattices."""
+        from pythtb_tpu.wannier import _bshells, _neighbor_index
+
+        cases = [
+            (np.eye(3), [0, 1, 2], (4, 4, 4)),
+            ([[0.0, 2.7, 2.7], [2.7, 0.0, 2.7], [2.7, 2.7, 0.0]],
+             [0, 1, 2], (6, 6, 6)),
+            ([[1.0, 0.0], [0.5, np.sqrt(3) / 2]], [0, 1], (6, 6)),
+            ([[1.0]], [0], (8,)),
+            ([[1.0, 0.0], [0.0, 2.3]], [0, 1], (6, 4)),
+            (np.eye(3), [0, 1], (5, 5)),  # 2 periodic dirs of a 3D lattice
+        ]
+        for lat, per, nk in cases:
+            b_int, b_cart, w_b = _bshells(lat, per, nk)
+            A = np.asarray(lat, dtype=float)[per, :]
+            G = 2 * np.pi * np.linalg.solve(A @ A.T, A)
+            Q = np.linalg.svd(G, full_matrices=False)[2]
+            bq = b_cart @ Q.T
+            C = np.einsum("b,bi,bj->ij", w_b, bq, bq)
+            np.testing.assert_allclose(C, np.eye(len(per)), atol=1e-8)
+            # neighbor map: +b then -b returns home
+            nbr = _neighbor_index(nk, b_int)
+            for bidx in range(len(w_b)):
+                mb = np.where((b_int == -b_int[bidx]).all(1))[0]
+                assert len(mb) == 1
+                assert np.all(
+                    nbr[nbr[:, bidx], mb[0]] == np.arange(np.prod(nk))
+                )
+
+
+class TestMaxLocalize:
+    def test_gradient_is_descent_direction(self):
+        """The MV update direction +G must decrease the spread (the
+        committed sign convention, checked against finite differences)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pythtb_tpu.wannier import (
+            _bshells, _expm_antiherm, _gauge_overlaps, _mv_gradient,
+            _neighbor_index, _spread_terms,
+        )
+        from pythtb_tpu.ops.eigh import eigh_batched
+        from pythtb_tpu.ops.hamiltonian import assemble
+        from pythtb_tpu.ops.solver import device_uniform_grid
+
+        m = zoo.bbh()
+        static, data = m._get_finalized()
+        nk = (6, 6)
+        kpts = device_uniform_grid(nk, jnp.zeros((2,)))
+        _, vecs = eigh_batched(assemble(static, data, kpts))
+        u = vecs[:, :2, :]
+        t = np.asarray(m._orb)[:, m._per].T
+        u = u * jnp.exp(
+            2j * jnp.pi * jnp.einsum("bd,ds->bs", kpts, jnp.asarray(t))
+        )[:, None, :]
+        b_int, b_cart, w_b = _bshells(m._lat, m._per, nk)
+        nbr = jnp.asarray(_neighbor_index(nk, b_int))
+        w_b = jnp.asarray(w_b)
+        b_cart = jnp.asarray(b_cart)
+        M0 = jnp.einsum("kms,kbns->kbmn", jnp.conj(u), u[nbr])
+
+        def omega(U):
+            M = _gauge_overlaps(M0, U, nbr)
+            rbar, oi, ot = _spread_terms(M, w_b, b_cart)
+            return float(oi + ot), rbar
+
+        B = M0.shape[0]
+        U = jnp.broadcast_to(jnp.eye(2, dtype=M0.dtype), (B, 2, 2))
+        om0, rbar = omega(U)
+        M = _gauge_overlaps(M0, U, nbr)
+        G = _mv_gradient(M, w_b, b_cart, rbar)
+        for eps in (1e-3, 1e-2):
+            om_plus, _ = omega(
+                jnp.einsum("kij,kjl->kil", U, _expm_antiherm(eps * G))
+            )
+            assert om_plus < om0
+
+    def test_localize_reduces_spread_and_error(self):
+        """Valence-only silicon at a small grid: MV localization must cut
+        both the gauge-dependent spread and the interpolation error vs
+        the one-shot projection (the round-2 documented failure mode)."""
+        import pathlib
+        import warnings
+
+        from pythtb_tpu import w90
+
+        d = str(pathlib.Path(__file__).resolve().parent / "data" / "w90_silicon")
+        si = w90(d, "silicon").model(min_hopping_norm=0.01)
+        kp = si.k_path(
+            [[0.5, 0.5, 0.5], [0, 0, 0], [0.5, -0.5, 0.0]], 31, report=False
+        )[0]
+        direct = si.solve_all(kp)[:4]
+        g = np.eye(8)[:4]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            one_shot = wannier.interpolator(si, [0, 1, 2, 3], nk=6, trial=g)
+            err0 = np.abs(one_shot.bands(kp) - direct).max()
+            loc = wannier.interpolator(
+                si, [0, 1, 2, 3], nk=6, trial=g, localize=400
+            )
+            err1 = np.abs(loc.bands(kp) - direct).max()
+        assert loc.spread_history[-1] < loc.spread_history[0]
+        assert loc.omega_tilde < 2.0
+        assert err1 < 0.7 * err0
+
+    def test_localize_gauge_invariant_at_grid_points(self):
+        """Localization changes the gauge only: eigenvalues at the
+        coarse-grid points stay exact."""
+        import warnings
+
+        m = zoo.checkerboard()
+        kg = m.k_uniform_mesh((6, 6))
+        direct = m.solve_all(kg)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            itp = wannier.interpolator(m, [0, 1], nk=6, localize=150)
+        np.testing.assert_allclose(itp.bands(kg), direct, atol=1e-10)
+
+    def test_multigrid_matches_direct_fine_build(self):
+        """coarse_nk refinement: the fine projection onto the coarse
+        Wannier vectors is near-unitary (Fourier-inversion consistency)
+        and the result interpolates at least as well as the coarse run."""
+        import pathlib
+        import warnings
+
+        from pythtb_tpu import w90
+
+        d = str(pathlib.Path(__file__).resolve().parent / "data" / "w90_silicon")
+        si = w90(d, "silicon").model(min_hopping_norm=0.01)
+        kp = si.k_path([[0.5, 0.5, 0.5], [0, 0, 0]], 21, report=False)[0]
+        direct = si.solve_all(kp)[:4]
+        g = np.eye(8)[:4]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            coarse = wannier.interpolator(
+                si, [0, 1, 2, 3], nk=6, trial=g, localize=400
+            )
+            fine = wannier.interpolator(
+                si, [0, 1, 2, 3], nk=12, trial=g, localize=400, coarse_nk=6
+            )
+        assert fine.min_projection_sv > 0.8  # WF trials project cleanly
+        errc = np.abs(coarse.bands(kp) - direct).max()
+        errf = np.abs(fine.bands(kp) - direct).max()
+        assert errf < 0.5 * errc
+
+
+class TestDisentangle:
+    def _union(self, coupled):
+        from pythtb_tpu import tb_model
+
+        lat = [[1.0, 0.0], [0.0, 1.0]]
+        orb = [[0.0, 0.0], [0.5, 0.5], [0.25, 0.75]]
+        m = tb_model(2, 2, lat, orb)
+        m.set_onsite([-1.2, 1.2, 0.0])
+        m.set_hop(0.4, 0, 1, [0, 0])
+        m.set_hop(0.35, 0, 1, [1, 0])
+        m.set_hop(0.27, 0, 1, [0, 1])
+        m.set_hop(-0.15, 0, 0, [1, 0])
+        m.set_hop(0.12, 1, 1, [0, 1])
+        m.set_hop(1.3, 2, 2, [1, 0])
+        m.set_hop(1.1, 2, 2, [0, 1])
+        if coupled:
+            m.set_hop(0.2, 1, 2, [0, 0])
+            m.set_hop(0.15, 0, 2, [1, 0])
+        return m
+
+    def test_decoupled_union_recovers_block_exactly(self):
+        """Oracle: a 2-band model A plus an overlapping decoupled
+        spectator band.  SMV disentanglement of nw=2 must recover A's
+        invariant subspace, and interpolation then reproduces A's bands
+        EXACTLY at all k (finite-range block, full-subspace gauge)."""
+        from pythtb_tpu import tb_model
+
+        m = self._union(False)
+        mA = tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]],
+                      [[0.0, 0.0], [0.5, 0.5]])
+        mA.set_onsite([-1.2, 1.2])
+        mA.set_hop(0.4, 0, 1, [0, 0])
+        mA.set_hop(0.35, 0, 1, [1, 0])
+        mA.set_hop(0.27, 0, 1, [0, 1])
+        mA.set_hop(-0.15, 0, 0, [1, 0])
+        mA.set_hop(0.12, 1, 1, [0, 1])
+        kf = np.random.default_rng(1).random((40, 2))
+        trial = np.zeros((2, 3), complex)
+        trial[0, 0] = 1
+        trial[1, 1] = 1
+        itp = wannier.disentangled_interpolator(
+            m, nw=2, nk=8, window=(-10, 10), trial=trial, dis_steps=60,
+            localize=100,
+        )
+        err = np.abs(itp.bands(kf) - mA.solve_all(kf)).max()
+        assert err < 1e-10
+        assert itp.min_projection_sv > 0.99
+
+    def test_frozen_window_reproduced(self):
+        """With genuine hybridization, bands inside the frozen window
+        must be reproduced by the disentangled interpolation."""
+        import warnings
+
+        m = self._union(True)
+        kf = np.random.default_rng(2).random((60, 2))
+        direct = m.solve_all(kf)
+        frozen = (-2.2, -0.6)
+        trial = np.zeros((2, 3), complex)
+        trial[0, 0] = 1
+        trial[1, 1] = 1
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            itp = wannier.disentangled_interpolator(
+                m, nw=2, nk=10, window=(-6, 6), frozen=frozen, trial=trial,
+                dis_steps=80, localize=150,
+            )
+        bands = itp.bands(kf)
+        errs = []
+        for kidx in range(kf.shape[0]):
+            for e in direct[:, kidx]:
+                if frozen[0] + 0.1 < e < frozen[1] - 0.1:
+                    errs.append(np.abs(bands[:, kidx] - e).min())
+        assert len(errs) > 20
+        assert max(errs) < 5e-3
+
+    def test_window_validation(self):
+        m = self._union(True)
+        with pytest.raises(Exception, match="window"):
+            wannier.disentangled_interpolator(
+                m, nw=2, nk=6, window=(-1.4, -1.2)
+            )  # too few bands in window somewhere
+        with pytest.raises(Exception, match="frozen"):
+            wannier.disentangled_interpolator(
+                m, nw=2, nk=6, window=(-6, 6), frozen=(-7, 0)
+            )  # frozen outside outer
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_decoupled_union_disentangle(seed):
+    """Random decoupled-union oracle: random 2-orbital block A plus a
+    random overlapping spectator; disentanglement must recover A's
+    bands exactly."""
+    from pythtb_tpu import tb_model
+
+    rng = np.random.default_rng(100 + seed)
+    lat = [[1.0, 0.0], [0.0, 1.0]]
+    orb = [[0.0, 0.0], [0.37, 0.61], [0.21, 0.83]]
+
+    def hop():
+        return rng.normal() * 0.5 + 1j * rng.normal() * 0.3
+
+    on = rng.normal(size=2) * 1.5
+    hops = [
+        (hop(), 0, 1, (0, 0)), (hop(), 0, 1, (1, 0)), (hop(), 0, 1, (0, 1)),
+        (hop(), 0, 0, (1, 0)), (hop(), 1, 1, (0, 1)),
+    ]
+    m = tb_model(2, 2, lat, orb)
+    mA = tb_model(2, 2, lat, orb[:2])
+    m.set_onsite(list(on) + [rng.normal() * 0.5])
+    mA.set_onsite(list(on))
+    for amp, i, j, R in hops:
+        m.set_hop(amp, i, j, list(R))
+        mA.set_hop(amp, i, j, list(R))
+    m.set_hop(1.0 + 0.5 * rng.random(), 2, 2, [1, 0])
+    m.set_hop(1.0 + 0.5 * rng.random(), 2, 2, [0, 1])
+    kf = rng.random((25, 2))
+    trial = np.zeros((2, 3), complex)
+    trial[0, 0] = 1
+    trial[1, 1] = 1
+    itp = wannier.disentangled_interpolator(
+        m, nw=2, nk=8, window=(-12, 12), trial=trial, dis_steps=60,
+        localize=80,
+    )
+    err = np.abs(itp.bands(kf) - mA.solve_all(kf)).max()
+    assert err < 1e-9, err
