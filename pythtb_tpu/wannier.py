@@ -595,7 +595,7 @@ class WannierInterpolator(object):
     module docstring.  Build with :func:`interpolator`."""
 
     def __init__(self, model, occ, nk, trial=None, localize=0,
-                 localize_step=0.5, coarse_nk=None):
+                 localize_step=0.5, coarse_nk=None, polish=None):
         static, data = model._get_finalized()
         if static.dim_k < 1:
             raise PythtbError("Wannier interpolation requires a periodic model.")
@@ -645,7 +645,8 @@ class WannierInterpolator(object):
                 # polish converges where a cold start stalls
                 b_int, b_cart, w_b = _bshells(model._lat, model._per, nk)
                 nbr = _neighbor_index(nk, b_int)
-                polish = max(100, int(localize) // 4)
+                if polish is None:
+                    polish = max(100, int(localize) // 4)
                 out = _build_fine_jit(
                     static, data, nk, jnp.asarray(t), wR, tuple(occ),
                     run_nk, jnp.asarray(nbr), jnp.asarray(w_b),
@@ -736,7 +737,8 @@ class WannierInterpolator(object):
 
 
 def interpolator(model, occ, nk=8, trial=None, localize=0,
-                 localize_step=0.5, coarse_nk=None) -> WannierInterpolator:
+                 localize_step=0.5, coarse_nk=None,
+                 polish=None) -> WannierInterpolator:
     """Build a :class:`WannierInterpolator` for the band group ``occ``
     of ``model`` from an ``nk``-per-direction coarse grid.
 
@@ -754,6 +756,15 @@ def interpolator(model, occ, nk=8, trial=None, localize=0,
       ``.spread_history`` / ``.omega_tilde`` / ``.final_projection_sv``.
     :param localize_step: initial MV step-size factor (halved
       automatically whenever the spread rises)
+    :param coarse_nk: multigrid refinement: run the full localization on
+      this (cheap) grid first, then re-solve on ``nk`` and project onto
+      the coarse run's real-space Wannier vectors -- by Fourier
+      inversion that projection is near-unitary, so the fine gauge
+      starts smooth and only a short ``polish`` MV pass (or none) is
+      needed.  This is how large ``nk`` stays affordable: e.g. silicon
+      valence at nk=28 via coarse_nk=8 reaches sub-meV interpolation.
+    :param polish: fine-grid MV steps after multigrid projection
+      (default ``max(100, localize // 4)``; ``0`` = pure projection)
     :returns: interpolator with ``.bands(k_list)``, ``.hoppings``,
       ``.r_vectors()``, ``.min_projection_sv`` (+ with ``localize``:
       ``.spread_history``, ``.centers``, ``.omega_i``, ``.omega_tilde``,
@@ -767,7 +778,7 @@ def interpolator(model, occ, nk=8, trial=None, localize=0,
     return WannierInterpolator(model, occ, nk, trial=trial,
                                localize=localize,
                                localize_step=localize_step,
-                               coarse_nk=coarse_nk)
+                               coarse_nk=coarse_nk, polish=polish)
 
 
 def disentangled_interpolator(model, nw, nk, window, frozen=None,

@@ -418,3 +418,32 @@ def test_fuzz_decoupled_union_disentangle(seed):
     )
     err = np.abs(itp.bands(kf) - mA.solve_all(kf)).max()
     assert err < 1e-9, err
+
+
+@pytest.mark.slow
+def test_silicon_valence_submev():
+    """THE round-2 'What's missing' #1 criterion: valence-only silicon
+    interpolates to <= 1e-3 eV against direct diagonalization on a fine
+    path through L-Gamma-X-K-Gamma, with a healthy projection singular
+    value.  Multigrid MLWF: coarse 8^3 localization -> 28^3 refinement
+    by Wannier-vector projection (near-unitary by Fourier inversion)."""
+    import pathlib
+    import warnings
+
+    from pythtb_tpu import w90
+
+    d = str(pathlib.Path(__file__).resolve().parent / "data" / "w90_silicon")
+    si = w90(d, "silicon").model(min_hopping_norm=0.01)
+    path = [[0.5, 0.5, 0.5], [0, 0, 0], [0.5, -0.5, 0.0],
+            [0.375, -0.375, 0.0], [0, 0, 0]]
+    kp = si.k_path(path, 101, report=False)[0]
+    direct = si.solve_all(kp)[:4]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        itp = wannier.interpolator(
+            si, [0, 1, 2, 3], nk=28, trial=np.eye(8)[:4], localize=400,
+            coarse_nk=8, polish=0,
+        )
+    err = np.abs(itp.bands(kp) - direct).max()
+    assert err < 1.0e-3, err
+    assert itp.min_projection_sv > 0.9
