@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "quadrupole", "spin_chern"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "quadrupole", "spin_chern", "orbital_magnetization"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -1170,3 +1170,100 @@ def spin_chern(model, occ=(0, 1), nk=(41, 41), start_k=(-0.5, -0.5)):
         "chern_minus": cm,
         "sz_gap": float(gap),
     }
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _orb_mag_jit(static, data, occ, n0, n1, mu):
+    """Orbital magnetization density on the (n0, n1) grid (see
+    orbital_magnetization).  Also returns the grid's occupied max /
+    unoccupied min for the in-gap check, done in-program."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble, assemble_dk
+    from .ops.solver import device_uniform_grid
+
+    hp = jax.lax.Precision.HIGHEST
+    kpts = device_uniform_grid((n0, n1), jnp.zeros((2,)))
+    H = assemble(static, data, kpts)
+    evals, vecs = eigh_batched(H)  # rows of vecs = states
+    dH = assemble_dk(static, data, kpts)  # (B, 2, S, S)
+    occ_idx = jnp.asarray(occ, dtype=jnp.int32)
+    unocc_idx = jnp.asarray(
+        [s for s in range(static.nsta) if s not in occ], dtype=jnp.int32
+    )
+    uo = vecs[:, occ_idx, :]  # (B, no, S)
+    uu = vecs[:, unocc_idx, :]
+    eo = evals[:, occ_idx]  # (B, no)
+    eu = evals[:, unocc_idx]
+    # band-basis velocity blocks <occ| dH_a |unocc>: (B, 2, no, nu)
+    V = jnp.einsum("bns,bast,bmt->banm", jnp.conj(uo), dH, uu, precision=hp)
+    mu_ = jnp.asarray(mu)
+    de = eo[:, :, None] - eu[:, None, :]  # (B, no, nu), negative
+    w = (eo[:, :, None] + eu[:, None, :] - 2.0 * mu_) / (de * de)
+    dens = jnp.imag(jnp.einsum("bnm,bnm,bnm->", V[:, 0], jnp.conj(V[:, 1]), w))
+    # mean over the grid; normalization fixed by BOTH oracles at once:
+    # dM/dmu = C/(2 pi) and M = -(1/2 pi) dE/dphi (phi in flux quanta)
+    M = dens / (4.0 * np.pi**2 * kpts.shape[0])
+    return M, jnp.max(eo), jnp.min(eu)
+
+
+def orbital_magnetization(model, occ, nk=(61, 61), mu=None):
+    r"""Orbital magnetization of a 2-D insulator (modern theory;
+    Ceresoli, Thonhauser, Vanderbilt & Resta, PRB 74, 024408 (2006)),
+    as one device program.  No reference counterpart.
+
+    Evaluates the k-space band sum
+
+        M = (1/(2 pi)^2 N) sum_k Im sum_{n occ, m unocc}
+            <n|dH/dk_1|m><m|dH/dk_2|n> (e_n + e_m - 2 mu) / (e_n - e_m)^2
+
+    with reduced-coordinate derivatives (the Jacobians of the
+    Cartesian-k integral and of the cross product cancel exactly, so
+    the reduced-BZ mean needs no lattice factors).  Occupied-occupied
+    pairs cancel pairwise analytically and are omitted (this also
+    removes the degenerate denominators).  Units (e = hbar = 1, so one
+    flux quantum = 2 pi): with the flux phi of
+    :func:`pythtb_tpu.magnetic.peierls_model` in flux quanta per unit
+    cell, M equals -(1/2 pi) dE_total/dphi per unit cell of a large
+    flake -- the defining thermodynamic relation, used as the oracle in
+    tests.  dM/dmu inside a gap equals C / (2 pi) with C the Chern
+    number below the gap (both identities hold simultaneously only in
+    this normalization -- they pin the 2 pi's).
+
+    :param occ: occupied band indices (must fill every band below the
+      gap containing ``mu``)
+    :param nk: BZ grid
+    :param mu: chemical potential; default = midgap from the grid solve
+    :returns: float M (per unit cell; multiply by 1/cell_area for a
+      magnetization density)
+    """
+    static, data = model._get_finalized()
+    if static.dim_k != 2:
+        raise ValueError("orbital_magnetization requires dim_k == 2")
+    occ = tuple(sorted(int(o) for o in occ))
+    if not occ or min(occ) < 0 or max(occ) >= static.nsta:
+        raise IndexError(
+            "occ indices %s out of range for %d states" % (occ, static.nsta)
+        )
+    if len(occ) == static.nsta:
+        raise ValueError("orbital_magnetization needs at least one empty band")
+    n0, n1 = (int(nk), int(nk)) if np.isscalar(nk) else (int(nk[0]), int(nk[1]))
+    if mu is None:
+        # midgap via a cheap pre-solve on the same grid (cached by jit)
+        M0, emax_occ, emin_unocc = jax.device_get(
+            _orb_mag_jit(static, data, occ, n0, n1, 0.0)
+        )
+        mu = 0.5 * (float(emax_occ) + float(emin_unocc))
+    M, emax_occ, emin_unocc = jax.device_get(
+        _orb_mag_jit(static, data, occ, n0, n1, float(mu))
+    )
+    if not (float(emax_occ) < mu < float(emin_unocc)):
+        import warnings
+
+        warnings.warn(
+            "orbital_magnetization: mu=%.6g is not inside the band gap of "
+            "the chosen occupation (occupied max %.6g, unoccupied min "
+            "%.6g); the insulating formula does not apply."
+            % (mu, float(emax_occ), float(emin_unocc)),
+            UserWarning, stacklevel=2,
+        )
+    return float(M)

@@ -26,7 +26,7 @@ from .. import config
 from ..core import BlochData, ModelStatic
 from ..utils.xfer import unpack_cplx
 
-__all__ = ["assemble"]
+__all__ = ["assemble", "assemble_dk"]
 
 
 def _phases(static: ModelStatic, rv, kpts):
@@ -110,3 +110,54 @@ def assemble(static: ModelStatic, data: BlochData, kpts):
     # (B, i, j, s, t) -> (B, i, s, j, t) -> (B, 2n, 2n)
     H = Hblk.transpose(0, 1, 3, 2, 4).reshape(B, nsta, nsta)
     return H + diag[None]
+
+
+def assemble_dk(static: ModelStatic, data: BlochData, kpts):
+    """Analytic k-gradient of the Bloch Hamiltonian: dH/dk_a for a
+    k-batch, (B, dim_k, nsta, nsta) complex, each slice Hermitian.
+
+    Derivatives are with respect to REDUCED k-coordinates.  Because
+    ``assemble`` uses Convention I (phases carry the full r-vector
+    rv = R + t_j - t_i along the periodic directions, core.py:16), this
+    is the genuine velocity operator including the orbital-position
+    embedding -- required for geometric response quantities (orbital
+    magnetization, Chern-Simons theta), where Convention-II derivatives
+    would miss the intracell position terms.
+
+    The direct term differentiates to ``(2 pi i rv_a) amp e^{2 pi i
+    k.rv}``; the Hermitian partner to its conjugate (with ``-rv_a``);
+    the k-independent diagonal drops out.  Scatter assembly only (this
+    is not the solve hot path)."""
+    ctype = config.complex_dtype()
+    ftype = config.float_dtype()
+    B = kpts.shape[0]
+    n = static.norb
+    nsta = static.nsta
+    dim = static.dim_k
+    if static.nhop == 0 or dim == 0:
+        return jnp.zeros((B, dim, nsta, nsta), dtype=ctype)
+
+    ph = _phases(static, data.rv, kpts)  # (B, nhop)
+    amps = unpack_cplx(jnp.asarray(data.amps))  # (nhop,) or (nhop, 2, 2)
+    rv = jnp.asarray(data.rv, ftype)  # (nhop, dim_k)
+    # d/dk_a of the direct term: (2 pi i rv_a) * amp * phase
+    fac = jax.lax.complex(jnp.zeros_like(rv), (2.0 * np.pi) * rv)  # (nhop, dim)
+
+    if static.nspin == 1:
+        vals = ph * amps[None, :]  # (B, nhop)
+        dv = vals[:, :, None] * fac[None]  # (B, nhop, dim)
+        dH = jnp.zeros((B, dim, n, n), dtype=ctype)
+        dH = dH.at[:, :, data.ii, data.jj].add(dv.transpose(0, 2, 1))
+        # partner term is conj(vals) at (j, i); its k-derivative is
+        # conj(dv) (the -2*pi*i*rv_a factor is conj(fac) itself)
+        dH = dH.at[:, :, data.jj, data.ii].add(jnp.conj(dv).transpose(0, 2, 1))
+        return dH
+
+    vals = ph[:, :, None, None] * amps[None]  # (B, nhop, 2, 2)
+    dv = vals[:, :, None] * fac[None, :, :, None, None]  # (B, nhop, dim, 2, 2)
+    dHblk = jnp.zeros((B, dim, n, n, 2, 2), dtype=ctype)
+    dHblk = dHblk.at[:, :, data.ii, data.jj].add(dv.transpose(0, 2, 1, 3, 4))
+    dHblk = dHblk.at[:, :, data.jj, data.ii].add(
+        jnp.conj(jnp.swapaxes(dv, -1, -2)).transpose(0, 2, 1, 3, 4)
+    )
+    return dHblk.transpose(0, 1, 2, 4, 3, 5).reshape(B, dim, nsta, nsta)

@@ -239,3 +239,94 @@ def test_fuzz_anisotropic_bbh_phase_diagram(seed):
     expect = 0.5 if (gx < 1.0 and gy < 1.0) else 0.0
     d = min(q["qxy"], 1.0 - q["qxy"]) if expect == 0.0 else abs(q["qxy"] - 0.5)
     assert d < 1e-6, (gx, gy, q["qxy"])
+
+
+class TestOrbitalMagnetization:
+    def test_flake_dE_dB_oracle(self):
+        """Thermodynamic definition: bulk M equals -dE_total/dphi per
+        cell of a large Peierls flake (fixed filling; edge corrections
+        vanish as 1/L -- the modern-theory statement)."""
+        from pythtb_tpu import magnetic
+
+        m = zoo.haldane(delta=0.2, t2=0.15 * np.exp(0.7j))
+        e = m.solve_all(m.k_uniform_mesh((41, 41)))
+        mu = 0.5 * (e[0].max() + e[1].min())
+        M = flows.orbital_magnetization(m, [0], nk=(121, 121), mu=mu)
+        L = 16
+        flake = m.cut_piece(L, 0, glue_edgs=False).cut_piece(L, 1, glue_edgs=False)
+        ev0 = np.sort(np.asarray(flake.solve_all()).ravel())
+        nocc = int((ev0 < mu).sum())
+
+        def etot(phi):
+            fl = magnetic.peierls_model(flake, phi, dirs=(0, 1))
+            ev = np.sort(np.asarray(fl.solve_all()).ravel())
+            return ev[:nocc].sum()
+
+        d = 1e-4
+        slope = -(etot(d) - etot(-d)) / (2 * d) / (L * L) / (2 * np.pi)
+        assert abs(slope / M - 1.0) < 0.02, (M, slope)
+
+    def test_dM_dmu_is_chern_over_2pi(self):
+        """Inside a gap, dM/dmu = C / (2 pi) exactly (the mu-dependence
+        of the band sum IS the Berry-curvature integral)."""
+        m = zoo.haldane()  # C = -1 for band 0 with these signs
+        e = m.solve_all(m.k_uniform_mesh((31, 31)))
+        mu0 = 0.5 * (e[0].max() + e[1].min())
+        d = 0.05
+        M1 = flows.orbital_magnetization(m, [0], nk=(101, 101), mu=mu0 - d)
+        M2 = flows.orbital_magnetization(m, [0], nk=(101, 101), mu=mu0 + d)
+        C = flows.chern_number(m, [0], nk=(101, 101))
+        np.testing.assert_allclose((M2 - M1) / (2 * d), C / (2 * np.pi),
+                                   atol=1e-6)
+
+    def test_time_reversal_vanishes(self):
+        """TR-symmetric insulator: M = 0 identically."""
+        M = flows.orbital_magnetization(zoo.bn(), [0], nk=(61, 61))
+        assert abs(M) < 1e-12
+
+    def test_out_of_gap_warns(self):
+        m = zoo.haldane()
+        with pytest.warns(UserWarning, match="not inside the band gap"):
+            flows.orbital_magnetization(m, [0], nk=(31, 31), mu=10.0)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_fuzz_flake_oracle_random_models(self, seed):
+        """Random gapped TR-broken 2-band models: bulk M vs the flake
+        slope (L=14, 3% -- finite-size edge term)."""
+        from pythtb_tpu import magnetic, tb_model
+
+        rng = np.random.default_rng(50 + seed)
+        while True:
+            lat = [[1.0, 0.0], [0.0, 1.0]]
+            m = tb_model(2, 2, lat, [[0.0, 0.0], [0.5, 0.5]])
+            m.set_onsite([float(rng.normal()) - 1.5, float(rng.normal()) + 1.5])
+            for (i, j, R) in [(0, 1, [0, 0]), (0, 1, [1, 0]), (0, 1, [0, 1]),
+                              (0, 0, [1, 0]), (1, 1, [0, 1]), (0, 1, [1, 1])]:
+                m.set_hop(0.4 * (rng.normal() + 1j * rng.normal()), i, j, R)
+            e = m.solve_all(m.k_uniform_mesh((31, 31)))
+            gap = e[1].min() - e[0].max()
+            if gap > 0.4:
+                break
+        mu = 0.5 * (e[0].max() + e[1].min())
+        M = flows.orbital_magnetization(m, [0], nk=(101, 101), mu=mu)
+
+        def slope_per_cell(L):
+            flake = m.cut_piece(L, 0, glue_edgs=False).cut_piece(
+                L, 1, glue_edgs=False
+            )
+            ev0 = np.sort(np.asarray(flake.solve_all()).ravel())
+            nocc = int((ev0 < mu).sum())
+
+            def etot(phi):
+                fl = magnetic.peierls_model(flake, phi, dirs=(0, 1))
+                ev = np.sort(np.asarray(fl.solve_all()).ravel())
+                return ev[:nocc].sum()
+
+            d = 1e-4
+            return -(etot(d) - etot(-d)) / (2 * d) / (L * L) / (2 * np.pi)
+
+        # Richardson: the edge term is ~1/L, so 2*s(2L) - s(L) kills it
+        s10, s20 = slope_per_cell(10), slope_per_cell(20)
+        ext = 2 * s20 - s10
+        denom = max(abs(M), 0.02)
+        assert abs(ext - M) / denom < 0.05, (M, s10, s20, ext)
