@@ -330,3 +330,66 @@ class TestOrbitalMagnetization:
         ext = 2 * s20 - s10
         denom = max(abs(M), 0.02)
         assert abs(ext - M) / denom < 0.05, (M, s10, s20, ext)
+
+
+class TestAxionSecondChern:
+    def test_fkm_beta_loop_second_chern_quantized(self):
+        """The FKM TR-breaking beta cycle pumps theta by 2 pi C2 with
+        C2 = -1: the gauge-invariant 4D projector-curvature integral
+        must land on the integer (Richardson-refined)."""
+        L = 16
+        loop = [zoo.fu_kane_mele(beta=2 * np.pi * i / L) for i in range(L)]
+        c2 = flows.second_chern(loop, (0, 1), nk=(16, 16, 16))
+        assert abs(c2 - (-1.0)) < 0.02, c2
+
+    def test_loop_orientation_flips_sign(self):
+        L = 12
+        loop = [zoo.fu_kane_mele(beta=2 * np.pi * i / L) for i in range(L)]
+        c2f = flows.second_chern(loop, (0, 1), nk=(12, 12, 12), refine=False)
+        c2r = flows.second_chern(loop[::-1], (0, 1), nk=(12, 12, 12),
+                                 refine=False)
+        np.testing.assert_allclose(c2f, -c2r, atol=1e-10)
+
+    def test_fkm_strong_theta_is_pi(self):
+        """theta = pi on the Fu-Kane-Mele strong TI, via gapped pumping
+        to the TR-restored trivial endpoint at beta = pi (never fixes a
+        gauge -- the failure mode of direct Chern-Simons integration)."""
+        L = 17
+        path = [zoo.fu_kane_mele(beta=np.pi * i / (L - 1)) for i in range(L)]
+        th = flows.axion_theta(path, (0, 1), nk=(16, 16, 16))
+        assert abs(abs(th) - np.pi) < 0.05, th
+
+    def test_trivial_path_theta_is_zero(self):
+        """TR-symmetric gapped path from the trivial FKM to a deeper
+        atomic limit: every slice is TR-even, the pump density is odd
+        under k -> -k, theta = 0."""
+        path = [zoo.fu_kane_mele(m=mm, beta=0.0)
+                for mm in np.linspace(0.5, 3.0, 9)]
+        th = flows.axion_theta(path, (0, 1), nk=(10, 10, 10), refine=False)
+        assert abs(th) < 0.02, th
+
+    @pytest.mark.parametrize("seed", range(2))
+    def test_fuzz_strong_phase_pump_quantized(self, seed):
+        """Random parameters inside the strong phase: the beta-cycle
+        second Chern number stays on the SAME integer -1 (adiabatic
+        invariance of the pump)."""
+        rng = np.random.default_rng(200 + seed)
+        soc = 0.1 + 0.1 * rng.random()
+        mm = -(0.3 + 0.4 * rng.random())
+        L = 14
+        loop = [zoo.fu_kane_mele(soc=soc, m=mm, beta=2 * np.pi * i / L)
+                for i in range(L)]
+        # gapped-loop precondition (the invariant is only defined then)
+        for b in (0.0, np.pi / 2, np.pi):
+            e = zoo.fu_kane_mele(soc=soc, m=mm, beta=b).solve_all(
+                np.random.default_rng(0).random((60, 3)))
+            assert (e[2] - e[1]).min() > 0.05
+        c2 = flows.second_chern(loop, (0, 1), nk=(14, 14, 14))
+        assert abs(c2 - (-1.0)) < 0.1, (soc, mm, c2)
+
+    def test_validation(self):
+        m2d = zoo.haldane()
+        with pytest.raises(ValueError, match="dim_k"):
+            flows.second_chern([m2d] * 6, (0,), nk=(6, 6, 6))
+        with pytest.raises(ValueError, match="slices"):
+            flows.second_chern([zoo.fu_kane_mele()] * 3, (0, 1))
