@@ -178,7 +178,8 @@ def _spectral_jit(static00, static01, data00, data01, kpar, energies, eta, iters
     # when the residual looks clean
     scale = jnp.maximum(jnp.max(jnp.abs(H01)), 1e-30)
     res = jnp.max(jnp.abs(a_f)) / scale
-    res = jnp.where(peak / scale > 1e50, jnp.inf, res)
+    blow = 1e30 if jnp.real(jnp.zeros(0, ctype)).dtype == jnp.float32 else 1e50
+    res = jnp.where(peak / scale > blow, jnp.inf, res)
     # per-state spectral weights; callers trace or keep them resolved
     dg = lambda G: -jnp.imag(jnp.diagonal(G, axis1=-2, axis2=-1)) / jnp.pi
     return dg(Gs), dg(Gb), res

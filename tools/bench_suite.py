@@ -177,6 +177,38 @@ def run_suite():
            arc[50, 50] > 50 * arc[5, 5] and np.isfinite(arc).all(),
            "semi-infinite surface map, one program")
 
+    # response suite on hardware (round-3 additions)
+    hal2 = ptt.models.haldane()
+    efs = np.linspace(-4.0, 4.0, 81)
+    wall, sxy = _timed(lambda: flows.anomalous_hall(hal2, efs, nk=(101, 101)))
+    i0 = int(np.argmin(np.abs(efs)))
+    report("anomalous_hall_81ef_101x101", None, wall,
+           abs(abs(sxy[i0]) - 1.0) < 5e-3 and abs(sxy[0]) < 5e-3,
+           "81-point staircase, one program; in-gap |sigma|=%.4f" % abs(sxy[i0]))
+
+    wall, q = _timed(lambda: flows.quadrupole(ptt.models.bbh(gamma=0.5),
+                                              nk=(21, 21))["qxy"])
+    report("bbh_quadrupole_21x21", None, wall, abs(q - 0.5) < 1e-3,
+           "nested Wilson loops, qxy=%.4f" % q)
+
+    wall, sc = _timed(lambda: flows.spin_chern(
+        ptt.models.kane_mele(esite=1.0), (0, 1), nk=(41, 41)))
+    report("spin_chern_41x41", None, wall,
+           abs(abs(sc["spin_chern"]) - 1.0) < 1e-3,
+           "P.Sz.P sectors, Cs=%.4f szgap=%.3f" % (sc["spin_chern"], sc["sz_gap"]))
+
+    m_om = ptt.models.haldane(delta=0.2, t2=0.15 * np.exp(0.7j))
+    wall, M = _timed(lambda: flows.orbital_magnetization(m_om, [0], nk=(121, 121)))
+    report("orbital_magnetization_121x121", None, wall,
+           abs(M - 0.0117) < 2e-4, "M=%.6f (CTVR band sum)" % M)
+
+    fkm_path = [ptt.models.fu_kane_mele(beta=np.pi * i / 12) for i in range(13)]
+    wall, th = _timed(lambda: flows.axion_theta(fkm_path, (0, 1),
+                                                nk=(12, 12, 12), refine=False), n=2)
+    report("axion_theta_pump_13x12^3", None, wall,
+           2.2 < abs(th) <= np.pi + 1e-6,
+           "gauge-free pump, theta=%.4f (-> pi as nk grows)" % th)
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

@@ -168,6 +168,55 @@ def main():
     check("surface zigzag edge band", float(As[0, 15]) > 30 * float(Ab[0, 15]),
           "A_surf=%.1f A_bulk=%.4f" % (As[0, 15], Ab[0, 15]))
 
+    # 14. anomalous Hall staircase: in-gap plateau = Chern number
+    t0 = time.perf_counter()
+    efs = np.array([-5.0, 0.0, 5.0])  # below all bands / in gap / above all
+    sxy = flows.anomalous_hall(m, efs, nk=(101, 101))
+    dt = time.perf_counter() - t0
+    check("anomalous hall staircase",
+          abs(sxy[0]) < 5e-3 and abs(abs(sxy[1]) - 1.0) < 5e-3
+          and abs(sxy[2]) < 5e-3,
+          "sigma=%s %.2fs" % (np.round(sxy, 4).tolist(), dt))
+
+    # 15. BBH quadrupole (nested Wilson loops, f32)
+    q_topo = flows.quadrupole(ptt.models.bbh(gamma=0.5), nk=(21, 21))["qxy"]
+    q_triv = flows.quadrupole(ptt.models.bbh(gamma=1.5), nk=(21, 21))["qxy"]
+    check("bbh quadrupole phases",
+          abs(q_topo - 0.5) < 1e-3 and abs(q_triv) < 1e-3,
+          "q_topo=%.4f q_triv=%.4f" % (q_topo, q_triv))
+
+    # 16. spin Chern number (P Sz P sectors, f32)
+    sc = flows.spin_chern(zoo_models.kane_mele(esite=1.0), (0, 1), nk=(31, 31))
+    check("spin chern (QSH)",
+          abs(abs(sc["spin_chern"]) - 1.0) < 1e-3 and sc["sz_gap"] > 0.1,
+          "Cs=%.4f szgap=%.3f" % (sc["spin_chern"], sc["sz_gap"]))
+
+    # 17. orbital magnetization vs the CPU-x64 value (same config)
+    m_om = zoo_models.haldane(delta=0.2, t2=0.15 * np.exp(0.7j))
+    M = flows.orbital_magnetization(m_om, [0], nk=(61, 61))
+    check("orbital magnetization f32", abs(M - 0.0118088) < 1e-4,
+          "M=%.7f (x64: 0.0118088)" % M)
+
+    # 18. axion theta pump vs the CPU-x64 value (same coarse config)
+    t0 = time.perf_counter()
+    path = [zoo_models.fu_kane_mele(beta=np.pi * i / 8) for i in range(9)]
+    th = flows.axion_theta(path, (0, 1), nk=(8, 8, 8), refine=False)
+    dt = time.perf_counter() - t0
+    check("axion theta pump f32", abs(th - 2.01997) < 0.02,
+          "theta=%.5f (x64: 2.01997, converged: pi) %.2fs" % (th, dt))
+
+    # 19. MV-localized Wannier interpolation (f32)
+    from pythtb_tpu import wannier
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        itp = wannier.interpolator(ptt.models.checkerboard(), [0], nk=6,
+                                   localize=100)
+    kw = np.random.RandomState(0).rand(8, 2)
+    dev = np.abs(itp.bands(kw) - ptt.models.checkerboard().solve_all(kw)[:1]).max()
+    check("wannier MV localize f32", dev < 2e-2, "interp dev=%.4f" % dev)
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
