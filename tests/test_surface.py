@@ -267,3 +267,58 @@ def test_decimation_converged_runs_unchanged():
         A1 = surface.spectral_function(m, 0, k_par=kpar, eta=0.05)
     A2 = surface.spectral_function(m, 0, k_par=kpar, eta=0.05, conv_tol=np.inf)
     np.testing.assert_allclose(A1, A2, atol=0)
+
+
+def test_hofstadter_edge_vs_deep_slab():
+    """Surface x magnetic composition (round-3 showcase): the magnetic
+    supercell at flux 1/3 feeds the Sancho-Rubio decimation directly
+    (both are plain hop tables).  Oracle: direct inversion of a
+    100-layer slab, both termination directions."""
+    from pythtb_tpu import magnetic
+    from pythtb_tpu.models import library as zoo2
+
+    msc = magnetic.magnetic_supercell(zoo2.square(), 1, 3)
+    kpar = np.array([[0.1], [0.3], [0.45]])
+    energies = np.array([-2.0, -1.0, 0.5, 1.8])
+    eta = 0.08
+    for sd in (0, 1):
+        A = surface.spectral_function(msc, sd, k_par=kpar,
+                                      energies=energies, eta=eta)
+        ref = _slab_surface_A(msc, sd, kpar, energies, eta, nlayers=100)
+        np.testing.assert_allclose(A, ref, atol=2e-6, rtol=1e-4)
+
+
+def test_hofstadter_chiral_edge_modes():
+    """In the first Hofstadter gap the semi-infinite system carries ONE
+    chiral edge mode per surface: strong in-gap surface weight absent
+    from the bulk, and the two surfaces disperse OPPOSITELY (chirality)
+    -- their spectral peaks sit at different k."""
+    from pythtb_tpu import magnetic
+    from pythtb_tpu.models import library as zoo2
+
+    msc = magnetic.magnetic_supercell(zoo2.square(), 1, 3)
+    # bulk magnetic subbands: locate the first gap
+    ev = msc.solve_all(msc.k_uniform_mesh((31, 31)))
+    e_gap = 0.5 * (ev[0].max() + ev[1].min())
+    assert ev[1].min() - ev[0].max() > 0.3
+    kpar = np.linspace(0.0, 1.0, 121)[:, None]
+    E2 = np.array([e_gap - 0.25, e_gap + 0.25])
+    Ab, Abulk = surface.spectral_function(
+        msc, 1, k_par=kpar, energies=E2, eta=0.03, return_bulk=True)
+    At = surface.spectral_function(
+        msc, 1, k_par=kpar, energies=E2, eta=0.03, side="top")
+    # edge weight exists and the bulk is gapped there
+    assert Ab.max() > 30 * Abulk.max()
+    assert At.max() > 30 * Abulk.max()
+
+    # opposite chirality: as E moves through the gap, the edge-state
+    # crossing moves in OPPOSITE k-directions on the two surfaces
+    def slope(A):
+        k1 = float(kpar[np.argmax(A[0]), 0])
+        k2 = float(kpar[np.argmax(A[1]), 0])
+        d = k2 - k1
+        return d - round(d)  # circular difference
+
+    sb, st = slope(Ab), slope(At)
+    assert abs(sb) > 0.02 and abs(st) > 0.02, (sb, st)
+    assert sb * st < 0, (sb, st)
