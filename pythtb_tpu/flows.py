@@ -1173,10 +1173,13 @@ def spin_chern(model, occ=(0, 1), nk=(41, 41), start_k=(-0.5, -0.5)):
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3, 4))
-def _orb_mag_jit(static, data, occ, n0, n1, mu):
-    """Orbital magnetization density on the (n0, n1) grid (see
-    orbital_magnetization).  Also returns the grid's occupied max /
-    unoccupied min for the in-gap check, done in-program."""
+def _orb_mag_jit(static, data, occ, n0, n1):
+    """Orbital-magnetization pieces on the (n0, n1) grid (see
+    orbital_magnetization).  M is exactly LINEAR in mu, so one program
+    returns (M0, dM/dmu) with M(mu) = M0 + mu * dMdmu evaluated on the
+    host -- any mu (including the default midgap) costs a single
+    dispatch.  Also returns the grid's occupied max / unoccupied min
+    for the in-gap check."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble, assemble_dk
     from .ops.solver import device_uniform_grid
@@ -1196,15 +1199,17 @@ def _orb_mag_jit(static, data, occ, n0, n1, mu):
     eu = evals[:, unocc_idx]
     # band-basis velocity blocks <occ| dH_a |unocc>: (B, 2, no, nu)
     V = jnp.einsum("bns,bast,bmt->banm", jnp.conj(uo), dH, uu, precision=hp)
-    mu_ = jnp.asarray(mu)
     de = eo[:, :, None] - eu[:, None, :]  # (B, no, nu), negative
-    w = (eo[:, :, None] + eu[:, None, :] - 2.0 * mu_) / (de * de)
-    dens = jnp.imag(jnp.einsum("bnm,bnm,bnm->", V[:, 0], jnp.conj(V[:, 1]), w,
-                               precision=hp))
-    # mean over the grid; normalization fixed by BOTH oracles at once:
-    # dM/dmu = C/(2 pi) and M = -(1/2 pi) dE/dphi (phi in flux quanta)
-    M = dens / (4.0 * np.pi**2 * kpts.shape[0])
-    return M, jnp.max(eo), jnp.min(eu)
+    VV = V[:, 0] * jnp.conj(V[:, 1])  # (B, no, nu)
+    # w = (eo + eu - 2 mu)/de^2 split into mu-independent pieces
+    w0 = (eo[:, :, None] + eu[:, None, :]) / (de * de)
+    w1 = -2.0 / (de * de)
+    norm = 4.0 * np.pi**2 * kpts.shape[0]
+    # normalization fixed by BOTH oracles at once: dM/dmu = C/(2 pi)
+    # and M = -(1/2 pi) dE/dphi (phi in flux quanta)
+    M0 = jnp.imag(jnp.einsum("bnm,bnm->", VV, w0, precision=hp)) / norm
+    dMdmu = jnp.imag(jnp.einsum("bnm,bnm->", VV, w1, precision=hp)) / norm
+    return M0, dMdmu, jnp.max(eo), jnp.min(eu)
 
 
 def orbital_magnetization(model, occ, nk=(61, 61), mu=None):
@@ -1248,15 +1253,14 @@ def orbital_magnetization(model, occ, nk=(61, 61), mu=None):
     if len(occ) == static.nsta:
         raise ValueError("orbital_magnetization needs at least one empty band")
     n0, n1 = (int(nk), int(nk)) if np.isscalar(nk) else (int(nk[0]), int(nk[1]))
-    if mu is None:
-        # midgap via a cheap pre-solve on the same grid (cached by jit)
-        M0, emax_occ, emin_unocc = jax.device_get(
-            _orb_mag_jit(static, data, occ, n0, n1, 0.0)
-        )
-        mu = 0.5 * (float(emax_occ) + float(emin_unocc))
-    M, emax_occ, emin_unocc = jax.device_get(
-        _orb_mag_jit(static, data, occ, n0, n1, float(mu))
+    # M is exactly linear in mu: one dispatch serves any mu (incl. the
+    # default midgap, computed from the same program's outputs)
+    M0, dMdmu, emax_occ, emin_unocc = jax.device_get(
+        _orb_mag_jit(static, data, occ, n0, n1)
     )
+    if mu is None:
+        mu = 0.5 * (float(emax_occ) + float(emin_unocc))
+    M = float(M0) + float(mu) * float(dMdmu)
     if not (float(emax_occ) < mu < float(emin_unocc)):
         import warnings
 
@@ -1316,31 +1320,33 @@ def _c2_dens_jit(G_ri, closed_lam, nlam):
     return dens.mean(axis=(1, 2, 3))  # (L,)
 
 
-def _family_states(models, occ, nk):
-    """(L, n1, n2, n3, no, S) ri-packed Convention-II states of a model
-    family on a shared k-grid (host loop over the family; each solve is
-    one compiled call, identical shapes cache the executable)."""
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _family_slice_jit(static, data, t_orb, nk, occ):
+    """One lambda slice of a model family: Convention-II occupied states
+    on the device-built nk grid, ri-packed (B, no, S, 2).  Module-level
+    jit: a phase-diagram sweep calling second_chern/axion_theta
+    repeatedly with identical shapes reuses the executable (CLAUDE.md:
+    closure jits recompile every call)."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble
+    from .ops.solver import device_uniform_grid
     from .utils.xfer import pack_cplx
 
+    kpts = device_uniform_grid(tuple(nk), jnp.zeros((3,)))
+    H = assemble(static, data, kpts)
+    _, vecs = eigh_batched(H)
+    u = vecs[:, jnp.asarray(occ, dtype=jnp.int32), :]
+    ph = jnp.exp(2.0j * jnp.pi * jnp.einsum(
+        "bd,ds->bs", kpts, t_orb, precision=jax.lax.Precision.HIGHEST))
+    return pack_cplx(u * ph[:, None, :])
+
+
+def _family_states(models, occ, nk):
+    """(L, n1, n2, n3, no, S, 2) ri-packed Convention-II states of a
+    model family on a shared k-grid (host loop over the family; every
+    slice reuses one cached executable)."""
     out = []
-    occ_idx = jnp.asarray(tuple(occ), dtype=jnp.int32)
     n1, n2, n3 = nk
-    ks = np.stack(
-        np.meshgrid(*[np.arange(n) / n for n in nk], indexing="ij"), -1
-    ).reshape(-1, 3)
-    ksj = jnp.asarray(ks)
-
-    @partial(jax.jit, static_argnums=(0,))
-    def one(static, data, t_orb):
-        H = assemble(static, data, ksj)
-        _, vecs = eigh_batched(H)
-        u = vecs[:, occ_idx, :]
-        ph = jnp.exp(2.0j * jnp.pi * jnp.einsum(
-            "bd,ds->bs", ksj, t_orb, precision=jax.lax.Precision.HIGHEST))
-        return pack_cplx(u * ph[:, None, :])
-
     for m in models:
         static, data = m._get_finalized()
         if static.dim_k != 3:
@@ -1350,7 +1356,9 @@ def _family_states(models, occ, nk):
         t = np.asarray(m._orb)[:, m._per].T
         if m._nspin == 2:
             t = np.repeat(t, 2, axis=1)
-        u = np.asarray(jax.device_get(one(static, data, jnp.asarray(t))))
+        u = np.asarray(jax.device_get(
+            _family_slice_jit(static, data, jnp.asarray(t), nk, tuple(occ))
+        ))
         out.append(u.reshape(n1, n2, n3, len(occ), -1, 2))
     return jnp.asarray(np.stack(out))
 
@@ -1387,8 +1395,10 @@ def second_chern(models, occ, nk=(16, 16, 16), refine=True):
         return c
     nk2 = tuple(max(n + 4, int(round(n * 1.25))) for n in nk)
     c2_ = raw(nk2)
-    # error ~ n^-3 (measured): eliminate the leading tail
-    rr = (nk2[0] / nk[0]) ** 3
+    # error ~ n^-3 (measured): eliminate the leading tail.  The ratio
+    # generalizes to anisotropic grids as the product of per-axis
+    # refinement factors (reduces to f^3 for a uniform factor f).
+    rr = float(np.prod(nk2)) / float(np.prod(nk))
     return c2_ + (c2_ - c) / (rr - 1.0)
 
 
@@ -1434,6 +1444,6 @@ def axion_theta(models_path, occ, nk=(16, 16, 16), refine=True):
     if refine:
         nk2 = tuple(max(n + 4, int(round(n * 1.25))) for n in nk)
         th2 = raw(nk2)
-        rr = (nk2[0] / nk[0]) ** 3
+        rr = float(np.prod(nk2)) / float(np.prod(nk))  # see second_chern
         th = th2 + (th2 - th) / (rr - 1.0)
     return float((th + np.pi) % (2.0 * np.pi) - np.pi)

@@ -273,7 +273,10 @@ def spectral_function(model, surf_dir, k_par=None, energies=None, eta=0.05,
         if not np.isfinite(res):
             break  # numerical blow-up (eta ~ 0): more depth cannot help
         it = min(int(max_iters), it + 30)
-    if float(res) > conv_tol:
+    # NOTE the negated form: res can be NaN (overflow via inf*0 in the
+    # blow-up regime), and `NaN > conv_tol` is False -- the warning
+    # must fire for NaN too
+    if not (float(res) <= conv_tol):
         import warnings
 
         warnings.warn(

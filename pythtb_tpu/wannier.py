@@ -255,12 +255,12 @@ def _mv_localize(M0, nbr, w_b, b_cart, steps, alpha):
     return U, hist, (rbar, oi, ot)
 
 
-def _smv_disentangle(S_full, e_grid, nbr, w_b, win_mask, froz_mask, nw,
-                     steps, mixing, F0=None):
+def _smv_disentangle(S_full, nbr, w_b, win_mask, froz_mask, nw, steps,
+                     mixing, F0):
     """Souza-Marzari-Vanderbilt subspace selection: at every grid point
     choose the nw-dimensional subspace of the window bands that
     maximizes sum_b w_b Tr[P(k) P(k+b)] (minimal Omega_I), keeping the
-    frozen bands exactly.
+    frozen bands exactly.  Seeded from ``F0`` (projected trials).
 
     Works on the (nsta-dim) band basis with masks instead of ragged
     windows: the self-consistency matrix is deflated so frozen bands
@@ -273,25 +273,19 @@ def _smv_disentangle(S_full, e_grid, nbr, w_b, win_mask, froz_mask, nw,
     the band basis; support exactly inside the window)."""
     hp = jax.lax.Precision.HIGHEST
     B, nb, ns, _ = S_full.shape
-    BIG = 1.0e4
+    # the deflation boost must dominate the window block: ||Z|| <=
+    # sum_b w_b (projector norms <= 1), and w_b grows like the squared
+    # lattice constant times nk^2 -- a fixed constant silently violates
+    # the frozen window for large cells / fine grids
+    BIG = 10.0 * (jnp.sum(w_b).real + 1.0)
 
-    # initial subspace: window-masked identity-ish seed -- top-nw of the
-    # frozen-boosted window projector (deterministic, basis-free)
     def top_nw(Z):
         _, V = jnp.linalg.eigh(Z)
         return V[..., -nw:]  # (B, ns, nw) ascending eigh -> last nw
 
     win = win_mask.astype(S_full.dtype)  # (B, ns)
     froz = froz_mask.astype(S_full.dtype)
-    if F0 is not None:
-        F = F0
-    else:
-        # energy-ordered tiny tiebreaker keeps the seed deterministic
-        seed_diag = froz * BIG + win - 1.0e-6 * e_grid.astype(
-            jnp.float64 if S_full.dtype == jnp.complex128 else jnp.float32
-        )
-        F = top_nw(jnp.einsum("ks,st->kst", seed_diag,
-                              jnp.eye(ns, dtype=S_full.dtype)))
+    F = F0
 
     def step(carry, _):
         F, Zold = carry
@@ -379,13 +373,11 @@ def _hr_from_B(Bk, nk, kpts):
     return jnp.einsum("rb,bml->rml", w, Bk, precision=hp) / Bk.shape[0]
 
 
-def _project_gauge(u, e_or_h, trial_ri, auto_trial, diag_energies):
+def _project_gauge(u, trial_ri, auto_trial):
     """Lowdin-projected initial gauge: trials -> A -> polar V0.
 
     ``u`` (B, n_src, nsta) are source states (bands of an isolated
-    group, or disentangled subspace states); ``e_or_h`` their energies
-    (B, n_src) when ``diag_energies`` else subspace Hamiltonian
-    (B, n_src, n_src).  Returns (V0, min_sv, g)."""
+    group, or disentangled subspace states).  Returns (V0, min_sv, g)."""
     hp = jax.lax.Precision.HIGHEST
     nw = u.shape[1]
     if auto_trial:
@@ -441,7 +433,7 @@ def _build_loc_jit(static, data, nk, t_orb, trial_ri, occ, auto_trial,
                                             precision=hp))
     u = u * ph[:, None, :]
 
-    V0, min_s, _ = _project_gauge(u, e, trial_ri, auto_trial, True)
+    V0, min_s, _ = _project_gauge(u, trial_ri, auto_trial)
     # raw neighbor overlaps of the band group, then into the projected
     # gauge for the MV scan
     S = jnp.einsum("kms,kbns->kbmn", jnp.conj(u), u[nbr], precision=hp)
@@ -556,14 +548,14 @@ def _build_disent_jit(static, data, nk, t_orb, trial_ri, nw, auto_trial,
     A0 = A0 * winf[:, :, None]
     U0_, _, Vh0 = jnp.linalg.svd(A0, full_matrices=False)
     F0 = jnp.matmul(U0_, Vh0, precision=hp)  # (B, nsta, nw) isometry
-    F = _smv_disentangle(S_full, evals, nbr, w_b, win, froz, nw,
-                         dis_steps, mixing, F0=F0)  # (B, nsta, nw)
+    F = _smv_disentangle(S_full, nbr, w_b, win, froz, nw,
+                         dis_steps, mixing, F0)  # (B, nsta, nw)
     # subspace states in the orbital basis + subspace Hamiltonian
     usub = jnp.einsum("knm,kns->kms", F, uall, precision=hp)
     Hsub = jnp.einsum("knm,kn,knl->kml", jnp.conj(F), evals, F,
                       precision=hp)
 
-    V0, min_s, _ = _project_gauge(usub, Hsub, trial_ri, auto_trial, False)
+    V0, min_s, _ = _project_gauge(usub, trial_ri, auto_trial)
     Msub = jnp.einsum("kms,kbns->kbmn", jnp.conj(usub), usub[nbr],
                       precision=hp)
     M0 = jnp.einsum("kmi,kbmn,kbnj->kbij", jnp.conj(V0), Msub, V0[nbr],
@@ -574,7 +566,12 @@ def _build_disent_jit(static, data, nk, t_orb, trial_ri, nw, auto_trial,
     hr, final_sv = _finish_gauge(usub, V, Hsub, nk, kpts, False)
     # grid "energies" of the subspace = eigenvalues of Hsub
     esub = jnp.linalg.eigvalsh(Hsub)
-    return pack_cplx(hr), min_s, esub, hist, rbar, oi, ot, final_sv
+    # window feasibility counts, validated on the host AFTER the build
+    # (avoids a duplicate full host-side grid solve)
+    nwin_min = jnp.min(jnp.sum(win.astype(jnp.int32), axis=1))
+    nfroz_max = jnp.max(jnp.sum(froz.astype(jnp.int32), axis=1))
+    return (pack_cplx(hr), min_s, esub, hist, rbar, oi, ot, final_sv,
+            nwin_min, nfroz_max)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -826,25 +823,6 @@ def disentangled_interpolator(model, nw, nk, window, frozen=None,
         if fmin < emin or fmax > emax:
             raise PythtbError("frozen window must lie inside the outer window")
 
-    # host-side window feasibility check on the actual coarse grid
-    kgrid = model.k_uniform_mesh(nk) if static.dim_k > 1 else (
-        np.arange(nk[0], dtype=np.float64)[:, None] / nk[0]
-    )
-    evals = model.solve_all(kgrid).T  # (Nk, nsta)
-    n_win = ((evals >= emin) & (evals <= emax)).sum(axis=1)
-    if n_win.min() < nw:
-        raise PythtbError(
-            "outer window holds only %d bands at some grid point; nw=%d "
-            "needs at least nw window bands everywhere" % (n_win.min(), nw)
-        )
-    if frozen is not None:
-        n_froz = ((evals >= fmin) & (evals <= fmax)).sum(axis=1)
-        if n_froz.max() > nw:
-            raise PythtbError(
-                "frozen window holds %d bands at some grid point; must "
-                "not exceed nw=%d" % (n_froz.max(), nw)
-            )
-
     if localize is True:
         localize = 200
     self = WannierInterpolator.__new__(WannierInterpolator)
@@ -855,12 +833,26 @@ def disentangled_interpolator(model, nw, nk, window, frozen=None,
     b_int, b_cart, w_b = _bshells(model._lat, model._per, nk)
     nbr = _neighbor_index(nk, b_int)
     windows = jnp.asarray([emin, emax, fmin, fmax])
-    hr_packed, min_s, e_grid, hist, rbar, oi, ot, fsv = _build_disent_jit(
+    (hr_packed, min_s, e_grid, hist, rbar, oi, ot, fsv, nwin_min,
+     nfroz_max) = _build_disent_jit(
         static, data, nk, jnp.asarray(t), jnp.asarray(host_pack(g)), nw,
         trial is None, jnp.asarray(nbr), jnp.asarray(w_b),
         jnp.asarray(b_cart), windows, int(dis_steps), float(mixing),
         int(localize), float(localize_step), frozen is not None,
     )
+    # window feasibility (counts computed in-program -- no duplicate
+    # host-side grid solve)
+    if int(jax.device_get(nwin_min)) < nw:
+        raise PythtbError(
+            "outer window holds only %d bands at some grid point; nw=%d "
+            "needs at least nw window bands everywhere"
+            % (int(jax.device_get(nwin_min)), nw)
+        )
+    if frozen is not None and int(jax.device_get(nfroz_max)) > nw:
+        raise PythtbError(
+            "frozen window holds %d bands at some grid point; must "
+            "not exceed nw=%d" % (int(jax.device_get(nfroz_max)), nw)
+        )
     self._hr = hr_packed
     self._e_grid = e_grid
     self._set_diagnostics(min_s, hist, rbar, oi, ot, fsv)
