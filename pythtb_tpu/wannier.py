@@ -608,6 +608,8 @@ class WannierInterpolator(object):
             raise PythtbError("nk must give one grid size per periodic direction.")
         self._nk = nk
         self._dim_k = static.dim_k
+        self._lat = np.array(model._lat, dtype=np.float64)
+        self._per = list(model._per)
         nocc = len(occ)
         t = self._t_orb(model)
         g = self._trial_array(trial, nocc, static.nsta)
@@ -721,6 +723,72 @@ class WannierInterpolator(object):
         """(NR, dim_k) integer lattice vectors matching :attr:`hoppings`."""
         return _r_grid(self._nk, like_np=True)
 
+    def model(self, min_hopping_norm=1e-8, zero_energy=0.0):
+        """Downfold to an effective :class:`~pythtb_tpu.tb_model` whose
+        orbitals are the Wannier functions and whose hoppings are the
+        interpolated H(R) -- the native analog of importing a Wannier90
+        ``_hr.dat`` (w90.model, reference pythtb.py:3448-3586), with no
+        external tools.  The result is an ordinary model: cut it, apply
+        Peierls fields, feed it to the surface/response machinery.
+
+        Orbital positions are the Wannier centers (reduced coordinates)
+        when the gauge was localized, else the cell origin; the model is
+        flagged non-position-diagonal (like w90 imports) so
+        position-operator methods warn unless overridden.
+
+        :param min_hopping_norm: drop |H_R[i,j]| below this (the H(R)
+          tail is truncation noise at the working grid)
+        :param zero_energy: energy shift subtracted from the on-site
+          terms
+        :returns: a NEW tb_model with ``nw`` orbitals
+        """
+        from .model import tb_model
+
+        hr = self.hoppings  # (NR, nw, nw) complex
+        Rall = np.asarray(self.r_vectors())  # (NR, dim_k)
+        nw = hr.shape[-1]
+        lat = np.asarray(self._lat)
+        dim_r = lat.shape[0]
+        # embed the dim_k R-components into dim_r integer vectors
+        Remb = np.zeros((Rall.shape[0], dim_r), dtype=int)
+        Remb[:, list(self._per)] = Rall
+        if self.centers is not None:
+            orb_red = np.asarray(self.centers) @ np.linalg.inv(lat)
+            orb_red = orb_red - np.floor(orb_red)  # home cell
+        else:
+            orb_red = np.zeros((nw, dim_r))
+        m = tb_model(self._dim_k, dim_r, lat.tolist(), orb_red.tolist(),
+                     per=list(self._per))
+        iR0 = int(np.flatnonzero((Rall == 0).all(axis=1))[0])
+        m.set_onsite(np.real(np.diagonal(hr[iR0])) - zero_energy)
+        # Hermiticity pairs H(-R) = H(R)^dagger: keep one representative
+        # per pair (first nonzero R-component positive; at R = 0 the
+        # strict upper triangle), the w90 half-space convention.  The
+        # centered R grid of an EVEN n spans [-n/2, n/2): its boundary
+        # rows have NO -R partner and must be kept (either sign) at
+        # HALF amplitude -- tb_model re-adds the h.c., reproducing
+        # exactly the Hermitization `bands()` applies to H(k).
+        iu, ju = np.triu_indices(nw, k=1)
+        ia, ja = [x.reshape(-1) for x in np.meshgrid(
+            np.arange(nw), np.arange(nw), indexing="ij")]
+        rset = {tuple(R) for R in Rall}
+        for r_idx in range(Rall.shape[0]):
+            R = Rall[r_idx]
+            nz = np.flatnonzero(R)
+            paired = tuple(-R) in rset
+            if len(nz) and paired and R[nz[0]] < 0:
+                continue  # the -R partner carries this block
+            scale = 1.0 if (len(nz) == 0 or paired) else 0.5
+            ii, jj = (iu, ju) if len(nz) == 0 else (ia, ja)
+            amp = hr[r_idx, ii, jj] * scale
+            keep = np.abs(amp) >= min_hopping_norm
+            if not keep.any():
+                continue
+            Rs = np.broadcast_to(Remb[r_idx], (int(keep.sum()), dim_r))
+            m._append_scalar_hops(amp[keep], ii[keep], jj[keep], Rs)
+        m._assume_position_operator_diagonal = False
+        return m
+
     def bands(self, k_list):
         """Interpolated band energies of the group at arbitrary reduced
         k-points: (nw, nkp) in solve_all layout."""
@@ -828,6 +896,8 @@ def disentangled_interpolator(model, nw, nk, window, frozen=None,
     self = WannierInterpolator.__new__(WannierInterpolator)
     self._nk = nk
     self._dim_k = static.dim_k
+    self._lat = np.array(model._lat, dtype=np.float64)
+    self._per = list(model._per)
     t = WannierInterpolator._t_orb(model)
     g = WannierInterpolator._trial_array(trial, nw, static.nsta)
     b_int, b_cart, w_b = _bshells(model._lat, model._per, nk)

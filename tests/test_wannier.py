@@ -447,3 +447,66 @@ def test_silicon_valence_submev():
     err = np.abs(itp.bands(kp) - direct).max()
     assert err < 1.0e-3, err
     assert itp.min_projection_sv > 0.9
+
+
+class TestDownfold:
+    def test_full_space_model_roundtrip(self):
+        """Downfolding the FULL state space reproduces the original
+        model's bands exactly at any k (finite-range H recovered)."""
+        m = zoo.graphene(delta=0.3)
+        kf = np.random.default_rng(0).random((25, 2))
+        for nk in (7, 8):  # odd (paired R grid) and even (boundary rows)
+            eff = wannier.interpolator(m, [0, 1], nk=nk).model()
+            err = np.abs(eff.solve_all(kf) - m.solve_all(kf)).max()
+            assert err < 1e-12, (nk, err)
+
+    def test_downfolded_model_matches_bands(self):
+        """model() and bands() must agree exactly -- including the
+        even-grid boundary R rows, which have no -R partner and enter
+        at half amplitude (the Hermitization bands() applies)."""
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            itp = wannier.interpolator(zoo.bbh(), [0, 1], nk=8, localize=100)
+        eff = itp.model()
+        kf = np.random.default_rng(1).random((25, 2))
+        np.testing.assert_allclose(eff.solve_all(kf), itp.bands(kf),
+                                   atol=1e-12)
+        # centers became home-cell orbital positions
+        assert eff._norb == 2
+        assert eff._assume_position_operator_diagonal is False
+
+    def test_downfolded_model_composes_with_surgery(self):
+        """The effective model is an ordinary tb_model: cut_piece and
+        the surface machinery run on it."""
+        import warnings
+
+        from pythtb_tpu import surface
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            itp = wannier.interpolator(zoo.checkerboard(), [0, 1], nk=8,
+                                       localize=100)
+        eff = itp.model()
+        rib = eff.cut_piece(6, 0, glue_edgs=False)
+        assert rib.solve_all(rib.k_path("full", 5, report=False)[0]).shape \
+            == (12, 5)
+        A = surface.spectral_function(eff, 0, k_par=np.array([[0.3]]),
+                                      energies=np.array([0.0]), eta=0.1)
+        assert np.isfinite(A).all()
+
+    def test_min_hopping_norm_prunes(self):
+        # a PROJECTED group has a genuine H(R) tail (unlike full-space
+        # downfolds, which recover the finite-range hops exactly)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            itp = wannier.interpolator(zoo.bbh(), [0, 1], nk=8, localize=100)
+        full = itp.model(min_hopping_norm=1e-10)
+        pruned = itp.model(min_hopping_norm=5e-3)
+        assert len(pruned._hoppings) < len(full._hoppings)
+        kf = np.random.default_rng(2).random((10, 2))
+        dev = np.abs(pruned.solve_all(kf) - full.solve_all(kf)).max()
+        assert dev < 0.05  # pruning only trims the exponential tail
