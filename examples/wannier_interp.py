@@ -9,7 +9,8 @@ diagonalization of the full model.
 
 Runs on h-BN (lower band) and, when the Wannier90 silicon dataset is
 available, on silicon: all 8 bands recovered exactly from an 8x8x8 grid, plus
-the valence-only group as the honest one-shot-projection hard case.
+the valence-only group solved by MV maximal localization + multigrid
+refinement (the classic one-shot-projection hard case).
 """
 import pathlib
 import os
@@ -66,15 +67,25 @@ if os.path.isdir(W90_DIR):
     print("silicon, all 8 bands from an 8^3 grid: max err %.1e eV (exact "
           "finite-range recovery; sv %.3f)" % (err8, itp8.min_projection_sv))
     assert err8 < 1e-9
-    # valence-only is the classic HARD case for one-shot projection:
-    # the band character rotates strongly (X-point inversion), the
-    # fixed atom-centered trials give sv ~ 0.38, and convergence with
-    # the coarse grid is slow -- the sv diagnostic says so up front
-    itp4 = wannier.interpolator(model, [0, 1, 2, 3], nk=10, trial=np.eye(8)[:4])
+    # valence-only is the classic HARD case for one-shot projection
+    # (X-point character inversion; fixed atom-centered trials give
+    # sv ~ 0.38).  MV maximal localization + multigrid refinement
+    # solves it: the coarse 8^3 gauge is localized, its Wannier
+    # vectors project the fine grid near-unitarily, and the
+    # interpolation error falls exponentially with the fine grid
+    # (sub-meV at 28^3 -- see tests/test_wannier.py).
+    itp4 = wannier.interpolator(model, [0, 1, 2, 3], nk=16,
+                                trial=np.eye(8)[:4], localize=400,
+                                coarse_nk=8, polish=0)
     err4 = np.abs(itp4.bands(kp) - direct[:4]).max()
-    print("silicon, valence-only (one-shot projection, sv %.2f -- rough "
-          "gauge): max err %.2f eV at 10^3; use the full space or better "
-          "trials for meV accuracy" % (itp4.min_projection_sv, err4))
+    print("silicon, valence-only (MLWF multigrid 8^3 -> 16^3, fine sv "
+          "%.2f): max err %.1e eV" % (itp4.min_projection_sv, err4))
+    assert err4 < 2e-2
+    # ... and the localized group downfolds to an ordinary tb_model
+    eff = itp4.model(min_hopping_norm=1e-4)
+    errm = np.abs(eff.solve_all(kp) - itp4.bands(kp)).max()
+    print("downfolded 4-band tb_model reproduces the interpolation to "
+          "%.1e eV with %d hoppings" % (errm, len(eff._hoppings)))
 else:
     print("silicon Wannier90 data not found; skipping that part")
 
