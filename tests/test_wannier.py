@@ -510,3 +510,22 @@ class TestDownfold:
         kf = np.random.default_rng(2).random((10, 2))
         dev = np.abs(pruned.solve_all(kf) - full.solve_all(kf)).max()
         assert dev < 0.05  # pruning only trims the exponential tail
+
+
+def test_spinful_mlwf_localize():
+    """MV localization on a spinful Kramers group (nsta = 2*norb path):
+    gauge invariance at grid points and finite spread reduction."""
+    import warnings
+
+    m = zoo.kane_mele(esite=1.0)
+    kg = m.k_uniform_mesh((6, 6))
+    direct = m.solve_all(kg)[:2]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        itp = wannier.interpolator(m, [0, 1], nk=6, localize=150)
+    np.testing.assert_allclose(itp.bands(kg), direct, atol=1e-9)
+    assert itp.spread_history[-1] <= itp.spread_history[0] + 1e-12
+    # downfold runs for the spinful-derived (scalar nw-basis) model too
+    eff = itp.model()
+    kf = np.random.default_rng(3).random((10, 2))
+    np.testing.assert_allclose(eff.solve_all(kf), itp.bands(kf), atol=1e-12)

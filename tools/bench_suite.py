@@ -21,7 +21,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CHILD_TIMEOUT_S = 1200
+CHILD_TIMEOUT_S = 1800  # the MLWF row adds ~160 s of fresh compiles
 
 W90_DIR = str(pathlib.Path(__file__).resolve().parents[1] / "tests" / "data" / "w90_silicon")
 
@@ -201,6 +201,29 @@ def run_suite():
     wall, M = _timed(lambda: flows.orbital_magnetization(m_om, [0], nk=(121, 121)))
     report("orbital_magnetization_121x121", None, wall,
            abs(M - 0.0117) < 2e-4, "M=%.6f (CTVR band sum)" % M)
+
+    if os.path.isdir(W90_DIR):
+        import warnings
+
+        from pythtb_tpu import wannier
+
+        si_m = ptt.w90(W90_DIR, "silicon").model(min_hopping_norm=0.01)
+
+        def mlwf_build():
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                return wannier.interpolator(
+                    si_m, [0, 1, 2, 3], nk=16, trial=np.eye(8)[:4],
+                    localize=400, coarse_nk=8, polish=0)
+
+        wall, itp = _timed(mlwf_build, n=2)
+        kp_si = si_m.k_path([[0.5, 0.5, 0.5], [0, 0, 0], [0.5, -0.5, 0.0]],
+                            51, report=False)[0]
+        dev = np.abs(itp.bands(kp_si) - si_m.solve_all(kp_si)[:4]).max()
+        report("si_valence_mlwf_multigrid_16", None, wall,
+               dev < 2e-2 and itp.min_projection_sv > 0.9,
+               "coarse-8 MLWF + 16^3 refine, err %.1e eV, sv %.3f"
+               % (dev, itp.min_projection_sv))
 
     fkm_path = [ptt.models.fu_kane_mele(beta=np.pi * i / 12) for i in range(13)]
     wall, th = _timed(lambda: flows.axion_theta(fkm_path, (0, 1),
