@@ -1320,19 +1320,23 @@ def _c2_dens_jit(G_ri, closed_lam, nlam):
     return dens.mean(axis=(1, 2, 3))  # (L,)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def _family_slice_jit(static, data, t_orb, nk, occ):
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _family_slice_jit(static, data, t_orb, nk, occ, mesh=None):
     """One lambda slice of a model family: Convention-II occupied states
     on the device-built nk grid, ri-packed (B, no, S, 2).  Module-level
     jit: a phase-diagram sweep calling second_chern/axion_theta
     repeatedly with identical shapes reuses the executable (CLAUDE.md:
-    closure jits recompile every call)."""
+    closure jits recompile every call).  With a (static, hashable)
+    ``mesh`` the k-batch axis carries a GSPMD sharding annotation --
+    the slice solve (the dominant cost) data-parallelizes over ICI."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble
-    from .ops.solver import device_uniform_grid
+    from .ops.solver import device_uniform_grid, shard_grid_axis0
     from .utils.xfer import pack_cplx
 
     kpts = device_uniform_grid(tuple(nk), jnp.zeros((3,)))
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
     H = assemble(static, data, kpts)
     _, vecs = eigh_batched(H)
     u = vecs[:, jnp.asarray(occ, dtype=jnp.int32), :]
@@ -1357,7 +1361,8 @@ def _family_states(models, occ, nk):
         if m._nspin == 2:
             t = np.repeat(t, 2, axis=1)
         u = np.asarray(jax.device_get(
-            _family_slice_jit(static, data, jnp.asarray(t), nk, tuple(occ))
+            _family_slice_jit(static, data, jnp.asarray(t), nk, tuple(occ),
+                              pmesh.current_mesh())
         ))
         out.append(u.reshape(n1, n2, n3, len(occ), -1, 2))
     return jnp.asarray(np.stack(out))

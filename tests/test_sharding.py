@@ -161,3 +161,17 @@ def test_hofstadter_fn_shards_flux_axis(mesh8):
     with use_mesh(mesh8):
         sharded = np.asarray(fn(pv, kg))
     np.testing.assert_allclose(base, sharded, atol=1e-10)
+
+
+def test_second_chern_shards_family_solve(mesh8):
+    """second_chern under a mesh: the per-slice grid solve carries the
+    batch-axis sharding annotation; values match the unsharded run."""
+    from pythtb_tpu import flows
+    from pythtb_tpu.models import library as zoo2
+
+    L = 6
+    loop = [zoo2.fu_kane_mele(beta=2 * np.pi * i / L) for i in range(L)]
+    base = flows.second_chern(loop, (0, 1), nk=(8, 8, 8), refine=False)
+    with use_mesh(mesh8):
+        sharded = flows.second_chern(loop, (0, 1), nk=(8, 8, 8), refine=False)
+    np.testing.assert_allclose(base, sharded, atol=1e-10)
