@@ -364,6 +364,57 @@ def _build_jit(static, data, nk, t_orb, trial_ri, occ, auto_trial):
     return pack_cplx(hr), jnp.min(s), e
 
 
+@partial(jax.jit, static_argnums=(0, 2, 4))
+def _grid_states_jit(static, data, nk, t_orb, occ):
+    """Convention-II occupied states on the coarse grid, ri-packed --
+    the probe for host-side greedy anchor selection."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble
+    from .ops.solver import device_uniform_grid
+
+    kpts = device_uniform_grid(tuple(nk), jnp.zeros((len(nk),)))
+    H = assemble(static, data, kpts)
+    _, vecs = eigh_batched(H)
+    u = vecs[:, jnp.asarray(occ, dtype=jnp.int32), :]
+    ph = jnp.exp(2.0j * jnp.pi * jnp.einsum(
+        "bd,ds->bs", kpts, t_orb, precision=jax.lax.Precision.HIGHEST))
+    return pack_cplx(u * ph[:, None, :])
+
+
+def _greedy_anchor_trials(u, nw):
+    """Orbital anchors chosen greedily to maximize the WORST-k smallest
+    singular value of the projection (host-side; u is (B, no, nsta)
+    complex).  The automatic fallback when the mean-projector trials
+    degenerate: e.g. for silicon valence the grid-averaged projector is
+    ~I/2 (the two sublattices carry equal weight), so its eigenvectors
+    are arbitrary and project near-singularly, while greedily-chosen
+    one-hot orbital anchors give sv ~ 0.4."""
+    import itertools
+    from math import comb
+
+    B, no, nsta = u.shape
+    cols = np.conj(u)  # candidate column s of A(k) = conj(u[:, :, s])
+
+    def score(sel):
+        A = cols[:, :, list(sel)]
+        return float(np.linalg.svd(A, compute_uv=False).min())
+
+    if comb(nsta, nw) <= 512:
+        # exhaustive over orbital subsets (greedy is myopic: its first
+        # pick conditions the rest and can land far from the optimum)
+        best = max(itertools.combinations(range(nsta), nw), key=score)
+    else:
+        sel = []
+        for _ in range(nw):
+            cand = [s for s in range(nsta) if s not in sel]
+            sel.append(max(cand, key=lambda s: score(sel + [s])))
+        best = tuple(sel)
+    g = np.zeros((nw, nsta), dtype=complex)
+    for m, s in enumerate(best):
+        g[m, s] = 1.0
+    return g, score(best)
+
+
 def _hr_from_B(Bk, nk, kpts):
     """Fourier coefficients H(R) of the (B, nw, nw) projected
     Hamiltonian over the centered R grid (shared with _build_jit)."""
@@ -616,43 +667,63 @@ class WannierInterpolator(object):
 
         if localize is True:
             localize = 200
-        if not localize:
-            hr_packed, min_s, e_grid = _build_jit(
-                static, data, nk, jnp.asarray(t),
-                jnp.asarray(host_pack(g)), tuple(occ), trial is None,
-            )
-            self._set_diagnostics(min_s)
-        else:
-            run_nk = nk
-            if coarse_nk is not None:
-                run_nk = ((coarse_nk,) * static.dim_k
-                          if np.isscalar(coarse_nk)
-                          else tuple(int(n) for n in coarse_nk))
+        run_nk = nk
+        if localize and coarse_nk is not None:
+            run_nk = ((coarse_nk,) * static.dim_k
+                      if np.isscalar(coarse_nk)
+                      else tuple(int(n) for n in coarse_nk))
+        auto = trial is None
+
+        def build(g, auto):
+            if not localize:
+                hr_packed, min_s, e_grid = _build_jit(
+                    static, data, nk, jnp.asarray(t),
+                    jnp.asarray(host_pack(g)), tuple(occ), auto,
+                )
+                return hr_packed, min_s, e_grid, (None,) * 5, min_s
             b_int, b_cart, w_b = _bshells(model._lat, model._per, run_nk)
             nbr = _neighbor_index(run_nk, b_int)
             out = _build_loc_jit(
                 static, data, run_nk, jnp.asarray(t),
-                jnp.asarray(host_pack(g)), tuple(occ), trial is None,
+                jnp.asarray(host_pack(g)), tuple(occ), auto,
                 jnp.asarray(nbr), jnp.asarray(w_b), jnp.asarray(b_cart),
                 int(localize), float(localize_step),
             )
             hr_packed, min_s, e_grid, hist, rbar, oi, ot, fsv, wR = out
-            if coarse_nk is not None and run_nk != nk:
+            gate_sv = min_s  # the COARSE projection sv decides trial health
+            if run_nk != nk:
                 # multigrid: the coarse run's real-space Wannier vectors
                 # become (k-dependent) trials on the fine grid -- the
                 # fine gauge starts in the coarse basin and a short MV
                 # polish converges where a cold start stalls
                 b_int, b_cart, w_b = _bshells(model._lat, model._per, nk)
                 nbr = _neighbor_index(nk, b_int)
-                if polish is None:
-                    polish = max(100, int(localize) // 4)
+                pol = polish
+                if pol is None:
+                    pol = max(100, int(localize) // 4)
                 out = _build_fine_jit(
                     static, data, nk, jnp.asarray(t), wR, tuple(occ),
                     run_nk, jnp.asarray(nbr), jnp.asarray(w_b),
-                    jnp.asarray(b_cart), polish, float(localize_step),
+                    jnp.asarray(b_cart), pol, float(localize_step),
                 )
                 hr_packed, min_s, e_grid, hist, rbar, oi, ot, fsv = out
-            self._set_diagnostics(min_s, hist, rbar, oi, ot, fsv)
+            return (hr_packed, min_s, e_grid, (hist, rbar, oi, ot, fsv),
+                    gate_sv)
+
+        hr_packed, min_s, e_grid, diag, gate_sv = build(g, auto)
+        if auto and float(jax.device_get(gate_sv)) < 1e-2:
+            # automatic fallback: the mean-projector trials degenerate
+            # when the averaged projector is (near-)proportional to the
+            # identity (e.g. equal sublattice weight); greedily-chosen
+            # one-hot orbital anchors maximize the worst-k conditioning
+            from .utils.xfer import host_unpack
+
+            u = host_unpack(np.asarray(jax.device_get(_grid_states_jit(
+                static, data, run_nk, jnp.asarray(t), tuple(occ)))))
+            g2, sv2 = _greedy_anchor_trials(u, nocc)
+            if sv2 > 2.0 * float(jax.device_get(gate_sv)):
+                hr_packed, min_s, e_grid, diag, _ = build(g2, False)
+        self._set_diagnostics(min_s, *diag)
         self._hr = hr_packed
         self._e_grid = e_grid  # (Nk, nw) device; see grid_energies
         self._warn_singular()

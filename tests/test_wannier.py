@@ -529,3 +529,37 @@ def test_spinful_mlwf_localize():
     eff = itp.model()
     kf = np.random.default_rng(3).random((10, 2))
     np.testing.assert_allclose(eff.solve_all(kf), itp.bands(kf), atol=1e-12)
+
+
+def test_auto_trial_fallback_silicon_valence():
+    """DEFAULT trials on silicon valence: the grid-averaged projector is
+    ~I/2 (equal sublattice weight), so its eigenvector trials project
+    near-singularly -- the automatic anchor fallback (exhaustive
+    orbital-subset conditioning search) must recover a healthy
+    projection with NO user-supplied trials and NO warning."""
+    import pathlib
+    import warnings
+
+    from pythtb_tpu import w90
+
+    d = str(pathlib.Path(__file__).resolve().parent / "data" / "w90_silicon")
+    si = w90(d, "silicon").model(min_hopping_norm=0.01)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        itp = wannier.interpolator(si, [0, 1, 2, 3], nk=8)
+    assert itp.min_projection_sv > 0.3
+    kp = si.k_path([[0.5, 0.5, 0.5], [0, 0, 0]], 11, report=False)[0]
+    assert np.isfinite(itp.bands(kp)).all()
+
+
+def test_fallback_does_not_mask_topological_obstruction():
+    """A Z2 Kramers pair has NO smooth periodic gauge: even after the
+    anchor fallback the projection stays far below the trivial case
+    (the obstruction is physical, not a trial artifact)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, itp_triv = _err(zoo.kane_mele(esite=2.5), [0, 1], 12)
+        _, itp_topo = _err(zoo.kane_mele(esite=1.0), [0, 1], 12)
+    assert itp_topo.min_projection_sv < 0.5 * itp_triv.min_projection_sv
