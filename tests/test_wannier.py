@@ -563,3 +563,36 @@ def test_fallback_does_not_mask_topological_obstruction():
         _, itp_triv = _err(zoo.kane_mele(esite=2.5), [0, 1], 12)
         _, itp_topo = _err(zoo.kane_mele(esite=1.0), [0, 1], 12)
     assert itp_topo.min_projection_sv < 0.5 * itp_triv.min_projection_sv
+
+
+def test_spinful_disentangle_decoupled_union():
+    """Spinful decoupled-union oracle: a spinful 1-orbital (2-state)
+    block A plus an overlapping decoupled spinless-like spectator pair;
+    SMV disentanglement of nw=2 recovers A's bands exactly."""
+    from pythtb_tpu import tb_model
+
+    lat = [[1.0, 0.0], [0.0, 1.0]]
+    rng = np.random.default_rng(77)
+    m = tb_model(2, 2, lat, [[0.0, 0.0], [0.31, 0.47]], nspin=2)
+    mA = tb_model(2, 2, lat, [[0.0, 0.0]], nspin=2)
+    on = [0.0, 0.3, -0.2, 0.4]  # I + Zeeman-ish
+    m.set_onsite([on, [5 + 3.0, 0.0, 0.0, 0.0]])  # spectator far... overlap below
+    mA.set_onsite([on])
+    sig = np.array([0.5, 0.1, -0.2, 0.3])
+    m.set_hop(sig, 0, 0, [1, 0])
+    mA.set_hop(sig, 0, 0, [1, 0])
+    sig2 = np.array([0.4, -0.15, 0.05, 0.2])
+    m.set_hop(sig2, 0, 0, [0, 1])
+    mA.set_hop(sig2, 0, 0, [0, 1])
+    # spectator: wide overlapping band, decoupled (note onsite 8-3=5...)
+    m.set_hop(np.array([1.5, 0.0, 0.0, 0.0]), 1, 1, [1, 0])
+    m.set_hop(np.array([1.2, 0.0, 0.0, 0.0]), 1, 1, [0, 1])
+    kf = rng.random((25, 2))
+    trial = np.zeros((2, 4), complex)
+    trial[0, 0] = 1.0
+    trial[1, 1] = 1.0
+    itp = wannier.disentangled_interpolator(
+        m, nw=2, nk=8, window=(-30, 30), trial=trial, dis_steps=60,
+        localize=80)
+    err = np.abs(itp.bands(kf) - mA.solve_all(kf)).max()
+    assert err < 1e-9, err
