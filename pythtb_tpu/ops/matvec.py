@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..utils.xfer import host_pack, unpack_cplx
 
-__all__ = ["SparseH", "sparse_h", "matvec", "gershgorin_window"]
+__all__ = ["SparseH", "sparse_h", "matvec", "gershgorin_window", "to_dense"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -165,3 +165,23 @@ def gershgorin_window(h: SparseH):
     """Spectral window ``(lo, hi)`` containing all eigenvalues
     (Gershgorin discs, precomputed on host at build time)."""
     return h.window
+
+
+def to_dense(h: SparseH) -> np.ndarray:
+    """Host-side dense ``(nsta, nsta)`` complex128 matrix from the ELL
+    tables.  Oracle/debug utility -- O(nsta^2) memory, use only for
+    small systems (differential tests against the matrix-free paths).
+    """
+    from ..utils.xfer import host_unpack
+
+    cols = np.asarray(h.cols)
+    vals = host_unpack(np.asarray(h.vals))
+    norb = h.norb
+    rows = np.repeat(np.arange(norb), cols.shape[1])
+    if h.nspin == 1:
+        dense = np.zeros((norb, norb), dtype=np.complex128)
+        np.add.at(dense, (rows, cols.ravel()), vals.reshape(-1))
+        return dense
+    dense = np.zeros((norb, norb, 2, 2), dtype=np.complex128)
+    np.add.at(dense, (rows, cols.ravel()), vals.reshape(-1, 2, 2))
+    return dense.transpose(0, 2, 1, 3).reshape(2 * norb, 2 * norb)

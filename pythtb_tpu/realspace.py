@@ -1,0 +1,618 @@
+"""Real-space topology and transport for large (disordered) samples.
+
+The reference framework is strictly k-space: every topological
+diagnostic it offers (berry_phase, berry_flux, and the library built on
+them) requires translation invariance, and its finite-sample story ends
+at dense diagonalization of flakes (pythtb.py:955-1079 with dim_k=0).
+Disordered samples -- the setting where topological protection actually
+gets tested -- have no tools at all.  This module supplies them,
+TPU-first:
+
+* :func:`torus_sample` -- tile a fully periodic model onto an
+  ``L1 x ... x Ld`` torus as a matrix-free ELL hop table
+  (:class:`pythtb_tpu.ops.matvec.SparseH`), with *exact per-hop
+  displacement vectors* (``r_j + R.lat - r_i``), so the velocity
+  operators ``v_a = -i [X_a, H]`` are exact on the torus (a naive
+  position-difference commutator is wrong for hops that wrap the
+  boundary).  Optional Anderson on-site disorder.
+* :func:`kpm_conductivity` -- Kubo-Bastin conductivity tensor by the
+  kernel polynomial method (Garcia, Covaci, Rappoport, PRL 114, 116602
+  (2015)): stochastic Chebyshev moments ``mu_nm = Tr[v_a T_n(H) v_b
+  T_m(H)]`` as ONE ``lax.scan`` device program per random vector (the
+  row products are (M,N)x(N) matmuls -- MXU work, not scalar loops),
+  with the energy post-processing on host in float64.  sigma_xy of a
+  disordered Chern insulator and sigma_xx of an Anderson model at
+  10^5+ sites become a few seconds of TPU time.
+* :func:`chern_marker` -- the Bianco-Resta local Chern marker
+  ``c(r) = -(4 pi / A_c) Im <r| P X Q Y P |r>`` for finite flakes
+  (open boundaries): everything after the dense eigensolve is three
+  occupied-basis matmuls.
+* :func:`bott_index` -- the Loring-Hastings Bott index on a disordered
+  torus (the finite-size proxy for the Chern number that needs no
+  translation invariance).
+
+Conventions: ``hbar = e = 1`` internally; 2-D conductivities are
+returned in units of e^2/h.  Complex data crosses the host<->device
+boundary ri-packed (utils/xfer.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .model import PythtbError
+from .ops.matvec import SparseH, matvec, _ell_tables
+from .utils.xfer import host_pack, host_unpack, pack_cplx, unpack_cplx
+
+__all__ = [
+    "TorusSample",
+    "torus_sample",
+    "kpm_conductivity",
+    "chern_marker",
+    "bott_index",
+]
+
+
+# --------------------------------------------------------------------
+# torus sample construction
+# --------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TorusSample:
+    """A periodic model tiled onto a finite torus (host container).
+
+    ``h`` is the matrix-free Hamiltonian; ``velocity[a]`` the Cartesian
+    velocity operator ``-i [X_a, H]`` built from exact per-hop
+    displacements (correct across the periodic wrap); ``theta`` the
+    reduced orbital positions in supercell units (in [0, 1), for the
+    Bott-index loop phases); ``pos`` Cartesian orbital positions;
+    ``volume`` the torus area/volume (|det lat| * ncells).
+    """
+
+    h: SparseH
+    velocity: tuple
+    theta: np.ndarray
+    pos: np.ndarray
+    volume: float
+    supercell: tuple
+
+    @property
+    def norb(self):
+        return self.h.norb
+
+    @property
+    def nspin(self):
+        return self.h.nspin
+
+    @property
+    def nsta(self):
+        return self.h.nsta
+
+
+def _window_from_tables(tcols, tvals, norb, nspin):
+    """Gershgorin spectral bounds from ELL tables (host)."""
+    diag_idx = np.arange(norb, dtype=tcols.dtype)
+    isdiag = tcols == diag_idx[:, None]
+    if nspin == 1:
+        center = np.real(np.sum(np.where(isdiag, tvals, 0.0), axis=1))
+        radius = np.sum(np.where(~isdiag, np.abs(tvals), 0.0), axis=1)
+    else:
+        dblk = np.sum(np.where(isdiag[..., None, None], tvals, 0.0), axis=1)
+        ev = np.linalg.eigvalsh(dblk)
+        center = ev.mean(axis=-1)
+        radius = (ev[:, 1] - ev[:, 0]) / 2.0
+        bnorm = np.linalg.norm(tvals, ord=2, axis=(-2, -1))
+        radius = radius + np.sum(np.where(~isdiag, bnorm, 0.0), axis=1)
+    return (float((center - radius).min()), float((center + radius).max()))
+
+
+def _sparse_from_coo(rows, cols, vals, norb, nspin):
+    tcols, tvals = _ell_tables(rows, cols, vals, norb)
+    window = _window_from_tables(tcols, tvals, norb, nspin)
+    return SparseH(
+        cols=jnp.asarray(tcols),
+        vals=jnp.asarray(host_pack(tvals)),
+        norb=norb,
+        nspin=nspin,
+        window=window,
+    )
+
+
+def torus_sample(model, supercell, onsite_disorder=0.0, seed=0):
+    """Tile a fully periodic model onto a finite torus.
+
+    The reference can only emulate this by ``cut_piece(..,
+    glue_edgs=True)`` per direction (pythtb.py:1105-1231), which loses
+    the hop displacement vectors -- so no velocity operator can be
+    reconstructed from it.  Here each hop ``(amp, i, j, R)`` of the
+    periodic model maps, for every cell ``c`` of the ``L1 x ... x Ld``
+    torus, to a matrix element between site ``(c, i)`` and site
+    ``((c + R) mod L, j)`` carrying the *exact* Cartesian displacement
+    ``d = (orb_j + R - orb_i) . lat`` -- the wrap changes the site
+    index, never the displacement.
+
+    :param model: a ``tb_model`` with ``dim_k == dim_r`` (fully
+      periodic)
+    :param supercell: ints ``(L1, ..., Ld)``, cells per direction
+    :param onsite_disorder: Anderson disorder: a float ``W`` draws
+      uniform on-site energies in ``[-W/2, W/2]`` per site (added to
+      both spin components when nspin=2), or an explicit per-site array
+      of length ``norb * ncells``
+    :param seed: RNG seed for the disorder draw
+    :returns: :class:`TorusSample`
+    """
+    if model._dim_k != model._dim_r or model._dim_k < 1:
+        raise PythtbError(
+            "torus_sample requires a fully periodic model "
+            "(dim_k == dim_r >= 1)"
+        )
+    dim = model._dim_r
+    L = tuple(int(x) for x in np.atleast_1d(supercell))
+    if len(L) != dim or any(x < 1 for x in L):
+        raise PythtbError(
+            "supercell must give a positive cell count per periodic "
+            "direction (got %r for dim %d)" % (supercell, dim)
+        )
+    norb = model._norb
+    nspin = model._nspin
+    lat = np.asarray(model._lat, dtype=np.float64)
+    orb = np.asarray(model._orb, dtype=np.float64)
+    ncells = int(np.prod(L))
+    nsites = norb * ncells
+
+    # cell grid, cell-major site index: site = cell_idx * norb + orbital
+    cells = np.indices(L).reshape(dim, ncells).T  # (ncells, dim)
+    cell_idx = np.arange(ncells)
+
+    nhop = len(model._hoppings)
+    if nhop:
+        amps = np.array(
+            [np.asarray(h[0], dtype=np.complex128) for h in model._hoppings]
+        )  # (nhop,) or (nhop, 2, 2)
+        ii = np.array([h[1] for h in model._hoppings], dtype=np.int64)
+        jj = np.array([h[2] for h in model._hoppings], dtype=np.int64)
+        RR = np.array([h[3] for h in model._hoppings], dtype=np.int64).reshape(
+            nhop, dim
+        )
+        # target cell of each (hop, cell) pair, with periodic wrap
+        tcell = np.mod(cells[None, :, :] + RR[:, None, :], np.array(L))
+        tidx = np.ravel_multi_index(
+            tuple(tcell[..., d] for d in range(dim)), L
+        )  # (nhop, ncells)
+        rows_f = (cell_idx[None, :] * norb + ii[:, None]).ravel()
+        cols_f = (tidx * norb + jj[:, None]).ravel()
+        amps_f = np.repeat(amps, ncells, axis=0)
+        # exact Cartesian displacement per hop (same for every cell)
+        disp = (orb[jj] + RR - orb[ii]) @ lat  # (nhop, dim)
+        disp_f = np.repeat(disp, ncells, axis=0)
+    else:
+        rows_f = np.zeros(0, dtype=np.int64)
+        cols_f = np.zeros(0, dtype=np.int64)
+        amps_f = np.zeros((0,) if nspin == 1 else (0, 2, 2), np.complex128)
+        disp_f = np.zeros((0, dim))
+
+    # on-site energies tiled over cells + Anderson disorder
+    ons = np.asarray(model._site_energies, dtype=np.complex128)
+    ons_f = np.tile(ons, (ncells,) + (1,) * (ons.ndim - 1))
+    if np.ndim(onsite_disorder) == 0:
+        W = float(onsite_disorder)
+        if W != 0.0:
+            delta = np.random.default_rng(seed).uniform(-W / 2, W / 2, nsites)
+        else:
+            delta = None
+    else:
+        delta = np.asarray(onsite_disorder, dtype=np.float64)
+        if delta.shape != (nsites,):
+            raise PythtbError(
+                "per-site disorder array must have length norb * ncells "
+                "= %d (got shape %r)" % (nsites, delta.shape)
+            )
+    if delta is not None:
+        if nspin == 1:
+            ons_f = ons_f + delta
+        else:
+            ons_f = ons_f + delta[:, None, None] * np.eye(2)
+
+    diag_idx = np.arange(nsites, dtype=np.int64)
+    if nspin == 2:
+        conj_amps = np.conj(np.swapaxes(amps_f, -1, -2))
+    else:
+        conj_amps = np.conj(amps_f)
+    rows = np.concatenate([rows_f, cols_f, diag_idx])
+    cols = np.concatenate([cols_f, rows_f, diag_idx])
+    hvals = np.concatenate([amps_f, conj_amps, ons_f], axis=0)
+    h = _sparse_from_coo(rows, cols, hvals, nsites, nspin)
+
+    # velocity operators v_a = -i [X_a, H]: matrix element -i d_a H_ij
+    # (Hermitian partner is the elementwise conjugate; diagonal drops)
+    vel = []
+    rows_v = np.concatenate([rows_f, cols_f])
+    cols_v = np.concatenate([cols_f, rows_f])
+    for a in range(dim):
+        if nspin == 1:
+            fwd = -1j * disp_f[:, a] * amps_f
+        else:
+            fwd = -1j * disp_f[:, a, None, None] * amps_f
+        vvals = np.concatenate([fwd, np.conj(fwd)], axis=0)
+        vel.append(_sparse_from_coo(rows_v, cols_v, vvals, nsites, nspin))
+
+    theta = ((cells[:, None, :] + orb[None, :, :]) / np.array(L)).reshape(
+        nsites, dim
+    ) % 1.0
+    pos = ((cells[:, None, :] + orb[None, :, :]) @ lat).reshape(nsites, dim)
+    volume = float(abs(np.linalg.det(lat))) * ncells
+    return TorusSample(
+        h=h,
+        velocity=tuple(vel),
+        theta=theta,
+        pos=pos,
+        volume=volume,
+        supercell=L,
+    )
+
+
+# --------------------------------------------------------------------
+# KPM Kubo-Bastin conductivity
+# --------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _kubo_moments_jit(h, va, vb, ab, M, R, key):
+    """Stochastic Kubo-Bastin moment matrix.
+
+    Returns the ri-packed (M, M) matrix ``C[n, m] = E<x| T_n(Ht) v_a
+    T_m(Ht) v_b |x>`` averaged over R random-phase vectors (an unbiased
+    estimate of ``Tr[T_n(Ht) v_a T_m(Ht) v_b]``).  One compiled
+    program: the right Chebyshev block Phi (M, N) is built by a
+    ``lax.scan`` recursion, then the left recursion emits one moment
+    ROW per step as a (M, N) @ (N,) product -- dense MXU work.  Random
+    vectors run under ``lax.map`` (sequential) to bound peak memory at
+    Phi + a few vectors regardless of R.
+    """
+    N = h.nsta
+    shape = (h.norb, 2, 1) if h.nspin == 2 else (h.norb, 1)
+
+    def apply(op, v):
+        return matvec(op, v.reshape(shape)).reshape(N)
+
+    def scaled(v):  # (H - b) / a
+        return (apply(h, v) - ab[1] * v) / ab[0]
+
+    def one(key):
+        th = jax.random.uniform(key, (N,), minval=0.0, maxval=2.0 * np.pi)
+        x0 = jnp.exp(1j * th)
+
+        r0 = apply(vb, x0)
+        r1 = scaled(r0)
+
+        def rstep(carry, _):
+            tm, tc = carry
+            tn = 2.0 * scaled(tc) - tm
+            return (tc, tn), tn
+
+        _, rest = jax.lax.scan(rstep, (r0, r1), None, length=M - 2)
+        Phi = jnp.concatenate([r0[None], r1[None], rest], axis=0)  # (M, N)
+
+        def row(psi):  # <psi| v_a |phi_m> for all m
+            w = apply(va, psi)
+            return Phi @ jnp.conj(w)
+
+        p0 = x0
+        p1 = scaled(x0)
+
+        def lstep(carry, _):
+            pm, pc = carry
+            pn = 2.0 * scaled(pc) - pm
+            return (pc, pn), row(pn)
+
+        _, lrows = jax.lax.scan(lstep, (p0, p1), None, length=M - 2)
+        return jnp.concatenate([row(p0)[None], row(p1)[None], lrows], axis=0)
+
+    mu = jax.lax.map(one, jax.random.split(key, R))  # (R, M, M)
+    return pack_cplx(jnp.mean(mu, axis=0))
+
+
+def _jackson(M):
+    m = np.arange(M)
+    Mp = M + 1.0
+    return (
+        (Mp - m) * np.cos(np.pi * m / Mp)
+        + np.sin(np.pi * m / Mp) / np.tan(np.pi / Mp)
+    ) / Mp
+
+
+def _fermi(e, mu, kt):
+    if kt <= 0.0:
+        return (e <= mu).astype(np.float64)
+    x = np.clip((e - mu) / kt, -700, 700)
+    return 1.0 / (np.exp(x) + 1.0)
+
+
+def kpm_conductivity(
+    sample,
+    dirs=(0, 1),
+    fermi_levels=None,
+    num_moments=256,
+    num_vectors=8,
+    temperature=0.0,
+    seed=0,
+    n_energies=2048,
+):
+    """Kubo-Bastin conductivity ``sigma_{ab}(mu)`` by KPM.
+
+    Implements the kernel-polynomial Kubo-Bastin formula of Garcia,
+    Covaci & Rappoport (PRL 114, 116602 (2015)): with the Hamiltonian
+    rescaled to ``Ht = (H - b)/a`` and Jackson-damped moment matrix
+    ``mu_nm = g_n g_m / ((1+d_n0)(1+d_m0)) Tr[v_a T_n(Ht) v_b T_m(Ht)]``,
+
+    ``sigma_ab(mu, T) = (8 / (Omega a^2)) int de f(e; mu, T)
+    Re[Gamma(e)] / (1 - e^2)^2``   [units of e^2/h]
+
+    where ``Gamma(e) = sum_nm Gamma_nm(e) mu_nm`` with
+
+    ``Gamma_nm(e) = (e - i n sqrt(1-e^2)) e^{i n acos e} T_m(e)
+    + (e + i m sqrt(1-e^2)) e^{-i m acos e} T_n(e)``.
+
+    The contraction factorizes (``Gamma_nm = A_n T_m + conj(A_m) T_n``),
+    so the energy post-processing is two (nE, M) x (M, M) zgemms on
+    host in float64; the moment matrix itself is one device program
+    (:func:`_kubo_moments_jit`).  At T=0 the Fermi integral is a single
+    cumulative trapezoid, so the entire ``sigma(mu)`` staircase for any
+    number of Fermi levels costs ONE moment computation.
+
+    :param sample: :class:`TorusSample`
+    :param dirs: Cartesian direction pair (a, b): (0, 0) for sigma_xx,
+      (0, 1) for sigma_xy
+    :param fermi_levels: chemical potentials (default: 201 points
+      across the spectral window)
+    :param num_moments: Chebyshev order M (energy resolution ~
+      bandwidth * pi / M with the Jackson kernel)
+    :param num_vectors: random-phase vectors for the stochastic trace
+    :param temperature: k_B T in model energy units (0 = ground state)
+    :param n_energies: internal energy-integration grid size
+    :returns: ``(fermi_levels, sigma)`` -- sigma in units of e^2/h for
+      2-D samples (e^2/(h * length) in 3-D, with length in lattice
+      units)
+    """
+    h = sample.h
+    lo, hi = h.window
+    a = 0.5 * (hi - lo) / 0.98 + 1e-12
+    b = 0.5 * (hi + lo)
+    M = int(num_moments)
+    R = int(num_vectors)
+    va = sample.velocity[int(dirs[0])]
+    vb = sample.velocity[int(dirs[1])]
+
+    C = host_unpack(
+        np.asarray(
+            jax.device_get(
+                _kubo_moments_jit(
+                    h, va, vb, jnp.array([a, b]), M, R, jax.random.PRNGKey(seed)
+                )
+            )
+        )
+    ).astype(np.complex128)
+    # C[n, m] = Tr[T_n v_a T_m v_b]; this IS the mu_nm the Gamma_nm
+    # post-processing below expects -- calibrated so that sigma_xy of
+    # the Haldane model matches the k-space TKNN value C e^2/h from
+    # flows.anomalous_hall (sign AND magnitude; transposing mu flips
+    # the Hall sign, tests/test_realspace.py pins it)
+    mu = C.copy()
+    if dirs[0] == dirs[1]:
+        # exact symmetry mu_nm = conj(mu_mn) for a == b: enforcing it
+        # halves the stochastic noise
+        mu = 0.5 * (mu + np.conj(mu.T))
+
+    g = _jackson(M)
+    w = np.ones(M)
+    w[0] = 0.5
+    mu = mu * np.outer(g * w, g * w)
+
+    # host energy grid, open interval (spectrum lives inside +-0.98)
+    ne = int(n_energies)
+    et = np.linspace(-0.99, 0.99, ne)
+    acos = np.arccos(et)
+    s = np.sqrt(1.0 - et * et)
+    narr = np.arange(M)
+    E = np.exp(1j * np.outer(acos, narr))  # (nE, M)
+    A = (et[:, None] - 1j * np.outer(s, narr)) * E
+    T = np.cos(np.outer(acos, narr))
+    gam = np.sum(T * (A @ mu.T), axis=1) + np.sum(T * (np.conj(A) @ mu), axis=1)
+    integrand = np.real(gam) / (1.0 - et * et) ** 2
+    pref = 8.0 / (sample.volume * a * a)
+
+    if fermi_levels is None:
+        fermi_levels = np.linspace(lo, hi, 201)
+    fermi_levels = np.asarray(fermi_levels, dtype=np.float64)
+    mut = (fermi_levels - b) / a
+
+    de = et[1] - et[0]
+    if temperature <= 0.0:
+        cum = np.concatenate(
+            [[0.0], np.cumsum(0.5 * (integrand[1:] + integrand[:-1]) * de)]
+        )
+        sig = pref * np.interp(mut, et, cum)
+    else:
+        kt = float(temperature) / a  # rescaled temperature
+        f = _fermi(et[None, :], mut[:, None], kt)  # (nmu, nE)
+        wtrap = np.full(ne, de)
+        wtrap[0] = wtrap[-1] = de / 2
+        sig = pref * (f * (integrand * wtrap)[None, :]).sum(axis=1)
+    return fermi_levels, sig
+
+
+# --------------------------------------------------------------------
+# local Chern marker (Bianco-Resta)
+# --------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _marker_jit(static, data, nocc, X, Y):
+    """Dense eigensolve + occupied-basis marker contraction, one
+    program.  Everything past the eigh is three (nocc, S) matmuls:
+    with W the occupied eigenvector rows,
+
+    ``diag_s = sum_nm W[n,s] K[n,m] conj(W[m,s])``,
+    ``K = <n|XY|m> - <n|X|p><p|Y|m>``  (= psi^H X Q Y psi).
+    """
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble
+
+    hp = jax.lax.Precision.HIGHEST
+    H = assemble(static, data, jnp.zeros((1, 0), config.float_dtype()))
+    evals, vecs = eigh_batched(H)
+    W = vecs[0, :nocc, :]  # (nocc, S), rows = states
+    cW = jnp.conj(W)
+    A = jnp.einsum("ns,s,ps->np", cW, X, W, precision=hp)
+    B = jnp.einsum("ps,s,ms->pm", cW, Y, W, precision=hp)
+    Cm = jnp.einsum("ns,s,ms->nm", cW, X * Y, W, precision=hp)
+    K = Cm - jnp.einsum("np,pm->nm", A, B, precision=hp)
+    diag = jnp.einsum("ns,nm,ms->s", W, K, cW, precision=hp)
+    return jnp.imag(diag), evals[0]
+
+
+def chern_marker(model, nocc=None, fermi=None):
+    """Bianco-Resta local Chern marker of a finite 2-D flake.
+
+    ``c(r) = -(4 pi / A_c) Im <r| P X Q Y P |r>`` summed over the
+    orbitals (and spins) at site r (Bianco & Resta, PRB 84, 241106
+    (2011)).  In the bulk of a topological flake the marker plateaus at
+    the Chern number; its sum over the *whole* sample is exactly zero
+    (the trace identity ``Im tr P X Q Y P = 0``), which edge
+    contributions enforce.  This is the real-space diagnostic the
+    k-space ``chern_number`` cannot provide: it works per-site, with
+    disorder, vacancies, or any termination.
+
+    :param model: finite model (``dim_k == 0``) with 2-D positions
+      (``dim_r == 2``)
+    :param nocc: number of occupied states (preferred: one device
+      program)
+    :param fermi: Fermi energy -- used to count nocc (costs an extra
+      eigensolve; give nocc directly when known)
+    :returns: ``(norb,)`` marker per orbital site
+    """
+    if model._dim_k != 0:
+        raise PythtbError("chern_marker requires a finite model (dim_k == 0)")
+    if model._dim_r != 2:
+        raise PythtbError("chern_marker requires 2-D positions (dim_r == 2)")
+    if (nocc is None) == (fermi is None):
+        raise PythtbError("give exactly one of nocc / fermi")
+    if fermi is None:
+        nocc = int(nocc)
+        if not (0 < nocc < model._norb * model._nspin):
+            raise PythtbError("nocc must be in 1..nsta-1")
+    else:
+        evals = model.solve_all()
+        nocc = int(np.count_nonzero(evals < fermi))
+        if nocc == 0 or nocc == evals.size:
+            raise PythtbError(
+                "fermi = %g leaves no occupied/empty states" % fermi
+            )
+    lat = np.asarray(model._lat, dtype=np.float64)
+    pos = np.asarray(model._orb, dtype=np.float64) @ lat  # (norb, 2)
+    if model._nspin == 2:
+        pos = np.repeat(pos, 2, axis=0)
+    ftype = config.float_dtype()
+    static, data = model._get_finalized()
+    imdiag, _ = _marker_jit(
+        static,
+        data,
+        nocc,
+        jnp.asarray(pos[:, 0], ftype),
+        jnp.asarray(pos[:, 1], ftype),
+    )
+    imdiag = np.asarray(jax.device_get(imdiag), dtype=np.float64)
+    cell_area = abs(np.linalg.det(lat))
+    c = -4.0 * np.pi / cell_area * imdiag
+    if model._nspin == 2:
+        c = c.reshape(-1, 2).sum(axis=1)
+    return c
+
+
+# --------------------------------------------------------------------
+# Bott index
+# --------------------------------------------------------------------
+
+
+@jax.jit
+def _dense_eigh_jit(cols, vals_ri):
+    """Dense eigensolve of an ELL table (spinless layout baked by the
+    caller): returns (evals, ri-packed eigenvector rows)."""
+    from .ops.eigh import eigh_batched
+
+    vals = unpack_cplx(vals_ri)
+    norb = cols.shape[0]
+    dense = jnp.zeros((norb, norb), dtype=vals.dtype)
+    dense = dense.at[jnp.arange(norb)[:, None], cols].add(vals)
+    evals, vecs = eigh_batched(dense[None])
+    return evals[0], pack_cplx(vecs[0])
+
+
+@jax.jit
+def _dense_eigh_spin_jit(cols, vals_ri):
+    from .ops.eigh import eigh_batched
+
+    vals = unpack_cplx(vals_ri)  # (norb, D, 2, 2)
+    norb = cols.shape[0]
+    blk = jnp.zeros((norb, norb, 2, 2), dtype=vals.dtype)
+    blk = blk.at[jnp.arange(norb)[:, None], cols].add(vals)
+    dense = blk.transpose(0, 2, 1, 3).reshape(2 * norb, 2 * norb)
+    evals, vecs = eigh_batched(dense[None])
+    return evals[0], pack_cplx(vecs[0])
+
+
+def bott_index(sample, nocc=None, fermi=None):
+    """Loring-Hastings Bott index of a 2-D torus sample.
+
+    With ``U = exp(2 pi i Theta_x)``, ``V = exp(2 pi i Theta_y)``
+    (Theta the reduced positions on the torus) projected into the
+    occupied subspace, ``Bott = (1/2 pi) Im tr log(Vp Up Vp^H Up^H)``
+    (Loring & Hastings, EPL 92, 67004 (2010)).  Equals the Chern number
+    for a clean gapped sample and stays quantized under disorder until
+    localization kills the mobility gap -- the standard real-space
+    invariant for disordered topological matter.
+
+    The dense eigensolve runs on device (one program); the occupied
+    projections and the final non-Hermitian eigenvalue sum run on host
+    in float64 (they are (nocc, nocc) sized).
+
+    :param sample: 2-D :class:`TorusSample` (disordered or clean)
+    :param nocc: occupied state count, or
+    :param fermi: Fermi energy used to count occupied states
+    :returns: the Bott index (float; near-integer when gapped)
+    """
+    if sample.theta.shape[1] != 2:
+        raise PythtbError("bott_index requires a 2-D torus sample")
+    h = sample.h
+    if h.nspin == 2:
+        evals, W_ri = _dense_eigh_spin_jit(h.cols, h.vals)
+    else:
+        evals, W_ri = _dense_eigh_jit(h.cols, h.vals)
+    evals = np.asarray(jax.device_get(evals), dtype=np.float64)
+    W = host_unpack(np.asarray(jax.device_get(W_ri)))
+    if (nocc is None) == (fermi is None):
+        raise PythtbError("give exactly one of nocc / fermi")
+    if nocc is None:
+        nocc = int(np.count_nonzero(evals < fermi))
+    nocc = int(nocc)
+    if not (0 < nocc < h.nsta):
+        raise PythtbError("nocc must leave both occupied and empty states")
+    theta = sample.theta
+    if h.nspin == 2:
+        theta = np.repeat(theta, 2, axis=0)
+    Wocc = W[:nocc]  # (nocc, S) rows = states
+    px = np.exp(2j * np.pi * theta[:, 0])
+    py = np.exp(2j * np.pi * theta[:, 1])
+    U = (np.conj(Wocc) * px) @ Wocc.T
+    V = (np.conj(Wocc) * py) @ Wocc.T
+    Mb = V @ U @ np.conj(V.T) @ np.conj(U.T)
+    lam = np.linalg.eigvals(Mb)
+    return float(np.sum(np.angle(lam)) / (2.0 * np.pi))
