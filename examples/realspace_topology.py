@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Real-space topology of a disordered Chern insulator.
+
+The k-space invariants (chern_number, berry_flux) need translation
+invariance; real samples have disorder.  pythtb_tpu.realspace supplies
+the disordered-sample toolkit the reference lacks entirely:
+
+* the Bianco-Resta local Chern marker resolves WHERE a flake is
+  topological (bulk plateau at C, compensating edge ring -- the marker
+  sums to exactly zero);
+* the Bott index on a disordered torus tracks the
+  topological-to-trivial transition as Anderson disorder closes the
+  mobility gap.
+"""
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from pythtb_tpu import realspace
+from pythtb_tpu.models import library as zoo
+
+m = zoo.haldane()  # C = -1 lower band (package convention)
+
+# --- local Chern marker map on an open flake ------------------------
+flake = m.cut_piece(14, 0).cut_piece(14, 1)
+marker = realspace.chern_marker(flake, nocc=14 * 14)
+pos = np.asarray(flake._orb) @ np.asarray(flake._lat)
+
+# --- Bott index vs disorder strength on a torus ---------------------
+Ws = np.linspace(0.0, 10.0, 11)
+bott = []
+for W in Ws:
+    draws = [
+        realspace.bott_index(
+            realspace.torus_sample(m, (10, 10), onsite_disorder=W, seed=s),
+            nocc=100,
+        )
+        for s in range(3)
+    ]
+    bott.append(np.mean(draws))
+    print("W = %4.1f  Bott = %+.3f" % (W, bott[-1]))
+
+fig, axs = plt.subplots(1, 2, figsize=(9.2, 3.8))
+sc = axs[0].scatter(pos[:, 0], pos[:, 1], c=2 * marker, s=14,
+                    cmap="RdBu_r", vmin=-2.5, vmax=2.5)
+fig.colorbar(sc, ax=axs[0], label="cell Chern marker")
+axs[0].set(title="local Chern marker (bulk $\\to C$)", aspect="equal")
+axs[1].plot(Ws, bott, "o-")
+axs[1].axhline(0, color="0.7", lw=0.8)
+axs[1].set(xlabel="disorder strength $W$", ylabel="Bott index",
+           title="disorder-driven transition (10x10 torus)")
+fig.tight_layout()
+fig.savefig("realspace_topology.pdf")
+print("saved realspace_topology.pdf")
+
+print("Done.")
