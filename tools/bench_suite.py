@@ -225,6 +225,30 @@ def run_suite():
                "coarse-8 MLWF + 16^3 refine, err %.1e eV, sv %.3f"
                % (dev, itp.min_projection_sv))
 
+    from pythtb_tpu import optical, realspace
+
+    w_op = np.linspace(0.0, 6.0, 121)
+    wall, sig = _timed(lambda: optical.optical_conductivity(
+        hal2, w_op, occ=[0], nk=(161, 161), eta=0.04), n=2)
+    report("optical_tensor_121w_161x161", None, wall,
+           abs(sig[0, 1, 0].real + 1.0) < 2e-3 and np.isfinite(sig).all(),
+           "full 2x2 Kubo tensor, 121 frequencies; dc sxy=%.4f" % sig[0, 1, 0].real)
+
+    s_rs = realspace.torus_sample(hal2, (24, 24), onsite_disorder=1.0, seed=2)
+    wall, hall = _timed(lambda: realspace.kpm_conductivity(
+        s_rs, dirs=(0, 1), num_moments=512, num_vectors=8), n=2)
+    ef_rs, sxy_rs = hall
+    mid = float(sxy_rs[np.argmin(np.abs(ef_rs))])
+    report("kpm_hall_1152_sites_M512", None, wall,
+           abs(mid + 1.0) < 5e-2,
+           "Kubo-Bastin sigma_xy(mu) curve, W=1 disorder; mid-gap %.4f" % mid)
+
+    wall, bott = _timed(lambda: realspace.bott_index(
+        realspace.torus_sample(hal2, (16, 16), onsite_disorder=2.0, seed=1),
+        nocc=256), n=2)
+    report("bott_index_512_sites", None, wall, abs(bott + 1.0) < 5e-2,
+           "disordered torus (W=2), Bott=%.4f" % bott)
+
     fkm_path = [ptt.models.fu_kane_mele(beta=np.pi * i / 12) for i in range(13)]
     wall, th = _timed(lambda: flows.axion_theta(fkm_path, (0, 1),
                                                 nk=(12, 12, 12), refine=False), n=2)

@@ -27,6 +27,8 @@ SECTIONS = [
     ("pythtb_tpu.wannier — Wannier interpolation / MLWF", "pythtb_tpu.wannier", None),
     ("pythtb_tpu.magnetic — Peierls substitution", "pythtb_tpu.magnetic", None),
     ("pythtb_tpu.surface — semi-infinite surfaces", "pythtb_tpu.surface", None),
+    ("pythtb_tpu.realspace — disordered-sample topology & transport", "pythtb_tpu.realspace", None),
+    ("pythtb_tpu.optical — optical response", "pythtb_tpu.optical", None),
     ("pythtb_tpu.family — structural parameter sweeps", "pythtb_tpu.family", None),
     ("pythtb_tpu.parallel — device meshes", "pythtb_tpu.parallel.mesh", None),
     ("pythtb_tpu.models — model zoo", "pythtb_tpu.models.library", None),

@@ -217,6 +217,50 @@ def main():
     dev = np.abs(itp.bands(kw) - ptt.models.checkerboard().solve_all(kw)[:1]).max()
     check("wannier MV localize f32", dev < 2e-2, "interp dev=%.4f" % dev)
 
+    # 20. real-space topology: Bott index + local Chern marker (f32)
+    from pythtb_tpu import realspace
+
+    s_rs = realspace.torus_sample(m, (12, 12), onsite_disorder=1.0, seed=0)
+    bott = realspace.bott_index(s_rs, nocc=144)
+    flake20 = m.cut_piece(10, 0).cut_piece(10, 1)
+    mk = realspace.chern_marker(flake20, nocc=100)
+    pos20 = np.asarray(flake20._orb) @ np.asarray(flake20._lat)
+    icen = np.argsort(((pos20 - pos20.mean(0)) ** 2).sum(1))[:2]
+    mc = float(mk[icen].sum())
+    check("bott + chern marker f32",
+          abs(bott + 1.0) < 1e-2 and abs(float(mk.sum())) < 1e-2
+          and abs(mc + 0.99853) < 2e-2,
+          "bott=%.4f sum=%.1e cell=%.4f (x64: -1, 0, -0.99853)"
+          % (bott, float(mk.sum()), mc))
+
+    # 21. KPM Kubo-Bastin Hall conductivity on a disordered torus (f32)
+    t0 = time.perf_counter()
+    ef_rs, sxy_rs = realspace.kpm_conductivity(
+        s_rs, dirs=(0, 1), num_moments=256, num_vectors=6)
+    dt = time.perf_counter() - t0
+    mid = float(sxy_rs[np.argmin(np.abs(ef_rs))])
+    check("kpm kubo-bastin sigma_xy f32", abs(mid + 1.02541) < 5e-2,
+          "sigma_xy(0)=%.4f (x64: -1.02541) %.2fs" % (mid, dt))
+
+    # 22. optical conductivity + joint DOS vs CPU-x64 pins
+    from pythtb_tpu import optical
+
+    w_op = np.array([0.0, 0.5])
+    t0 = time.perf_counter()
+    sig_h = optical.optical_conductivity(m, w_op, occ=[0], nk=(101, 101),
+                                         eta=0.04)
+    dt = time.perf_counter() - t0
+    sig_g = optical.optical_conductivity(ptt.models.graphene(), w_op, occ=[0],
+                                         nk=(121, 121), eta=0.02)
+    jd = optical.joint_dos(m, np.array([3.0]), occ=[0], nk=(101, 101),
+                           sigma=0.04)
+    check("optical kubo tensor f32",
+          abs(sig_h[0, 1, 0].real + 0.99954) < 5e-3
+          and abs(sig_g[0, 0, 1].real - 0.65226) < 1e-2
+          and abs(float(jd[0]) - 0.22918) < 5e-3,
+          "sxy(0)=%.5f gxx(.5)=%.5f jdos=%.5f %.2fs"
+          % (sig_h[0, 1, 0].real, sig_g[0, 0, 1].real, float(jd[0]), dt))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
