@@ -33,7 +33,7 @@ from .utils.continuity import no_2pi
 from .wf_array import wf_array
 from .w90 import w90
 from . import models, parallel
-from . import magnetic, optical, realspace, surface, wannier
+from . import floquet, magnetic, optical, realspace, surface, wannier
 from .family import family, ModelFamily
 
 __version__ = "0.2.0"
@@ -46,7 +46,10 @@ __all__ = [
     "w90",
     "models",
     "parallel",
+    "floquet",
     "magnetic",
+    "optical",
+    "realspace",
     "surface",
     "wannier",
     "no_2pi",

@@ -1,0 +1,276 @@
+"""Floquet subsystem oracles.
+
+Tier structure (SURVEY section 4 model):
+- analytic oracle: monochromatic drive harmonics vs the Jacobi-Anger
+  Bessel closed form (scipy.special.jv);
+- internal differential oracle: the truncated extended-zone Floquet
+  matrix vs the truncation-free one-period propagator (two completely
+  independent algorithms for the same spectrum);
+- physics oracles: undriven limit, circular-drive graphene Chern = -+1
+  with handedness, linear drive C = 0, van Vleck 1/Omega^2 convergence.
+"""
+
+import numpy as np
+import pytest
+import scipy.special
+
+import pythtb_tpu as ptt
+from pythtb_tpu import floquet
+from pythtb_tpu.model import PythtbError
+
+
+def _two_orb_chain():
+    """1-D two-orbital chain with intracell offset and complex hop --
+    exercises nontrivial intracell displacements in the Peierls phase."""
+    m = ptt.tb_model(1, 1, lat=[[1.0]], orb=[[0.0], [0.37]])
+    m.set_onsite([0.3, -0.3])
+    m.set_hop(0.8 + 0.2j, 0, 1, [0])
+    m.set_hop(0.5, 1, 0, [1])
+    m.set_hop(0.25, 0, 0, [1])
+    return m
+
+
+CIRC = {"A": [0.8, 0.8], "phase": [0.0, np.pi / 2]}
+CIRC_CCW = {"A": [0.8, 0.8], "phase": [0.0, -np.pi / 2]}
+LIN = {"A": [0.8, 0.0], "phase": [0.0, 0.0]}
+
+
+# ---------------------------------------------------------------------------
+# harmonics
+# ---------------------------------------------------------------------------
+
+
+def test_hop_fourier_jacobi_anger():
+    """Monochromatic drive harmonics equal i^m J_m(|z|) e^{i m arg z},
+    z = sum_a A_a d_a e^{-i phi_a} (Jacobi-Anger), to DFT accuracy."""
+    m = ptt.models.graphene()
+    omega = 2.5
+    drive = {"A": [0.9, 0.4], "phase": [0.2, 1.1]}
+    mmax = 6
+    cm = floquet._hop_fourier(m, drive, omega, mmax, 256)
+    d = floquet._hop_displacements(m)  # (nhop, 2)
+    A = np.asarray(drive["A"])
+    ph = np.asarray(drive["phase"])
+    z = (A * np.exp(-1j * ph)) @ d.T  # (nhop,)
+    for mi in range(-mmax, mmax + 1):
+        expect = (
+            (1j**mi)
+            * scipy.special.jv(mi, np.abs(z))
+            * np.exp(1j * mi * np.angle(z))
+        )
+        np.testing.assert_allclose(cm[mi + mmax], expect, atol=1e-12)
+
+
+def test_undriven_quasienergies_are_folded_bands():
+    m = _two_orb_chain()
+    omega = 1.7
+    kpts = np.linspace(0.0, 1.0, 9)[:, None]
+    eps = floquet.quasienergies_exact(
+        m, omega, {"A": [0.0], "phase": [0.0]}, kpts, nt=64
+    )
+    bands = m.solve_all(kpts).T  # (nk, nsta)
+    folded = bands - omega * np.round(bands / omega)
+    np.testing.assert_allclose(eps, np.sort(folded, axis=-1), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Floquet matrix vs exact propagator (the central differential oracle)
+# ---------------------------------------------------------------------------
+
+
+def _zone_copy(quasi, weight, nsta, omega):
+    """Per k, the nsta truncated eigenvalues with the largest m=0
+    weight (near a multiphoton resonance these can be +-Omega-shifted
+    copies of the physical states), folded into the first zone and
+    sorted."""
+    out = np.empty((quasi.shape[0], nsta))
+    for b in range(quasi.shape[0]):
+        sel = np.argsort(weight[b])[-nsta:]
+        v = quasi[b, sel]
+        out[b] = np.sort(v - omega * np.round(v / omega))
+    return out
+
+
+def _assert_circle_close(a, b, omega, atol):
+    """Quasienergies live on a circle of circumference omega: a value
+    epsilon-close to the zone edge can fold to either side, which also
+    rotates the sorted order by one slot.  Compare sorted spectra under
+    the best cyclic alignment with mod-omega distance."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    nsta = a.shape[-1]
+    for row_a, row_b in zip(a.reshape(-1, nsta), b.reshape(-1, nsta)):
+        best = np.inf
+        for shift in range(nsta):
+            d = np.roll(row_a, shift) - row_b
+            d = np.abs(d - omega * np.round(d / omega))
+            best = min(best, d.max())
+        assert best < atol, "circle distance %g >= %g" % (best, atol)
+
+
+@pytest.mark.parametrize("drive", [CIRC_1D := {"A": [0.9], "phase": [0.0]}])
+def test_floquet_matrix_vs_propagator_1d(drive):
+    m = _two_orb_chain()
+    omega = 3.1
+    kpts = np.linspace(0.0, 1.0, 7)[:, None]
+    quasi, wgt = floquet.quasienergies(m, omega, drive, kpts, nharm=8)
+    approx = _zone_copy(quasi, wgt, m._nsta, omega)
+    exact = floquet.quasienergies_exact(m, omega, drive, kpts, nt=4096)
+    _assert_circle_close(approx, exact, omega, 5e-7)
+
+
+def test_floquet_matrix_vs_propagator_graphene():
+    m = ptt.models.graphene()
+    omega = 4.0
+    kpts = np.array([[0.1, 0.2], [1 / 3.0, 2 / 3.0], [0.5, 0.0]])
+    quasi, wgt = floquet.quasienergies(m, omega, CIRC, kpts, nharm=8)
+    approx = _zone_copy(quasi, wgt, 2, omega)
+    exact = floquet.quasienergies_exact(m, omega, CIRC, kpts, nt=4096)
+    _assert_circle_close(approx, exact, omega, 5e-7)
+
+
+def test_propagator_nt_convergence():
+    """Midpoint product rule converges ~ nt^-2."""
+    m = ptt.models.graphene()
+    omega = 3.0
+    kpts = np.array([[0.17, 0.29]])
+    ref = floquet.quasienergies_exact(m, omega, CIRC, kpts, nt=8192)
+    e1 = np.abs(
+        floquet.quasienergies_exact(m, omega, CIRC, kpts, nt=64) - ref
+    ).max()
+    e2 = np.abs(
+        floquet.quasienergies_exact(m, omega, CIRC, kpts, nt=256) - ref
+    ).max()
+    assert e2 < e1 / 8.0  # 16x expected at second order
+
+
+def test_spinful_floquet_matrix_vs_propagator():
+    """nspin=2 assembly path: Kane-Mele under circular drive."""
+    m = ptt.models.kane_mele()
+    omega = 6.0
+    kpts = np.array([[0.05, 0.11], [0.4, 0.3]])
+    quasi, wgt = floquet.quasienergies(m, omega, CIRC, kpts, nharm=6)
+    approx = _zone_copy(quasi, wgt, m._nsta, omega)
+    exact = floquet.quasienergies_exact(m, omega, CIRC, kpts, nt=4096)
+    _assert_circle_close(approx, exact, omega, 1e-6)
+
+
+def test_driven_ribbon_finite_direction():
+    """Drive across the finite width of a ribbon: the Peierls phase
+    uses the FULL Cartesian displacement, not just periodic axes."""
+    rib = ptt.models.graphene().cut_piece(3, 1, glue_edgs=False)
+    omega = 5.0
+    drive = {"A": [0.5, 0.7], "phase": [0.0, np.pi / 2]}
+    kpts = np.array([[0.2], [0.45]])
+    quasi, wgt = floquet.quasienergies(rib, omega, drive, kpts, nharm=5)
+    approx = _zone_copy(quasi, wgt, rib._nsta, omega)
+    exact = floquet.quasienergies_exact(rib, omega, drive, kpts, nt=4096)
+    _assert_circle_close(approx, exact, omega, 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# topology
+# ---------------------------------------------------------------------------
+
+
+def test_driven_graphene_chern_handedness():
+    m = ptt.models.graphene()
+    omega = 10.0
+    c_cw = floquet.chern(m, omega, CIRC, band=0, nk=(19, 19), nt=96)
+    c_ccw = floquet.chern(m, omega, CIRC_CCW, band=0, nk=(19, 19), nt=96)
+    assert abs(abs(c_cw) - 1.0) < 1e-3
+    assert abs(c_cw + c_ccw) < 1e-3  # opposite handedness flips the sign
+    # both quasienergy bands together carry zero total flux
+    c_all = floquet.chern(m, omega, CIRC, band=[0, 1], nk=(19, 19), nt=96)
+    assert abs(c_all) < 1e-3
+
+
+def test_linear_drive_zero_chern():
+    """Linear polarization preserves the effective time-reversal
+    symmetry H*(-k, -t) = H(k, t) (cos is even), so a gapped TRS model
+    stays Chern-trivial.  Graphene itself is the WRONG testbed here:
+    linear drive only shifts its Dirac points along the field, leaving
+    the spectrum gapless and band-0 Chern undefined."""
+    m = ptt.models.bn()  # gapped, TRS
+    c = floquet.chern(m, 10.0, LIN, band=0, nk=(19, 19), nt=96)
+    assert abs(c) < 1e-3
+    # weak circular drive: Haldane mass ~ A^2 t^2 / Omega stays below
+    # the trivial gap, so BN remains C = 0 (no transition)
+    c2 = floquet.chern(m, 10.0, CIRC, band=0, nk=(19, 19), nt=96)
+    assert abs(c2) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# van Vleck effective model
+# ---------------------------------------------------------------------------
+
+
+def test_effective_model_undriven_identity():
+    m = _two_orb_chain()
+    eff = floquet.effective_model(m, 5.0, {"A": [0.0], "phase": [0.0]})
+    kpts = np.array([[0.0], [0.21], [0.5], [0.83]])
+    np.testing.assert_allclose(
+        eff.solve_all(kpts), m.solve_all(kpts), atol=1e-12
+    )
+
+
+def test_effective_model_high_frequency_convergence():
+    """van Vleck error in the quasienergies scales ~ 1/Omega^2."""
+    m = ptt.models.graphene()
+    kpts = np.array([[0.1, 0.2], [0.35, 0.6]])
+
+    def err(omega):
+        eff = floquet.effective_model(m, omega, CIRC)
+        eb = np.sort(eff.solve_all(kpts).T, axis=-1)
+        exact = floquet.quasienergies_exact(
+            m, omega, CIRC, kpts, nt=4096, ezero=0.0
+        )
+        return np.abs(eb - exact).max()
+
+    e1, e2 = err(8.0), err(16.0)
+    assert e2 < e1 / 2.5  # ~4x expected at 1/Omega^2
+
+
+def test_effective_model_haldane_mass():
+    """Circularly driven graphene's effective model carries imaginary
+    second-neighbor hops whose Chern number matches the full Floquet
+    calculation."""
+    m = ptt.models.graphene()
+    omega = 10.0
+    eff = floquet.effective_model(m, omega, CIRC)
+    c_eff = ptt.flows.chern_number(eff, [0], nk=(31, 31))
+    c_ful = floquet.chern(m, omega, CIRC, band=0, nk=(19, 19), nt=96)
+    assert abs(c_eff - round(c_ful)) < 1e-3
+    # a gap must have opened at K
+    ek = eff.solve_all(np.array([[1 / 3.0, 2 / 3.0]]))
+    assert ek[1, 0] - ek[0, 0] > 1e-3
+
+
+def test_effective_model_spinful_hermitian():
+    m = ptt.models.kane_mele()
+    eff = floquet.effective_model(m, 8.0, CIRC, nharm=4)
+    kpts = np.array([[0.2, 0.3]])
+    exact = floquet.quasienergies_exact(m, 8.0, CIRC, kpts, nt=2048)
+    eb = np.sort(eff.solve_all(kpts).T, axis=-1)
+    assert np.abs(eb - exact).max() < 0.05  # high-frequency regime
+
+
+# ---------------------------------------------------------------------------
+# error surface
+# ---------------------------------------------------------------------------
+
+
+def test_floquet_errors():
+    m = ptt.models.graphene()
+    with pytest.raises(PythtbError):
+        floquet.quasienergies(m, -1.0, CIRC, np.zeros((1, 2)))
+    with pytest.raises(PythtbError):
+        floquet.quasienergies(m, 2.0, CIRC)  # k_list missing
+    with pytest.raises(PythtbError):
+        floquet.quasienergies(
+            m, 2.0, {"A": [1.0], "phase": [0.0]}, np.zeros((1, 2))
+        )  # wrong drive length
+    with pytest.raises(PythtbError):
+        floquet.chern(ptt.models.chain(), 2.0, {"A": [1.0]}, band=0)
+    with pytest.raises(PythtbError):
+        floquet.quasienergies(m, 2.0, CIRC, np.zeros((1, 2)), nharm=0)
