@@ -26,7 +26,7 @@ from .. import config
 from ..core import BlochData, ModelStatic
 from ..utils.xfer import unpack_cplx
 
-__all__ = ["assemble", "assemble_dk"]
+__all__ = ["assemble", "assemble_dk", "assemble_d2k"]
 
 
 def _phases(static: ModelStatic, rv, kpts):
@@ -161,3 +161,53 @@ def assemble_dk(static: ModelStatic, data: BlochData, kpts):
         jnp.conj(jnp.swapaxes(dv, -1, -2)).transpose(0, 2, 1, 3, 4)
     )
     return dHblk.transpose(0, 1, 2, 4, 3, 5).reshape(B, dim, nsta, nsta)
+
+
+def assemble_d2k(static: ModelStatic, data: BlochData, kpts):
+    """Analytic second k-derivative of the Bloch Hamiltonian:
+    d^2 H / dk_a dk_b for a k-batch, (B, dim_k, dim_k, nsta, nsta)
+    complex, each slice Hermitian and symmetric in (a, b).
+
+    Same Convention-I reduced-coordinate derivatives as
+    :func:`assemble_dk` -- the direct term differentiates to
+    ``(2 pi i rv_a)(2 pi i rv_b) amp e^{2 pi i k.rv}`` and the
+    Hermitian partner to its conjugate.  Needed by second-order
+    response (shift current: the ``w^{ab}`` matrix elements in the
+    sum-rule form of the generalized derivative)."""
+    ctype = config.complex_dtype()
+    ftype = config.float_dtype()
+    B = kpts.shape[0]
+    n = static.norb
+    nsta = static.nsta
+    dim = static.dim_k
+    if static.nhop == 0 or dim == 0:
+        return jnp.zeros((B, dim, dim, nsta, nsta), dtype=ctype)
+
+    ph = _phases(static, data.rv, kpts)  # (B, nhop)
+    amps = unpack_cplx(jnp.asarray(data.amps))
+    rv = jnp.asarray(data.rv, ftype)  # (nhop, dim)
+    # (2 pi i rv_a)(2 pi i rv_b) = -(2 pi)^2 rv_a rv_b: real factor
+    fac2 = -((2.0 * np.pi) ** 2) * rv[:, :, None] * rv[:, None, :]
+
+    if static.nspin == 1:
+        vals = ph * amps[None, :]  # (B, nhop)
+        dv = vals[:, :, None, None] * fac2[None]  # (B, nhop, dim, dim)
+        d2H = jnp.zeros((B, dim, dim, n, n), dtype=ctype)
+        d2H = d2H.at[:, :, :, data.ii, data.jj].add(dv.transpose(0, 2, 3, 1))
+        d2H = d2H.at[:, :, :, data.jj, data.ii].add(
+            jnp.conj(dv).transpose(0, 2, 3, 1)
+        )
+        return d2H
+
+    vals = ph[:, :, None, None] * amps[None]  # (B, nhop, 2, 2)
+    dv = vals[:, :, None, None] * fac2[None, :, :, :, None, None]
+    d2blk = jnp.zeros((B, dim, dim, n, n, 2, 2), dtype=ctype)
+    d2blk = d2blk.at[:, :, :, data.ii, data.jj].add(
+        dv.transpose(0, 2, 3, 1, 4, 5)
+    )
+    d2blk = d2blk.at[:, :, :, data.jj, data.ii].add(
+        jnp.conj(jnp.swapaxes(dv, -1, -2)).transpose(0, 2, 3, 1, 4, 5)
+    )
+    return d2blk.transpose(0, 1, 2, 3, 5, 4, 6).reshape(
+        B, dim, dim, nsta, nsta
+    )

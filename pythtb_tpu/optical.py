@@ -59,7 +59,7 @@ from . import config
 from .model import PythtbError
 from .utils.xfer import host_unpack, pack_cplx
 
-__all__ = ["optical_conductivity", "joint_dos"]
+__all__ = ["optical_conductivity", "joint_dos", "shift_current"]
 
 _CHUNK = 4096
 
@@ -239,6 +239,205 @@ def optical_conductivity(
         jnp.asarray(lat, ftype),
     )
     return host_unpack(np.asarray(jax.device_get(out))) / vol
+
+
+# ---------------------------------------------------------------------------
+# Shift current (second-order DC response / bulk photovoltaic effect)
+# ---------------------------------------------------------------------------
+
+
+def _band_tensors(static, data, nk, lat):
+    """Grid solve + band-basis Cartesian velocity V (B, d, S, S) and
+    second-derivative W2 (B, d, d, S, S) matrix elements + evals."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble, assemble_d2k, assemble_dk
+    from .ops.solver import device_uniform_grid
+
+    hp = jax.lax.Precision.HIGHEST
+    dim = static.dim_k
+    kpts = device_uniform_grid(nk, jnp.zeros((dim,), config.float_dtype()))
+    H = assemble(static, data, kpts)
+    evals, vecs = eigh_batched(H)  # rows are states
+    # complex-typed lattice: a mixed real x complex dot with tiny
+    # (1, 1) shapes SIGABRTs the remote TPU compiler's complex-rewrite
+    # pass (jellyfish X64Rewriter HandleDot, measured on axon)
+    latj = jnp.asarray(lat, config.float_dtype()).astype(
+        config.complex_dtype()
+    )
+    dH = assemble_dk(static, data, kpts)
+    dHc = jnp.einsum("ra,brij->baij", latj, dH, precision=hp) / (2.0 * np.pi)
+    V = jnp.einsum("bns,bast,bmt->banm", jnp.conj(vecs), dHc, vecs,
+                   precision=hp)
+    d2H = assemble_d2k(static, data, kpts)
+    d2c = jnp.einsum(
+        "ra,sc,brsij->bacij", latj, latj, d2H, precision=hp
+    ) / ((2.0 * np.pi) ** 2)
+    W2 = jnp.einsum("bns,bacst,bmt->bacnm", jnp.conj(vecs), d2c, vecs,
+                    precision=hp)
+    return evals, V, W2
+
+
+def _gen_derivative(evals, V, W2, tiny):
+    """Sum-rule generalized derivative of the interband position matrix
+    (Sipe-Shkrebtii PRB 61, 5337 (2000), Appendix; the form used by
+    Wannier90's berry module):
+
+    ``r^{c;a}_{nm} = (i/D_nm)[ (V^a_nm Dl^c_nm + V^c_nm Dl^a_nm)/D_nm
+    - W2^{ac}_nm + S3^{ac}_nm ]``
+
+    with ``D_nm = e_n - e_m``, ``Dl^a_nm = V^a_nn - V^a_mm`` and the
+    three-band sum ``S3^{ac}_nm = sum_{p != n,m} (V^a_np V^c_pm / D_pm
+    - V^c_np V^a_pm / D_np)``.  Exact linear algebra in H, dH, d2H --
+    gauge invariance by construction (no Berry-connection derivative
+    ever formed).  Pairs with |D| < tiny are masked to zero (exact
+    degeneracies carry no spectral weight downstream).
+
+    Returns (r (B, d, S, S), rgen (B, d, d, S, S)) where
+    ``rgen[:, a, c]`` holds ``r^{c;a}``."""
+    hp = jax.lax.Precision.HIGHEST
+    D = evals[:, :, None] - evals[:, None, :]  # D[n, m] = e_n - e_m
+    mask = jnp.abs(D) > tiny
+    inv = jnp.where(mask, 1.0 / jnp.where(mask, D, 1.0), 0.0)
+    invc = inv.astype(V.dtype)
+    r = -1j * V * invc[:, None]  # r^a_nm = -i V^a_nm / D_nm (n != m)
+    Vd = jnp.einsum("bann->ban", V)  # diagonal band velocities (real)
+    Dl = Vd[:, :, :, None] - Vd[:, :, None, :]  # Dl[a, n, m]
+    # full three-band sums including the p = n / p = m terms, which are
+    # then subtracted explicitly (inv already kills p == m / p == n
+    # degenerate-energy poles)
+    full1 = jnp.einsum(
+        "banp,bcpm->bacnm", V, V * invc[:, None], precision=hp
+    )
+    c1 = Vd[:, :, None, :, None] * V[:, None, :] * invc[:, None, None]
+    # c1[a, c, n, m] = V^a_nn V^c_nm / D_nm
+    full2 = jnp.einsum(
+        "bcnp,bapm->bacnm", V * invc[:, None], V, precision=hp
+    )
+    c2 = V[:, None, :] * Vd[:, :, None, None, :] * invc[:, None, None]
+    # c2[a, c, n, m] = V^c_nm V^a_mm / D_nm  (second sum's p = m term)
+    S3 = (full1 - c1) - (full2 - c2)
+    bracket = (
+        (V[:, :, None] * Dl[:, None, :].astype(V.dtype)
+         + V[:, None, :] * Dl[:, :, None].astype(V.dtype))
+        * invc[:, None, None]
+        - W2
+        + S3
+    )
+    rgen = 1j * bracket * invc[:, None, None]
+    zero = jnp.zeros((), V.dtype)
+    rgen = jnp.where(mask[:, None, None], rgen, zero)
+    r = jnp.where(mask[:, None], r, zero)
+    return r, rgen
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _shift_jit(static, data, nk, occ, omegas, sigma, lat):
+    evals, V, W2 = _band_tensors(static, data, nk, lat)
+    r, rgen = _gen_derivative(evals, V, W2, 1e-7)
+    occ_idx = jnp.asarray(occ, jnp.int32)
+    unocc_idx = jnp.asarray(
+        [s for s in range(static.nsta) if s not in occ], jnp.int32
+    )
+    # r^b_{mn}: m unocc, n occ -> transpose to (B, d, no, nu)
+    r_mn = jnp.swapaxes(
+        r[:, :, unocc_idx][:, :, :, occ_idx], -1, -2
+    )  # (B, d, no, nu)
+    rg_nm = rgen[:, :, :, occ_idx][..., unocc_idx]  # (B, a, c, no, nu)
+    # Im[r^b_mn r^{c;a}_nm + r^c_mn r^{b;a}_nm]
+    t1 = jnp.einsum("bdnm,bacnm->badcnm", r_mn, rg_nm)  # b index at pos 2
+    W = jnp.imag(t1 + jnp.swapaxes(t1, 2, 3))  # (B, a, b, c, no, nu)
+    de = (
+        evals[:, None, unocc_idx] - evals[:, occ_idx, None]
+    )  # (B, no, nu): e_m - e_n
+    dim = static.dim_k
+    Wf = W.reshape(W.shape[0], dim**3, -1).transpose(1, 0, 2).reshape(
+        dim**3, -1
+    )
+    def_ = de.reshape(-1)
+    T = def_.shape[0]
+    pad = (-T) % _CHUNK
+    de_p = jnp.pad(def_, (0, pad), constant_values=1.0e30)
+    W_p = jnp.pad(Wf, ((0, 0), (0, pad)))
+    nch = de_p.shape[0] // _CHUNK
+    de_c = de_p.reshape(nch, _CHUNK)
+    W_c = jnp.moveaxis(W_p.reshape(dim**3, nch, _CHUNK), 0, 1)
+    hp = jax.lax.Precision.HIGHEST
+    gnorm = 1.0 / (sigma * np.sqrt(2.0 * np.pi))
+
+    def body(acc, ch):
+        de_i, W_i = ch
+        x = (omegas[None, :] - de_i[:, None]) / sigma
+        g = jnp.exp(-0.5 * x * x) * gnorm  # (C, nw)
+        return acc + jnp.einsum("pc,cw->pw", W_i, g, precision=hp), None
+
+    acc0 = jnp.zeros((dim**3, omegas.shape[0]), dtype=W_c.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (de_c, W_c))
+    norm = -np.pi / (2.0 * float(np.prod(nk)))
+    return acc.reshape(dim, dim, dim, -1) * norm
+
+
+def shift_current(model, omegas, occ, nk=(101, 101), sigma=0.05):
+    """Shift-current conductivity tensor ``sigma^{abc}(omega)`` -- the
+    DC photocurrent response of a clean insulator to linearly polarized
+    light (bulk photovoltaic effect),
+
+    ``J_a(0) = 2 sigma^{abc}(0; omega, -omega) E_b(omega) E_c(-omega)``
+
+    evaluated in the standard Sipe-Shkrebtii form
+
+    ``sigma^{abc}(w) = -(pi/2) (1/(N_k V_c)) sum_{k, n occ, m unocc}
+    Im[r^b_mn r^{c;a}_nm + r^c_mn r^{b;a}_nm] delta_sigma(e_m - e_n - w)``
+
+    with the generalized derivative ``r^{c;a}`` computed by the exact
+    sum rule over H, dH/dk, d2H/dk2 band matrix elements (no
+    Berry-connection derivative is ever formed -- gauge invariant by
+    construction, verified against a finite-difference covariant
+    derivative oracle in the tests).  Requires only the nonzero second
+    derivative of H: second-order response exists for any model whose
+    hops span more than a point.  Vanishes identically for
+    centrosymmetric models (tested); for polar models (Rice-Mele, BN)
+    the sign follows the polarization direction.
+
+    One device program: grid solve + velocity/curvature tensors +
+    chunked Gaussian frequency contraction.
+
+    :param model: fully periodic model (``dim_k == dim_r``)
+    :param omegas: photon energies (> 0 for absorption)
+    :param occ: occupied band indices
+    :param nk: k-grid
+    :param sigma: Gaussian delta broadening (energy units)
+    :returns: real ``(dim, dim, dim, nw)`` array (units e^3/hbar in
+      lattice length units, divided by the cell volume): indices
+      ``[a, b, c]`` = current direction, field, field
+
+    Caveat: the sum rule assumes non-degenerate intermediate states;
+    exactly degenerate pairs are masked out (zero weight), which is
+    correct for isolated degeneracies of measure zero on the grid.
+    """
+    if model._dim_k != model._dim_r or model._dim_k < 1:
+        raise PythtbError(
+            "shift_current requires a fully periodic model (dim_k == dim_r)"
+        )
+    nk = tuple(int(x) for x in np.atleast_1d(nk))
+    if len(nk) != model._dim_k:
+        raise PythtbError("nk must give one grid size per k-direction")
+    static, data = model._get_finalized()
+    occ_t = tuple(int(x) for x in np.atleast_1d(occ))
+    if len(set(occ_t)) != len(occ_t) or any(
+        not (0 <= o < static.nsta) for o in occ_t
+    ):
+        raise PythtbError("occ must be distinct state indices")
+    if len(occ_t) == static.nsta:
+        raise PythtbError("occ fills every state; no interband transitions")
+    lat = np.asarray(model._lat, dtype=np.float64)
+    vol = abs(np.linalg.det(lat))
+    omegas = np.asarray(omegas, dtype=np.float64).reshape(-1)
+    ftype = config.float_dtype()
+    out = _shift_jit(
+        static, data, nk, occ_t, jnp.asarray(omegas, ftype),
+        jnp.asarray(float(sigma), ftype), jnp.asarray(lat, ftype),
+    )
+    return np.asarray(jax.device_get(out), dtype=np.float64) / vol
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
