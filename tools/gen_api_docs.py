@@ -30,6 +30,7 @@ SECTIONS = [
     ("pythtb_tpu.realspace — disordered-sample topology & transport", "pythtb_tpu.realspace", None),
     ("pythtb_tpu.optical — optical response", "pythtb_tpu.optical", None),
     ("pythtb_tpu.floquet — time-periodic driving", "pythtb_tpu.floquet", None),
+    ("pythtb_tpu.unfold — band unfolding", "pythtb_tpu.unfold", None),
     ("pythtb_tpu.family — structural parameter sweeps", "pythtb_tpu.family", None),
     ("pythtb_tpu.parallel — device meshes", "pythtb_tpu.parallel.mesh", None),
     ("pythtb_tpu.models — model zoo", "pythtb_tpu.models.library", None),
