@@ -31,6 +31,7 @@ SECTIONS = [
     ("pythtb_tpu.optical — optical response", "pythtb_tpu.optical", None),
     ("pythtb_tpu.floquet — time-periodic driving", "pythtb_tpu.floquet", None),
     ("pythtb_tpu.unfold — band unfolding", "pythtb_tpu.unfold", None),
+    ("pythtb_tpu.entanglement — entanglement spectra", "pythtb_tpu.entanglement", None),
     ("pythtb_tpu.family — structural parameter sweeps", "pythtb_tpu.family", None),
     ("pythtb_tpu.parallel — device meshes", "pythtb_tpu.parallel.mesh", None),
     ("pythtb_tpu.models — model zoo", "pythtb_tpu.models.library", None),
