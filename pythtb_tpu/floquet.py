@@ -223,14 +223,20 @@ def _spectrum_jit(static, nharm, data, cm_ri, kpts, omega):
     return evals, weights
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _propagator_jit(static, data, dphase_ri, kpts, dt):
+@partial(jax.jit, static_argnums=(0, 5))
+def _propagator_jit(static, data, dphase_ri, kpts, dt, mesh=None):
     """One-period evolution U(T, k) by the midpoint product rule:
     U = prod_s exp(-i H(t_s) dt), one lax.scan, each factor via batched
-    Hermitian eigh.  Returns ri-packed (B, S, S)."""
+    Hermitian eigh.  Returns ri-packed (B, S, S).  With a (static,
+    hashable) ``mesh`` the k-batch is GSPMD-sharded over its first
+    axis -- every step's assembly/eigh/matmul then runs data-parallel
+    over the mesh."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import _phases
+    from .ops.solver import shard_grid_axis0
 
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
     dphase = unpack_cplx(dphase_ri)  # (nt, nhop)
     B = kpts.shape[0]
     S = static.nsta
@@ -412,7 +418,8 @@ def _floquet_states_jit(static, band, n0, n1, U_ri, omega, ezero, phases_ri):
     return jnp.sum(plaquette_phases(w))
 
 
-def chern(model, omega, drive, band, nk=(31, 31), nt=256, ezero=0.0):
+def chern(model, omega, drive, band, nk=(31, 31), nt=256, ezero=0.0,
+          mesh=None):
     """Chern number of Floquet quasienergy bands.
 
     Diagonalizes the exact one-period propagator on a BZ grid (the t=0
@@ -427,11 +434,17 @@ def chern(model, omega, drive, band, nk=(31, 31), nt=256, ezero=0.0):
       order within the folding zone)
     :param ezero: center of the folding zone -- move it if the band of
       interest wraps through the zone edge
+    :param mesh: optional device mesh (or ambient ``use_mesh``): the
+      k-grid propagation is sharded over its first axis
     """
     if model._dim_k != 2:
         raise PythtbError("floquet.chern requires dim_k == 2")
     from .flows import gauge_phases
     from .ops.solver import device_uniform_grid
+    from .parallel import mesh as pmesh
+
+    if mesh is None:
+        mesh = pmesh.current_mesh()
 
     omega = float(omega)
     static, data, _ = _prep(model, omega, np.zeros((1, 2)))
@@ -447,7 +460,7 @@ def chern(model, omega, drive, band, nk=(31, 31), nt=256, ezero=0.0):
         (n0 - 1, n1 - 1), jnp.asarray([-0.5, -0.5], ftype)
     )
     U_ri = _propagator_jit(
-        static, data, host_pack(dph), kpts, jnp.asarray(dt, ftype)
+        static, data, host_pack(dph), kpts, jnp.asarray(dt, ftype), mesh
     )
     p0, p1 = gauge_phases(model, (0, 1))
     phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)

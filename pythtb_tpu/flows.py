@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "quadrupole", "spin_chern", "orbital_magnetization", "second_chern", "axion_theta"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "berry_dipole", "quadrupole", "spin_chern", "orbital_magnetization", "second_chern", "axion_theta"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -969,6 +969,73 @@ def _nernst_jit(static, data, n0, n1, start, phases_ri, mus, kt):
     #   = x f(x) + ln(1 + e^{-x}),  f = sigmoid(-x)   (both stable)
     s = x * jax.nn.sigmoid(-x) + jax.nn.softplus(-x)
     return jnp.sum(om[None] * s, axis=(1, 2, 3)) / (2.0 * np.pi)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _dipole_jit(static, data, nk, mus, kt, lat):
+    """Fermi-surface Berry-curvature dipole D_a(mu) for a mu-batch:
+    analytic per-band curvature Omega_n = -2 Im sum_m v^x_nm v^y_mn /
+    D_nm^2 and group velocities from the same velocity matrices, no
+    plaquettes -- everything lives at the same k-points."""
+    from .optical import _band_tensors
+
+    evals, V, _ = _band_tensors(static, data, nk, lat, need_d2=False)
+    D = evals[:, :, None] - evals[:, None, :]
+    mask = jnp.abs(D) > 1e-7
+    inv2 = jnp.where(mask, 1.0 / jnp.where(mask, D * D, 1.0), 0.0)
+    om = -2.0 * jnp.imag(
+        jnp.einsum("bnm,bnm,bnm->bn", V[:, 0], jnp.conj(V[:, 1]),
+                   inv2.astype(V.dtype), precision=jax.lax.Precision.HIGHEST)
+    )  # (B, S): Omega_n = -2 Im sum_m v^x_nm v^y_mn / D_nm^2
+    Vd = jnp.real(jnp.einsum("bann->ban", V))  # (B, d, S)
+    x = (evals[None] - mus[:, None, None]) / kt
+    mdf = 0.25 / kt / jnp.cosh(jnp.clip(x / 2.0, -40.0, 40.0)) ** 2
+    norm = 1.0 / float(np.prod(nk))
+    return jnp.einsum("bas,ubs,bs->ua", Vd, mdf, om,
+                      precision=jax.lax.Precision.HIGHEST) * norm
+
+
+def berry_dipole(model, mu, temperature, nk=(101, 101)):
+    """Berry-curvature dipole ``D_a(mu, T)`` of a 2-D metal (Sodemann &
+    Fu, PRL 115, 216806 (2015)) -- the Fermi-surface geometric quantity
+    behind the nonlinear Hall effect in time-reversal-symmetric but
+    inversion-broken conductors:
+
+    ``D_a = (1/N_k) sum_{k, n} v^a_{nn} Omega_n (-df/de)|_{e_n}``
+
+    (the integrated-by-parts form of ``int f dOmega/dk_a``).  The
+    per-band curvature is the analytic sum ``Omega_n = -2 Im sum_m
+    v^x_{nm} v^y_{mn} / (e_n - e_m)^2`` from the same velocity
+    matrices as the group velocities, so no grid-offset mixing ever
+    occurs.  For a FILLED band the dipole vanishes identically (the
+    integral of a total derivative -- tested); mirror symmetry forces
+    the component along the mirror axis to zero; inversion symmetry
+    kills it entirely.  Units: dimensionless in 2-D (curvature times
+    velocity over cell... lattice units).
+
+    :param mu: scalar or (nmu,) chemical potentials
+    :param temperature: k_B T > 0 (the Fermi-surface delta is
+      represented thermally)
+    :param nk: BZ grid
+    :returns: (nmu, 2) array of (D_x, D_y) -- scalar mu gives (2,)
+    """
+    if float(temperature) <= 0.0:
+        raise ValueError("berry_dipole requires temperature > 0")
+    static, data = model._get_finalized()
+    if static.dim_k != 2 or model._dim_r != 2:
+        raise ValueError("berry_dipole requires a fully periodic 2-D model")
+    nk = tuple(int(x) for x in np.atleast_1d(nk))
+    if len(nk) != 2:
+        raise ValueError("nk must give two grid sizes")
+    mus = np.atleast_1d(np.asarray(mu, dtype=np.float64))
+    lat = np.asarray(model._lat, dtype=np.float64)
+    out = jax.device_get(
+        _dipole_jit(static, data, nk, jnp.asarray(mus),
+                    jnp.asarray(float(temperature)), jnp.asarray(lat))
+    )
+    # measure: int d^2k/(2pi)^2 = (1/(N_k V_c)) sum_k
+    out = np.asarray(out, dtype=np.float64) / abs(np.linalg.det(lat))
+    return out[0] if np.ndim(mu) == 0 else out
 
 
 def anomalous_nernst(model, mu, temperature, nk=(101, 101),

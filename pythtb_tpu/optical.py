@@ -59,7 +59,8 @@ from . import config
 from .model import PythtbError
 from .utils.xfer import host_unpack, pack_cplx
 
-__all__ = ["optical_conductivity", "joint_dos", "shift_current"]
+__all__ = ["optical_conductivity", "joint_dos", "shift_current",
+           "injection_current"]
 
 _CHUNK = 4096
 
@@ -246,9 +247,10 @@ def optical_conductivity(
 # ---------------------------------------------------------------------------
 
 
-def _band_tensors(static, data, nk, lat):
+def _band_tensors(static, data, nk, lat, need_d2=True):
     """Grid solve + band-basis Cartesian velocity V (B, d, S, S) and
-    second-derivative W2 (B, d, d, S, S) matrix elements + evals."""
+    (when ``need_d2``) second-derivative W2 (B, d, d, S, S) matrix
+    elements + evals."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble, assemble_d2k, assemble_dk
     from .ops.solver import device_uniform_grid
@@ -268,6 +270,8 @@ def _band_tensors(static, data, nk, lat):
     dHc = jnp.einsum("ra,brij->baij", latj, dH, precision=hp) / (2.0 * np.pi)
     V = jnp.einsum("bns,bast,bmt->banm", jnp.conj(vecs), dHc, vecs,
                    precision=hp)
+    if not need_d2:
+        return evals, V, None
     d2H = assemble_d2k(static, data, kpts)
     d2c = jnp.einsum(
         "ra,sc,brsij->bacij", latj, latj, d2H, precision=hp
@@ -434,6 +438,101 @@ def shift_current(model, omegas, occ, nk=(101, 101), sigma=0.05):
     omegas = np.asarray(omegas, dtype=np.float64).reshape(-1)
     ftype = config.float_dtype()
     out = _shift_jit(
+        static, data, nk, occ_t, jnp.asarray(omegas, ftype),
+        jnp.asarray(float(sigma), ftype), jnp.asarray(lat, ftype),
+    )
+    return np.asarray(jax.device_get(out), dtype=np.float64) / vol
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _injection_jit(static, data, nk, occ, omegas, sigma, lat):
+    evals, V, _W2 = _band_tensors(static, data, nk, lat, need_d2=False)
+    D = evals[:, :, None] - evals[:, None, :]
+    mask = jnp.abs(D) > 1e-7
+    inv = jnp.where(mask, 1.0 / jnp.where(mask, D, 1.0), 0.0)
+    r = -1j * V * inv.astype(V.dtype)[:, None]
+    r = jnp.where(mask[:, None], r, jnp.zeros((), V.dtype))
+    Vd = jnp.real(jnp.einsum("bann->ban", V))  # (B, d, S)
+    occ_idx = jnp.asarray(occ, jnp.int32)
+    unocc_idx = jnp.asarray(
+        [s for s in range(static.nsta) if s not in occ], jnp.int32
+    )
+    r_nm = r[:, :, occ_idx][..., unocc_idx]  # (B, b, no, nu)
+    # Delta^a_{mn} = v^a_mm - v^a_nn  (m unocc, n occ) -> (B, a, no, nu)
+    dV = Vd[:, :, unocc_idx][:, :, None, :] - Vd[:, :, occ_idx][:, :, :, None]
+    # Im[r^b_nm r^c_mn] with r^c_mn = conj(r^c_nm) (r is Hermitian)
+    rr = jnp.einsum("bdnm,bcnm->bdcnm", r_nm, jnp.conj(r_nm))
+    W = dV[:, :, None, None] * jnp.imag(rr)[:, None]  # (B, a, b, c, no, nu)
+    de = (evals[:, None, unocc_idx] - evals[:, occ_idx, None])
+    dim = static.dim_k
+    Wf = W.reshape(W.shape[0], dim**3, -1).transpose(1, 0, 2).reshape(
+        dim**3, -1
+    )
+    def_ = de.reshape(-1)
+    T = def_.shape[0]
+    pad = (-T) % _CHUNK
+    de_p = jnp.pad(def_, (0, pad), constant_values=1.0e30)
+    W_p = jnp.pad(Wf, ((0, 0), (0, pad)))
+    nch = de_p.shape[0] // _CHUNK
+    de_c = de_p.reshape(nch, _CHUNK)
+    W_c = jnp.moveaxis(W_p.reshape(dim**3, nch, _CHUNK), 0, 1)
+    hp = jax.lax.Precision.HIGHEST
+    gnorm = 1.0 / (sigma * np.sqrt(2.0 * np.pi))
+
+    def body(acc, ch):
+        de_i, W_i = ch
+        x = (omegas[None, :] - de_i[:, None]) / sigma
+        g = jnp.exp(-0.5 * x * x) * gnorm
+        return acc + jnp.einsum("pc,cw->pw", W_i, g, precision=hp), None
+
+    acc0 = jnp.zeros((dim**3, omegas.shape[0]), dtype=W_c.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (de_c, W_c))
+    norm = 2.0 * np.pi / float(np.prod(nk))
+    return acc.reshape(dim, dim, dim, -1) * norm
+
+
+def injection_current(model, omegas, occ, nk=(101, 101), sigma=0.05):
+    """Injection-current (circular photogalvanic) tensor
+    ``eta^{abc}(omega)`` -- the RATE of DC current injection under
+    illumination, ``dJ_a/dt = 2 eta^{abc}(0; omega, -omega) E_b(omega)
+    E_c(-omega)``, in the clean-insulator Sipe-Shkrebtii form
+
+    ``eta^{abc}(w) = (2 pi / (N_k V_c)) sum_{k, n occ, m unocc}
+    Delta^a_{mn} Im[r^b_{nm} r^c_{mn}] delta_sigma(e_mn - w)``
+
+    with ``Delta^a_{mn} = v^a_{mm} - v^a_{nn}`` the group-velocity
+    difference.  Only the (b, c)-antisymmetric part survives (circular
+    polarization); time-reversal symmetry forces the whole tensor to
+    zero (both tested), so a nonzero eta requires broken TRS (e.g.
+    Haldane) or, in 3-D, gyrotropy (Weyl CPGE).  The two-band identity
+    ``sum_m 2 Im[r^x_{nm} r^y_{mn}] = -Omega_n`` ties the integrand to
+    the Berry curvature (differential oracle in the tests).
+
+    Same conventions/units machinery as :func:`shift_current` (units
+    e^3/hbar^2 x energy, lattice units, divided by cell volume;
+    multiply by a relaxation time for a steady-state current).
+    """
+    if model._dim_k != model._dim_r or model._dim_k < 1:
+        raise PythtbError(
+            "injection_current requires a fully periodic model "
+            "(dim_k == dim_r)"
+        )
+    nk = tuple(int(x) for x in np.atleast_1d(nk))
+    if len(nk) != model._dim_k:
+        raise PythtbError("nk must give one grid size per k-direction")
+    static, data = model._get_finalized()
+    occ_t = tuple(int(x) for x in np.atleast_1d(occ))
+    if len(set(occ_t)) != len(occ_t) or any(
+        not (0 <= o < static.nsta) for o in occ_t
+    ):
+        raise PythtbError("occ must be distinct state indices")
+    if len(occ_t) == static.nsta:
+        raise PythtbError("occ fills every state; no interband transitions")
+    lat = np.asarray(model._lat, dtype=np.float64)
+    vol = abs(np.linalg.det(lat))
+    omegas = np.asarray(omegas, dtype=np.float64).reshape(-1)
+    ftype = config.float_dtype()
+    out = _injection_jit(
         static, data, nk, occ_t, jnp.asarray(omegas, ftype),
         jnp.asarray(float(sigma), ftype), jnp.asarray(lat, ftype),
     )

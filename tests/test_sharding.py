@@ -175,3 +175,17 @@ def test_second_chern_shards_family_solve(mesh8):
     with use_mesh(mesh8):
         sharded = flows.second_chern(loop, (0, 1), nk=(8, 8, 8), refine=False)
     np.testing.assert_allclose(base, sharded, atol=1e-10)
+
+
+def test_floquet_chern_sharded_matches(mesh8):
+    """floquet.chern with an active mesh shards the propagator's
+    k-batch; the Chern number is unchanged vs the single-device path."""
+    from pythtb_tpu import floquet
+
+    m = zoo.haldane(ptt)
+    circ = {"A": [0.5, 0.5], "phase": [0.0, np.pi / 2]}
+    c0 = floquet.chern(m, 8.0, circ, band=0, nk=(9, 9), nt=16)
+    with use_mesh(mesh8):
+        c1 = floquet.chern(m, 8.0, circ, band=0, nk=(9, 9), nt=16)
+    np.testing.assert_allclose(c0, c1, atol=1e-9)
+    assert abs(abs(c0) - 1.0) < 0.1

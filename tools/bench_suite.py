@@ -256,6 +256,40 @@ def run_suite():
            2.2 < abs(th) <= np.pi + 1e-6,
            "gauge-free pump, theta=%.4f (-> pi as nk grows)" % th)
 
+    from pythtb_tpu import entanglement, floquet, unfold
+
+    gm = ptt.models.graphene()
+    circ = {"A": [0.8, 0.8], "phase": [0.0, np.pi / 2]}
+    wall, cf = _timed(lambda: floquet.chern(gm, 10.0, circ, band=0,
+                                            nk=(31, 31), nt=128), n=2)
+    report("floquet_chern_31x31_nt128", None, wall, abs(cf + 1.0) < 1e-3,
+           "driven-graphene propagator + unitary eig + flux, C=%.4f" % cf)
+
+    rm_b = ptt.tb_model(1, 1, lat=[[1.0]], orb=[[0.0], [0.5]])
+    rm_b.set_onsite([0.4, -0.4])
+    rm_b.set_hop(1.3, 0, 1, [0])
+    rm_b.set_hop(0.7, 1, 0, [1])
+    w_sc = np.linspace(0.5, 4.0, 121)
+    wall, s_sc = _timed(lambda: optical.shift_current(
+        ptt.models.bn(), w_sc, occ=[0], nk=(161, 161), sigma=0.08), n=2)
+    report("shift_current_121w_161x161", None, wall,
+           np.isfinite(s_sc).all() and np.abs(s_sc).max() > 1e-3,
+           "full 2x2x2 Sipe-Shkrebtii tensor; max=%.4f" % np.abs(s_sc).max())
+
+    M5 = np.diag([5, 5])
+    sc5 = gm.make_supercell(M5)
+    kl = np.linspace(0.0, 0.5, 121)[:, None] * np.array([[1.0, 2.0]])
+    wall, unf = _timed(lambda: unfold.unfold_bands(sc5, M5, kl), n=2)
+    report("unfold_50band_121k", None, wall,
+           abs(unf[1].sum(axis=1) - 2.0).max() < 1e-3,
+           "5x5 supercell (50 bands) onto 121 primitive k")
+
+    wall, entf = _timed(lambda: entanglement.entanglement_flow(
+        hal2, [0], 0, L=20, nk=61), n=2)
+    report("entanglement_flow_L20_61k", None, wall,
+           np.abs(entf[1] - 0.5).min() < 0.02,
+           "virtual-cut Chern flow, mid-gap %.4f" % np.abs(entf[1] - 0.5).min())
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

@@ -261,6 +261,73 @@ def main():
           "sxy(0)=%.5f gxx(.5)=%.5f jdos=%.5f %.2fs"
           % (sig_h[0, 1, 0].real, sig_g[0, 0, 1].real, float(jd[0]), dt))
 
+    # 23. Floquet: light-induced Chern number, full vs van Vleck (f32)
+    from pythtb_tpu import floquet
+
+    gm = ptt.models.graphene()
+    circ = {"A": [0.8, 0.8], "phase": [0.0, np.pi / 2]}
+    t0 = time.perf_counter()
+    cf = floquet.chern(gm, 10.0, circ, band=0, nk=(19, 19), nt=96)
+    dt = time.perf_counter() - t0
+    eff = floquet.effective_model(gm, 10.0, circ)
+    ce = flows.chern_number(eff, [0], nk=(31, 31))
+    check("floquet chern + van Vleck f32",
+          abs(cf + 1.0) < 1e-3 and abs(ce + 1.0) < 1e-3,
+          "C=%.4f C_eff=%.4f (x64: -1, -1) %.2fs" % (cf, ce, dt))
+
+    # 24. shift current vs CPU-x64 pins (f32)
+    rm = ptt.tb_model(1, 1, lat=[[1.0]], orb=[[0.0], [0.5]])
+    rm.set_onsite([0.4, -0.4])
+    rm.set_hop(1.3, 0, 1, [0])
+    rm.set_hop(0.7, 1, 0, [1])
+    w_sc = np.linspace(0.5, 4.0, 61)
+    t0 = time.perf_counter()
+    s_rm = optical.shift_current(rm, w_sc, occ=[0], nk=(401,), sigma=0.06)
+    peak = s_rm[0, 0, 0].max()
+    s_bn = optical.shift_current(ptt.models.bn(), np.array([2.2]), occ=[0],
+                                 nk=(121, 121), sigma=0.1)
+    dt = time.perf_counter() - t0
+    check("shift current f32",
+          abs(peak - 0.0694430) < 1e-4
+          and abs(s_bn[1, 1, 1, 0] - 0.0212954) < 1e-4,
+          "rm peak=%.6f bn yyy=%.6f (x64: 0.069443, 0.021295) %.2fs"
+          % (peak, s_bn[1, 1, 1, 0], dt))
+
+    # 25. Nernst + unfolding + entanglement flow (f32)
+    from pythtb_tpu import entanglement, unfold
+
+    a_n = flows.anomalous_nernst(m, 2.2, 0.15, nk=(61, 61))
+    M5 = np.diag([5, 5])
+    sc5 = ptt.models.graphene().make_supercell(M5)
+    # k chosen so no folded image is symmetry-degenerate with the
+    # target: -k (TRS) and -swap(k) (mirror x TRS) must not land on the
+    # (1/5)-image grid, i.e. 2k and k1+k2 off multiples of 1/5
+    _, w_un = unfold.unfold_bands(sc5, M5, np.array([[0.11, 0.03]]))
+    _, xi = entanglement.entanglement_flow(m, [0], 0, L=12, nk=31)
+    check("nernst + unfold + entanglement f32",
+          abs(a_n - 0.0208525) < 2e-4
+          and abs(w_un.sum() - 2.0) < 1e-3
+          and np.abs(w_un - np.round(w_un)).max() < 1e-3
+          and np.abs(xi - 0.5).min() < 0.02,
+          "alpha=%.5f (x64: 0.02085) sumw=%.4f mid=%.4f"
+          % (a_n, w_un.sum(), np.abs(xi - 0.5).min()))
+
+    # 26. injection current + Berry dipole vs CPU-x64 pins (f32)
+    hs = haldane()
+    hs.set_hop(-1.35, 0, 1, [0, 0], mode="reset")  # break C3
+    eta = optical.injection_current(hs, np.array([1.5, 2.5]), occ=[0],
+                                    nk=(61, 61), sigma=0.1)
+    tb = ptt.models.bn(delta=0.7)
+    tb.set_hop(0.4, 0, 0, [1, 0])
+    tb.set_hop(0.4, 1, 1, [1, 0])
+    dip = flows.berry_dipole(tb, -1.05, 0.05, nk=(101, 101))
+    check("injection + berry dipole f32",
+          abs(eta[0, 0, 1, 0] - 0.0023079) < 1e-4
+          and abs(eta[0, 0, 1, 1] + 0.0012388) < 1e-4
+          and abs(dip[0] - 0.0370495) < 5e-4 and abs(dip[1]) < 1e-5,
+          "eta=%.5f,%.5f D=%.5f,%.1e (x64: 0.00231, -0.00124, 0.03705, 0)"
+          % (eta[0, 0, 1, 0], eta[0, 0, 1, 1], dip[0], dip[1]))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
