@@ -1001,17 +1001,18 @@ def berry_dipole(model, mu, temperature, nk=(101, 101)):
     behind the nonlinear Hall effect in time-reversal-symmetric but
     inversion-broken conductors:
 
-    ``D_a = (1/N_k) sum_{k, n} v^a_{nn} Omega_n (-df/de)|_{e_n}``
+    ``D_a = int d^2k/(2 pi)^2 sum_n v^a_{nn} Omega_n (-df/de)|_{e_n}
+    = (1/(N_k V_c)) sum_{k, n} v^a_{nn} Omega_n (-df/de)``
 
     (the integrated-by-parts form of ``int f dOmega/dk_a``).  The
     per-band curvature is the analytic sum ``Omega_n = -2 Im sum_m
     v^x_{nm} v^y_{mn} / (e_n - e_m)^2`` from the same velocity
     matrices as the group velocities, so no grid-offset mixing ever
     occurs.  For a FILLED band the dipole vanishes identically (the
-    integral of a total derivative -- tested); mirror symmetry forces
-    the component along the mirror axis to zero; inversion symmetry
-    kills it entirely.  Units: dimensionless in 2-D (curvature times
-    velocity over cell... lattice units).
+    integral of a total derivative -- tested); inversion symmetry
+    kills it entirely.  Units: length in lattice units (curvature
+    [L^2] x velocity [E L] x 1/E x measure [1/L^2]); in 3-D the
+    corresponding dipole would be dimensionless.
 
     :param mu: scalar or (nmu,) chemical potentials
     :param temperature: k_B T > 0 (the Fermi-surface delta is

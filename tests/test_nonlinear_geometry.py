@@ -103,7 +103,7 @@ def test_injection_spin_doubling():
     m2 = ptt.tb_model(2, 2, lat=np.asarray(ptt.models.haldane()._lat),
                       orb=np.asarray(ptt.models.haldane()._orb), nspin=2)
     m2.set_onsite([complex(e).real for e in h0._site_energies])
-    for amp, i, j, R in [(hh[0], hh[1], hh[2], hh[3]) for hh in h0._hoppings]:
+    for amp, i, j, R in h0._hoppings:
         m2.set_hop(complex(amp), i, j, list(np.asarray(R, dtype=int)))
     e2 = optical.injection_current(m2, w, occ=[0, 1], nk=(31, 31),
                                    sigma=0.1)

@@ -276,6 +276,13 @@ def run_suite():
            np.isfinite(s_sc).all() and np.abs(s_sc).max() > 1e-3,
            "full 2x2x2 Sipe-Shkrebtii tensor; max=%.4f" % np.abs(s_sc).max())
 
+    wall, s_rm = _timed(lambda: optical.shift_current(
+        rm_b, w_sc, occ=[0], nk=(2001,), sigma=0.06), n=2)
+    report("shift_current_rice_mele_2001k", None, wall,
+           abs(s_rm[0, 0, 0].max() - 0.0694) < 2e-3,
+           "1-D polar chain, dense k; peak=%.4f (x64: 0.0694)"
+           % s_rm[0, 0, 0].max())
+
     M5 = np.diag([5, 5])
     sc5 = gm.make_supercell(M5)
     kl = np.linspace(0.0, 0.5, 121)[:, None] * np.array([[1.0, 2.0]])
