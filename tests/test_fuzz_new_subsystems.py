@@ -1,0 +1,167 @@
+"""Random-model fuzz tiers for the round-3 subsystems, mirroring the
+package's oracle-fuzz tradition (fixed committed seeds for
+determinism; the end-of-round burn-in sweeps fresh seeds).
+
+Every case is a DIFFERENTIAL oracle -- two independent algorithms for
+the same quantity -- not a smoke check:
+- Floquet: truncated extended-zone matrix vs the exact one-period
+  propagator (circle metric);
+- shift current: sum-rule generalized derivative vs finite-difference
+  covariant derivative in a smoothed gauge;
+- unfolding: pristine supercell cluster weights vs primitive bands;
+- entanglement: Peschel products vs an exact Fock-space partial trace;
+- Berry dipole: Fermi-surface form vs the integration-by-parts
+  curvature-gradient form.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pythtb_tpu as ptt
+from pythtb_tpu import entanglement, flows, floquet, optical, unfold
+
+from .test_entanglement import _exact_rdm_spectrum
+from .test_floquet import _assert_circle_close, _zone_copy
+from .test_shift_current import _band_data, _fd_gen_derivative_1d
+from .test_unfold import _pristine_check
+
+
+def _random_1d(seed, norb=None):
+    rng = np.random.default_rng(seed)
+    norb = norb or int(rng.integers(2, 4))
+    m = ptt.tb_model(1, 1, lat=[[1.0 + 0.3 * rng.random()]],
+                     orb=rng.uniform(0.0, 1.0, (norb, 1)))
+    m.set_onsite(rng.standard_normal(norb))
+    for i in range(norb):
+        j = (i + 1) % norb
+        R = [1] if j <= i else [0]
+        m.set_hop(rng.standard_normal() + 1j * rng.standard_normal(),
+                  i, j, R)
+    if rng.random() < 0.5:
+        m.set_hop(0.5 * rng.standard_normal(), 0, 0, [1])
+    return m
+
+
+def _random_2d(seed, norb=2):
+    rng = np.random.default_rng(seed)
+    lat = np.eye(2) + 0.2 * rng.standard_normal((2, 2))
+    m = ptt.tb_model(2, 2, lat=lat, orb=rng.uniform(0, 1, (norb, 2)))
+    m.set_onsite(rng.standard_normal(norb))
+    hops = [(0, 1, [0, 0]), (0, 1, [1, 0]), (0, 1, [0, 1]),
+            (0, 0, [1, 0]), (1, 1, [0, 1])]
+    for i, j, R in hops:
+        if i == j:
+            m.set_hop(0.5 * rng.standard_normal(), i, j, R)
+        else:
+            m.set_hop(rng.standard_normal() + 1j * rng.standard_normal(),
+                      i, j, R)
+    return m
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15, 16])
+def test_fuzz_floquet_matrix_vs_propagator(seed):
+    rng = np.random.default_rng(1000 + seed)
+    m = _random_1d(seed)
+    omega = float(rng.uniform(2.5, 6.0))
+    drive = {"A": [float(rng.uniform(0.2, 1.0))],
+             "phase": [float(rng.uniform(0, 2 * np.pi))]}
+    kpts = rng.uniform(0, 1, (4, 1))
+    quasi, wgt = floquet.quasienergies(m, omega, drive, kpts, nharm=8)
+    approx = _zone_copy(quasi, wgt, m._nsta, omega)
+    exact = floquet.quasienergies_exact(m, omega, drive, kpts, nt=4096)
+    _assert_circle_close(approx, exact, omega, 1e-5)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24, 25, 26, 27, 28])
+def test_fuzz_shift_sum_rule_vs_fd(seed):
+    rng = np.random.default_rng(2000 + seed)
+    m = _random_1d(seed)
+    for _ in range(2):
+        k0 = float(rng.uniform(0.05, 0.95))
+        evals, _, V, W2 = _band_data(m, np.array([[k0]]))
+        # FD covariant derivatives blow up near degeneracies; skip
+        # near-degenerate draws (the masked sum rule is fine there,
+        # but the oracle itself is not)
+        E = evals[0]
+        if np.min(np.abs(E[:, None] - E[None, :])[~np.eye(len(E), dtype=bool)]) < 0.05:
+            continue
+        _, rgen_sr = optical._gen_derivative(
+            jnp.asarray(evals), jnp.asarray(V), jnp.asarray(W2), 1e-7
+        )
+        _, rgen_fd = _fd_gen_derivative_1d(m, k0)
+        off = ~np.eye(len(E), dtype=bool)
+        np.testing.assert_allclose(
+            np.asarray(rgen_sr)[0, 0, 0][off], rgen_fd[off],
+            atol=1e-5 * max(1.0, np.abs(rgen_fd).max()),
+        )
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33, 34, 35, 36])
+def test_fuzz_unfold_pristine(seed):
+    rng = np.random.default_rng(3000 + seed)
+    m = _random_2d(seed)
+    mats = [np.diag([2, 2]), np.diag([3, 2]), np.array([[2, 1], [-1, 2]]),
+            np.array([[1, 1], [-1, 2]])]
+    M = mats[int(rng.integers(0, len(mats)))]
+    kpts = rng.uniform(0.02, 0.98, (3, 2))
+    _pristine_check(m, M, kpts, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43, 44, 45, 46])
+def test_fuzz_entanglement_fock_oracle(seed):
+    rng = np.random.default_rng(4000 + seed)
+    n = int(rng.integers(4, 7))
+    m = ptt.tb_model(0, 1, lat=[[1.0]],
+                     orb=[[i / n] for i in range(n)])
+    m.set_onsite(rng.standard_normal(n))
+    for i in range(n - 1):
+        m.set_hop(rng.standard_normal() + 1j * rng.standard_normal(),
+                  i, i + 1)
+    if n > 4:
+        m.set_hop(0.4 * rng.standard_normal(), 0, n - 1)
+    nocc = int(rng.integers(1, n))
+    nA = int(rng.integers(1, n))
+    sites = sorted(rng.choice(n, size=nA, replace=False).tolist())
+    xi = entanglement.correlation_spectrum(m, nocc, sites)
+    levels = [1.0]
+    for x in xi:
+        levels = [l * (1.0 - x) for l in levels] + [l * x for l in levels]
+    pred = np.sort(np.array(levels))[::-1]
+    exact = _exact_rdm_spectrum(m, nocc, sites)
+    k = min(len(pred), len(exact))
+    np.testing.assert_allclose(pred[:k], exact[:k], atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53, 54])
+def test_fuzz_dipole_vs_gradient(seed):
+    rng = np.random.default_rng(5000 + seed)
+    m = _random_2d(seed + 100)
+    # the FD-gradient oracle converges O(h^2) toward the Fermi-surface
+    # form (measured: 3.3% / 0.8% / 0.2% at 101/201/401); 201^2 with a
+    # 2% tolerance keeps the tier cheap and discriminating
+    nk = (201, 201)
+    E_probe = m.solve_all(rng.uniform(0, 1, (64, 2)))
+    # a small direct gap concentrates the curvature into a feature the
+    # central-difference oracle cannot resolve at this grid; skip such
+    # draws (the guard mirrors the shift-current FD fuzz)
+    if (E_probe[1] - E_probe[0]).min() < 0.3:
+        pytest.skip("near-degenerate draw: FD curvature oracle unreliable")
+    mu = float(rng.uniform(E_probe.min(), E_probe.max()))
+    T = 0.1
+    d_pkg = flows.berry_dipole(m, mu, T, nk=nk)
+    from .test_nonlinear_geometry import _curvature_grid
+
+    E, om, lat = _curvature_grid(m, nk)
+    f = 1.0 / (np.exp(np.clip((E - mu) / T, -80, 80)) + 1.0)
+    dom_red = np.stack([
+        (np.roll(om, -1, axis=d) - np.roll(om, 1, axis=d)) * (nk[d] / 2.0)
+        for d in range(2)
+    ])
+    dom_cart = np.einsum("ra,rijs->aijs", lat / (2.0 * np.pi), dom_red)
+    d_fd = np.einsum("ijs,aijs->a", f, dom_cart) / (
+        nk[0] * nk[1] * abs(np.linalg.det(lat))
+    )
+    scale = max(np.abs(d_fd).max(), 1e-6)
+    np.testing.assert_allclose(d_fd, d_pkg, atol=2e-2 * scale)
