@@ -52,11 +52,21 @@ this module adds them as a first-class subsystem, TPU-first:
   surfaces, wf_array, ...).  Circularly driven graphene yields the
   celebrated Haldane-like imaginary second-neighbor hops.
 
+* :func:`winding_number` evaluates the Rudner-Lindner-Berg-Levin
+  degree of the periodized evolution map -- the invariant of ANOMALOUS
+  Floquet phases, whose chiral edge modes exist in both quasienergy
+  gaps while every band Chern number vanishes (realized by the RLBL
+  five-step drive; tested, with the bulk-boundary dictionary
+  ``C = W(above) - W(below)``).
+
 Drive specification (``drive`` argument everywhere): either a dict
 ``{"A": (dim_r,) amplitudes, "phase": (dim_r,) phases}`` meaning
 ``A_a(t) = A[a] * cos(Omega t - phase[a])`` (circular polarization in
 the xy-plane: ``phase=(0, pi/2)``), or a callable ``t -> (dim_r,)``
-vector sampled on host over one period.
+vector sampled on host over one period, or ``{"hop_factors": fn}``
+with ``fn(t) -> (nhop,)`` per-hop amplitude multipliers (set_hop
+insertion order; piecewise-switched lattices).  Any dict form may add
+``"onsite": fn(t) -> (norb,)`` real time-periodic onsite energies.
 """
 
 from __future__ import annotations
@@ -77,6 +87,7 @@ __all__ = [
     "quasienergies_exact",
     "propagator",
     "chern",
+    "winding_number",
     "effective_model",
 ]
 
@@ -118,14 +129,60 @@ def _hop_displacements(model):
 
 
 def _phase_samples(model, drive, omega, nt, midpoint):
-    """exp(i theta_h(t_s)) over one period, (nt, nhop) complex128.
-    ``midpoint`` shifts samples to (s + 1/2) T / nt (propagator rule);
-    otherwise s T / nt (DFT rule)."""
-    d = _hop_displacements(model)  # (nhop, dim_r)
+    """Per-hop drive factors c_h(t_s) over one period, (nt, nhop)
+    complex128.  ``midpoint`` shifts samples to (s + 1/2) T / nt
+    (propagator rule); otherwise s T / nt (DFT rule).
+
+    Two drive families share every downstream code path (the Hermitian
+    partner always carries the conjugate factor):
+    - Peierls (``{"A": ..., "phase": ...}`` or a callable t -> A):
+      c_h(t) = exp(i A(t) . d_h);
+    - amplitude modulation (``{"hop_factors": fn}``): fn(t) returns a
+      (nhop,) array multiplying the stored amplitudes, indexed in
+      ``set_hop`` insertion order (piecewise drives like the
+      Rudner-Lindner-Berg-Levin model)."""
+    nhop = len(model._hoppings)
     T = 2.0 * np.pi / omega
     s = np.arange(nt, dtype=np.float64) + (0.5 if midpoint else 0.0)
-    A = _drive_at(drive, omega, s * (T / nt), model._dim_r)  # (nt, dim_r)
+    times = s * (T / nt)
+    if isinstance(drive, dict) and "hop_factors" in drive:
+        fn = drive["hop_factors"]
+        out = np.array(
+            [np.asarray(fn(t), dtype=np.complex128).reshape(-1)
+             for t in times]
+        )
+        if out.shape != (nt, nhop):
+            raise PythtbError(
+                'drive["hop_factors"] must return a length-%d array '
+                "per time" % nhop
+            )
+        return out
+    d = _hop_displacements(model)  # (nhop, dim_r)
+    A = _drive_at(drive, omega, times, model._dim_r)  # (nt, dim_r)
     return np.exp(1j * (A @ d.T))  # (nt, nhop)
+
+
+def _onsite_samples(model, drive, omega, nt, midpoint):
+    """Optional time-periodic onsite modulation: ``drive["onsite"]`` is
+    a callable t -> (norb,) REAL energies ADDED to the static site
+    energies.  Returns (nt, nsta) float64 (spin-replicated) or None."""
+    if not (isinstance(drive, dict) and "onsite" in drive):
+        return None
+    fn = drive["onsite"]
+    T = 2.0 * np.pi / omega
+    s = np.arange(nt, dtype=np.float64) + (0.5 if midpoint else 0.0)
+    out = np.array(
+        [np.asarray(fn(t), dtype=np.float64).reshape(-1)
+         for t in s * (T / nt)]
+    )
+    if out.shape != (nt, model._norb):
+        raise PythtbError(
+            'drive["onsite"] must return a length-%d real array per time'
+            % model._norb
+        )
+    if model._nspin == 2:
+        out = np.repeat(out, 2, axis=1)
+    return out
 
 
 def _hop_fourier(model, drive, omega, mmax, nt):
@@ -190,7 +247,7 @@ def _assemble_hm(static, data, kpts, fac, fac_partner):
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _spectrum_jit(static, nharm, data, cm_ri, kpts, omega):
+def _spectrum_jit(static, nharm, data, cm_ri, om_ri, kpts, omega):
     """Eigen-decompose the truncated Floquet matrix for a k-batch.
 
     Returns (evals (B, NM*S), m0-weights (B, NM*S)) with NM = 2*nharm+1
@@ -204,6 +261,11 @@ def _spectrum_jit(static, nharm, data, cm_ri, kpts, omega):
     Hm = _assemble_hm(static, data, kpts, cm, cm_part)  # (B, nm_tot, S, S)
     diag = unpack_cplx(jnp.asarray(data.diag))
     Hm = Hm.at[:, mmax].add(diag[None])
+    # onsite-modulation harmonics enter every block's diagonal
+    om_h = unpack_cplx(om_ri)  # (nm_tot, S)
+    Sd = om_h.shape[-1]
+    didx = jnp.arange(Sd)
+    Hm = Hm.at[:, :, didx, didx].add(om_h[None])
     NM = 2 * nharm + 1
     S = static.nsta
     p = jnp.arange(NM)
@@ -223,8 +285,8 @@ def _spectrum_jit(static, nharm, data, cm_ri, kpts, omega):
     return evals, weights
 
 
-@partial(jax.jit, static_argnums=(0, 5))
-def _propagator_jit(static, data, dphase_ri, kpts, dt, mesh=None):
+@partial(jax.jit, static_argnums=(0, 6))
+def _propagator_jit(static, data, dphase_ri, ons, kpts, dt, mesh=None):
     """One-period evolution U(T, k) by the midpoint product rule:
     U = prod_s exp(-i H(t_s) dt), one lax.scan, each factor via batched
     Hermitian eigh.  Returns ri-packed (B, S, S).  With a (static,
@@ -246,7 +308,8 @@ def _propagator_jit(static, data, dphase_ri, kpts, dt, mesh=None):
     ph = _phases(static, data.rv, kpts)  # (B, nhop)
     amps = unpack_cplx(jnp.asarray(data.amps))
 
-    def step(U, dph_s):
+    def step(U, sample):
+        dph_s, ons_s = sample
         if static.nhop == 0:
             H = jnp.broadcast_to(diag, (B, S, S)).astype(ctype)
         elif static.nspin == 1:
@@ -265,6 +328,7 @@ def _propagator_jit(static, data, dphase_ri, kpts, dt, mesh=None):
                 jnp.conj(jnp.swapaxes(vals, -1, -2))
             )
             H = Hblk.transpose(0, 1, 3, 2, 4).reshape(B, S, S) + diag[None]
+        H = H + jnp.diag(ons_s.astype(H.real.dtype)).astype(H.dtype)[None]
         w, V = eigh_batched(H)  # rows are eigenvectors
         phase = jnp.exp(jax.lax.complex(jnp.zeros_like(w), -w * dt))
         # expm(-i H dt)[s, t] = sum_n V[n, s] e^{-i w_n dt} conj(V[n, t])
@@ -277,7 +341,7 @@ def _propagator_jit(static, data, dphase_ri, kpts, dt, mesh=None):
         ), None
 
     U0 = jnp.broadcast_to(jnp.eye(S, dtype=ctype), (B, S, S))
-    U, _ = jax.lax.scan(step, U0, dphase)
+    U, _ = jax.lax.scan(step, U0, (dphase, ons))
     return pack_cplx(U)
 
 
@@ -339,9 +403,17 @@ def quasienergies(model, omega, drive, k_list=None, nharm=6, nt=None):
     if nt < 4 * nharm + 4:
         raise PythtbError("nt must be >= 4*nharm + 4 for unaliased harmonics")
     cm = _hop_fourier(model, drive, omega, 2 * nharm, nt)
+    ons = _onsite_samples(model, drive, omega, nt, midpoint=False)
+    nm_tot = 4 * nharm + 1
+    if ons is None:
+        om_h = np.zeros((nm_tot, static.nsta), dtype=np.complex128)
+    else:
+        c = np.fft.fft(ons, axis=0) / nt
+        om_h = np.stack([c[mi % nt] for mi in range(-2 * nharm,
+                                                    2 * nharm + 1)], axis=0)
     ftype = config.float_dtype()
     evals, weights = _spectrum_jit(
-        static, nharm, data, host_pack(cm),
+        static, nharm, data, host_pack(cm), host_pack(om_h),
         jnp.asarray(kpts, ftype), jnp.asarray(omega, ftype),
     )
     out = jax.device_get((evals, weights))
@@ -356,11 +428,14 @@ def _propagator_device(model, omega, drive, k_list, nt):
     if nt < 4:
         raise PythtbError("nt must be >= 4")
     dph = _phase_samples(model, drive, omega, nt, midpoint=True)
+    ons = _onsite_samples(model, drive, omega, nt, midpoint=True)
+    if ons is None:
+        ons = np.zeros((nt, static.nsta))
     ftype = config.float_dtype()
     dt = 2.0 * np.pi / (omega * nt)
     out = _propagator_jit(
-        static, data, host_pack(dph), jnp.asarray(kpts, ftype),
-        jnp.asarray(dt, ftype),
+        static, data, host_pack(dph), jnp.asarray(ons, ftype),
+        jnp.asarray(kpts, ftype), jnp.asarray(dt, ftype),
     )
     return static, out
 
@@ -454,13 +529,17 @@ def chern(model, omega, drive, band, nk=(31, 31), nt=256, ezero=0.0,
     n0, n1 = int(nk[0]), int(nk[1])
     nt = int(nt)
     dph = _phase_samples(model, drive, omega, nt, midpoint=True)
+    ons = _onsite_samples(model, drive, omega, nt, midpoint=True)
+    if ons is None:
+        ons = np.zeros((nt, static.nsta))
     ftype = config.float_dtype()
     dt = 2.0 * np.pi / (omega * nt)
     kpts = device_uniform_grid(
         (n0 - 1, n1 - 1), jnp.asarray([-0.5, -0.5], ftype)
     )
     U_ri = _propagator_jit(
-        static, data, host_pack(dph), kpts, jnp.asarray(dt, ftype), mesh
+        static, data, host_pack(dph), jnp.asarray(ons, ftype), kpts,
+        jnp.asarray(dt, ftype), mesh
     )
     p0, p1 = gauge_phases(model, (0, 1))
     phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
@@ -469,6 +548,199 @@ def chern(model, omega, drive, band, nk=(31, 31), nt=256, ezero=0.0,
         jnp.asarray(float(ezero), ftype), phases_ri,
     )
     return float(jax.device_get(flux)) / (2.0 * np.pi)
+
+
+# ---------------------------------------------------------------------------
+# Rudner winding number (anomalous Floquet topology)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _propagator_history_jit(static, data, dphase_ri, ons, kpts, dt):
+    """Cumulative evolution U(k, s*dt) for s = 0..nt, (nt+1, B, S, S)
+    ri-packed -- the same midpoint product as _propagator_jit but with
+    the whole history collected."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import _phases
+
+    dphase = unpack_cplx(dphase_ri)
+    B = kpts.shape[0]
+    S = static.nsta
+    n = static.norb
+    ctype = config.complex_dtype()
+    diag = unpack_cplx(jnp.asarray(data.diag))
+    ph = _phases(static, data.rv, kpts)
+    amps = unpack_cplx(jnp.asarray(data.amps))
+
+    def step(U, sample):
+        dph_s, ons_s = sample
+        if static.nhop == 0:
+            H = jnp.broadcast_to(diag, (B, S, S)).astype(ctype)
+        elif static.nspin == 1:
+            vals = ph * (amps * dph_s)[None, :]
+            H = jnp.zeros((B, n, n), dtype=ctype)
+            H = H.at[:, data.ii, data.jj].add(vals)
+            H = H.at[:, data.jj, data.ii].add(jnp.conj(vals))
+            H = H + diag[None]
+        else:
+            vals = ph[:, :, None, None] * (
+                amps[None] * dph_s[None, :, None, None]
+            )
+            Hblk = jnp.zeros((B, n, n, 2, 2), dtype=ctype)
+            Hblk = Hblk.at[:, data.ii, data.jj].add(vals)
+            Hblk = Hblk.at[:, data.jj, data.ii].add(
+                jnp.conj(jnp.swapaxes(vals, -1, -2))
+            )
+            H = Hblk.transpose(0, 1, 3, 2, 4).reshape(B, S, S) + diag[None]
+        H = H + jnp.diag(ons_s.astype(H.real.dtype)).astype(H.dtype)[None]
+        w, V = eigh_batched(H)
+        phase = jnp.exp(jax.lax.complex(jnp.zeros_like(w), -w * dt))
+        expH = jnp.einsum("bns,bn,bnt->bst", V, phase, jnp.conj(V),
+                          precision=jax.lax.Precision.HIGHEST)
+        Unew = jnp.einsum("bst,btu->bsu", expH, U,
+                          precision=jax.lax.Precision.HIGHEST)
+        return Unew, Unew
+
+    U0 = jnp.broadcast_to(jnp.eye(S, dtype=ctype), (B, S, S))
+    _, hist = jax.lax.scan(step, U0, (dphase, ons))
+    return pack_cplx(jnp.concatenate([U0[None], hist], axis=0))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _winding_jit(static, n0, n1, hist_ri, omega, egap, phases_ri):
+    """Degree of the periodized evolution map (Rudner et al., PRX 3,
+    031005 (2013), Eq. (10)):
+
+    ``W = (1/8 pi^2) int dt dk1 dk2
+    Tr( U_e^H dU_e/dt [U_e^H dU_e/dk1, U_e^H dU_e/dk2] )``
+
+    with ``U_e(k, t) = U(k, t) exp(+i t H_eff^e)`` periodized through
+    the quasienergy gap at ``egap``.  Coordinates are (reduced k) x
+    [0, T): the integrand is a reparameterization-invariant 3-form, so
+    no 2pi Jacobians appear.  Central differences everywhere; the
+    k-wrap uses the Convention-I conjugation ``U(k + G) = D U(k) D^H``
+    with the same embedding phases the flux engines use."""
+    from .ops.berry import unitary_eig
+
+    hist = unpack_cplx(hist_ri)  # (nt+1, B, S, S)
+    ntp1, B, S, _ = hist.shape
+    nt = ntp1 - 1
+    T = 2.0 * np.pi / omega
+    # branch the quasienergies into (egap, egap + omega): H_eff^e
+    theta, P = unitary_eig(hist[-1])  # (B, S), (B, S, S) cols eigvecs
+    eps = -theta * omega / (2.0 * np.pi)
+    eps = eps - omega * jnp.floor((eps - egap) / omega) - omega
+    eps = jnp.where(eps <= egap, eps + omega, eps)  # in (egap, egap+w]
+    ts = (jnp.arange(nt + 1, dtype=eps.dtype) * (T / nt))
+    # exp(+ i t H_eff) = P diag(e^{i eps t}) P^H, all times at once
+    ph_t = jnp.exp(
+        jax.lax.complex(
+            jnp.zeros((ntp1, B, S), eps.dtype), ts[:, None, None] * eps[None]
+        )
+    )
+    expH = jnp.einsum(
+        "bsn,tbn,bun->tbsu", P, ph_t, jnp.conj(P),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    Ue = jnp.einsum("tbsu,tbuv->tbsv", hist, expH,
+                    precision=jax.lax.Precision.HIGHEST)
+    # reshape to the (t, k1, k2) grid; drop the duplicated t = T slice
+    # (U_e is periodic: the branch makes U_e(T) = U_e(0) = 1)
+    Ue = Ue[:-1].reshape(nt, n0, n1, S, S)
+
+    def a_mu(dU):
+        return jnp.einsum("tijsu,tijsv->tijuv", jnp.conj(Ue), dU,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    # periodic central differences; k-wraps conjugated by the embedding
+    p0 = unpack_cplx(phases_ri[0])  # (F,) = diag of D_0
+    p1 = unpack_cplx(phases_ri[1])
+
+    def d_k(axis, pfac):
+        up = jnp.roll(Ue, -1, axis=axis)
+        dn = jnp.roll(Ue, 1, axis=axis)
+        # U(k + G) = D U(k) D^H, elementwise mask D_{su} = p_s conj(p_u)
+        D = pfac[:, None] * jnp.conj(pfac)[None, :]
+        idx_last = [slice(None)] * 5
+        idx_last[axis] = -1
+        idx_first = [slice(None)] * 5
+        idx_first[axis] = 0
+        up = up.at[tuple(idx_last)].multiply(D)          # wrap k -> k+1
+        dn = dn.at[tuple(idx_first)].multiply(jnp.conj(D))  # wrap k -> k-1
+        h = 1.0 / (n0 if axis == 1 else n1)
+        return (up - dn) / (2.0 * h)
+
+    dU_t = (jnp.roll(Ue, -1, axis=0) - jnp.roll(Ue, 1, axis=0)) / (
+        2.0 * T / nt
+    )
+    A_t = a_mu(dU_t)
+    A_1 = a_mu(d_k(1, p0))
+    A_2 = a_mu(d_k(2, p1))
+    comm = jnp.einsum("tijsu,tijuv->tijsv", A_1, A_2,
+                      precision=jax.lax.Precision.HIGHEST) - jnp.einsum(
+        "tijsu,tijuv->tijsv", A_2, A_1,
+        precision=jax.lax.Precision.HIGHEST)
+    tr = jnp.einsum("tijsu,tijus->tij", A_t, comm,
+                    precision=jax.lax.Precision.HIGHEST)
+    vol_cell = (T / nt) * (1.0 / n0) * (1.0 / n1)
+    # minus sign: report in the package's (reference-mirrored) flux
+    # orientation, so C_band = W(gap above) - W(gap below) holds with
+    # the same chern() every other Hall-like quantity matches
+    return -jnp.real(jnp.sum(tr)) * vol_cell / (8.0 * np.pi**2)
+
+
+def winding_number(model, omega, drive, egap, nk=(21, 21), nt=128):
+    """Rudner winding number ``W(egap)`` of a driven 2-D lattice -- the
+    bulk invariant counting chiral edge modes in the quasienergy gap at
+    ``egap``, including the ANOMALOUS phases where every band Chern
+    number vanishes (Rudner, Lindner, Berg & Levin, PRX 3, 031005
+    (2013)).
+
+    The full evolution history U(k, t) over one period is built by the
+    midpoint product (one lax.scan), periodized through the gap via the
+    branch-cut effective Hamiltonian (device unitary_eig), and the
+    degree integral discretized with periodic central differences --
+    one device program end to end.
+
+    The Chern number of a quasienergy band equals ``W(gap above) -
+    W(gap below)`` (tested); a high-frequency drive has ``W = 0`` at
+    the zone edge, while the RLBL piecewise drive realizes ``|W| = 1``
+    in BOTH gaps with zero band Chern numbers (the anomalous phase;
+    tested at and away from the ideal point).
+
+    :param egap: a quasienergy INSIDE a spectral gap (e.g. 0 or
+      omega/2); a gapless choice gives a non-integer answer
+    :param nt: time steps (use more for piecewise-constant drives --
+      the kinks cost first-order errors locally)
+    :returns: float close to the integer W (caller may round)
+    """
+    if model._dim_k != 2:
+        raise PythtbError("winding_number requires dim_k == 2")
+    from .flows import gauge_phases
+    from .ops.solver import device_uniform_grid
+
+    omega = float(omega)
+    static, data, _ = _prep(model, omega, np.zeros((1, 2)))
+    n0, n1 = int(nk[0]), int(nk[1])
+    nt = int(nt)
+    dph = _phase_samples(model, drive, omega, nt, midpoint=True)
+    ons = _onsite_samples(model, drive, omega, nt, midpoint=True)
+    if ons is None:
+        ons = np.zeros((nt, static.nsta))
+    ftype = config.float_dtype()
+    dt = 2.0 * np.pi / (omega * nt)
+    kpts = device_uniform_grid((n0, n1), jnp.zeros((2,), ftype))
+    hist = _propagator_history_jit(
+        static, data, host_pack(dph), jnp.asarray(ons, ftype), kpts,
+        jnp.asarray(dt, ftype)
+    )
+    p0, p1 = gauge_phases(model, (0, 1))
+    phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
+    out = _winding_jit(
+        static, n0, n1, hist, jnp.asarray(omega, ftype),
+        jnp.asarray(float(egap), ftype), phases_ri,
+    )
+    return float(jax.device_get(out))
 
 
 # ---------------------------------------------------------------------------
@@ -554,6 +826,13 @@ def effective_model(model, omega, drive, nharm=6, nt=None, tol=1e-10):
     if nt < 4 * nharm + 4:
         raise PythtbError("nt must be >= 4*nharm + 4 for unaliased harmonics")
     cm = _hop_fourier(model, drive, omega, nharm, nt)  # (2M+1, nhop)
+    ons_s = _onsite_samples(model, drive, omega, int(nt), midpoint=False)
+    if ons_s is None:
+        om_h = np.zeros((2 * nharm + 1, model._norb), dtype=np.complex128)
+    else:
+        c = np.fft.fft(ons_s[:, :: model._nspin], axis=0) / int(nt)
+        om_h = np.stack([c[mi % int(nt)]
+                         for mi in range(-nharm, nharm + 1)], axis=0)
     nspin = model._nspin
 
     def row(m):
@@ -563,10 +842,20 @@ def effective_model(model, omega, drive, nharm=6, nt=None, tol=1e-10):
         prev = tab.get(key)
         tab[key] = val if prev is None else prev + val
 
-    heff = _table_for_m(model, row(0), row(0), nspin)
+    R0 = (0,) * model._dim_r
+
+    def _with_onsite(tab, m):
+        hrow = om_h[m + nharm]
+        for i in range(model._norb):
+            blk = (hrow[i] if nspin == 1
+                   else hrow[i] * np.eye(2, dtype=np.complex128))
+            _acc(tab, (i, i, R0), blk)
+        return tab
+
+    heff = _with_onsite(_table_for_m(model, row(0), row(0), nspin), 0)
     for m in range(1, nharm + 1):
-        Am = _table_for_m(model, row(m), row(-m), nspin)
-        Amn = _table_for_m(model, row(-m), row(m), nspin)
+        Am = _with_onsite(_table_for_m(model, row(m), row(-m), nspin), m)
+        Amn = _with_onsite(_table_for_m(model, row(-m), row(m), nspin), -m)
         for key, val in _table_product(Am, Amn, nspin).items():
             _acc(heff, key, val / (m * omega))
         for key, val in _table_product(Amn, Am, nspin).items():

@@ -274,3 +274,110 @@ def test_floquet_errors():
         floquet.chern(ptt.models.chain(), 2.0, {"A": [1.0]}, band=0)
     with pytest.raises(PythtbError):
         floquet.quasienergies(m, 2.0, CIRC, np.zeros((1, 2)), nharm=0)
+
+
+# ---------------------------------------------------------------------------
+# winding number (anomalous Floquet topology) + onsite drives
+# ---------------------------------------------------------------------------
+
+
+def _rudner(J):
+    """Bipartite square lattice of the RLBL model (PRX 3, 031005)."""
+    mm = ptt.tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]],
+                      orb=[[0.0, 0.0], [0.5, 0.5]])
+    for R in ([0, 0], [-1, 0], [-1, -1], [0, -1]):
+        mm.set_hop(J, 0, 1, R)
+    return mm
+
+
+def _rudner_drive(omega, delta=0.5):
+    """Five-step drive: bonds 1-4 active in turn, sublattice potential
+    +-delta during the idle fifth step (opens the 0-gap)."""
+    T = 2 * np.pi / omega
+
+    def hop_factors(t):
+        step = int(t / (T / 5.0))
+        f = np.zeros(4)
+        if step < 4:
+            f[step] = 1.0
+        return f
+
+    def onsite(t):
+        step = int(t / (T / 5.0))
+        return (np.array([delta, -delta]) if step == 4 else np.zeros(2))
+
+    return {"hop_factors": hop_factors, "onsite": onsite}
+
+
+def test_winding_driven_haldane():
+    """Weakly driven Haldane: W(0-gap) equals the package-convention
+    Chern number of the band below (C = W(above) - W(below) with
+    W(zone edge) = 0 at high frequency)."""
+    m = ptt.models.haldane()
+    drv = {"A": [0.3, 0.3], "phase": [0.0, np.pi / 2]}
+    w0 = floquet.winding_number(m, 10.0, drv, egap=0.0, nk=(21, 21), nt=64)
+    wz = floquet.winding_number(m, 10.0, drv, egap=5.0, nk=(21, 21), nt=64)
+    c = floquet.chern(m, 10.0, drv, band=0, nk=(19, 19), nt=96)
+    assert abs(wz) < 0.02
+    assert abs(w0 - round(w0)) < 0.06 and round(w0) == round(c) == -1
+
+
+def test_winding_rlbl_anomalous_phase():
+    """The RLBL anomalous phase: chiral edge modes in BOTH quasienergy
+    gaps (|W| = 1 at 0 and pi) while every band Chern number vanishes
+    -- topology invisible to any static-style invariant."""
+    omega = 1.0
+    T = 2 * np.pi / omega
+    J = 0.85 * (np.pi / 2) / (T / 5)
+    m = _rudner(J)
+    drv = _rudner_drive(omega)
+    w0 = floquet.winding_number(m, omega, drv, egap=0.0, nk=(17, 17),
+                                nt=200)
+    wp = floquet.winding_number(m, omega, drv, egap=omega / 2,
+                                nk=(17, 17), nt=200)
+    c0 = floquet.chern(m, omega, drv, band=0, nk=(17, 17), nt=200)
+    assert abs(w0 - round(w0)) < 0.06 and abs(round(w0)) == 1
+    assert abs(wp - round(wp)) < 0.06 and round(wp) == round(w0)
+    assert abs(c0 - (wp - w0)) < 0.1 and abs(round(c0)) == 0
+
+
+def test_onsite_drive_matrix_vs_propagator():
+    """The onsite-modulation path through the extended-zone matrix
+    (diagonal harmonics) against the exact propagator."""
+    m = _two_orb_chain()
+    omega = 3.3
+
+    def onsite(t):
+        return np.array([0.6 * np.cos(omega * t), -0.4 * np.sin(omega * t)])
+
+    drv = {"A": [0.5], "phase": [0.3], "onsite": onsite}
+    kpts = np.linspace(0.0, 1.0, 5)[:, None]
+    quasi, wgt = floquet.quasienergies(m, omega, drv, kpts, nharm=8)
+    approx = _zone_copy(quasi, wgt, m._nsta, omega)
+    exact = floquet.quasienergies_exact(m, omega, drv, kpts, nt=4096)
+    _assert_circle_close(approx, exact, omega, 1e-6)
+
+
+def test_onsite_drive_effective_model():
+    """Constant 'modulation' is exactly a static onsite shift (only the
+    m = 0 harmonic), and a genuinely modulated onsite converges to the
+    exact quasienergies at high frequency."""
+    m = _two_orb_chain()
+    eff = floquet.effective_model(
+        m, 6.0, {"A": [0.0], "phase": [0.0],
+                 "onsite": lambda t: np.array([0.7, -0.2])})
+    m2 = _two_orb_chain()
+    m2.set_onsite([0.7, -0.2], mode="add")
+    kpts = np.array([[0.1], [0.37], [0.8]])
+    np.testing.assert_allclose(eff.solve_all(kpts), m2.solve_all(kpts),
+                               atol=1e-10)
+    omega = 14.0
+
+    def onsite(t):
+        return np.array([0.8 * np.cos(omega * t), 0.0])
+
+    drv = {"A": [0.0], "phase": [0.0], "onsite": onsite}
+    eff2 = floquet.effective_model(m, omega, drv, nharm=4)
+    exact = floquet.quasienergies_exact(m, omega, drv, kpts, nt=2048)
+    eb = np.sort(eff2.solve_all(kpts).T, axis=-1)
+    assert np.abs(eb - exact).max() < 0.02

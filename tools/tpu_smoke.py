@@ -328,6 +328,36 @@ def main():
           "eta=%.5f,%.5f D=%.5f,%.1e (x64: 0.00231, -0.00124, 0.03705, 0)"
           % (eta[0, 0, 1, 0], eta[0, 0, 1, 1], dip[0], dip[1]))
 
+    # 27. anomalous Floquet winding number (RLBL five-step drive, f32)
+    T_r = 2.0 * np.pi
+    mr = ptt.tb_model(2, 2, lat=[[1.0, 0.0], [0.0, 1.0]],
+                      orb=[[0.0, 0.0], [0.5, 0.5]])
+    for Rv in ([0, 0], [-1, 0], [-1, -1], [0, -1]):
+        mr.set_hop(0.85 * (np.pi / 2) / (T_r / 5), 0, 1, Rv)
+
+    def _hf(t):
+        step = int(t / (T_r / 5.0))
+        f = np.zeros(4)
+        if step < 4:
+            f[step] = 1.0
+        return f
+
+    def _ons(t):
+        step = int(t / (T_r / 5.0))
+        return np.array([0.5, -0.5]) if step == 4 else np.zeros(2)
+
+    drv_r = {"hop_factors": _hf, "onsite": _ons}
+    w0 = floquet.winding_number(mr, 1.0, drv_r, egap=0.0, nk=(17, 17),
+                                nt=200)
+    wp = floquet.winding_number(mr, 1.0, drv_r, egap=0.5, nk=(17, 17),
+                                nt=200)
+    cr = floquet.chern(mr, 1.0, drv_r, band=0, nk=(17, 17), nt=200)
+    check("anomalous floquet winding f32",
+          abs(w0 + 0.9619) < 5e-3 and abs(wp + 0.9693) < 5e-3
+          and abs(cr) < 1e-3,
+          "W0=%.4f Wpi=%.4f C=%.4f (x64: -0.9619, -0.9693, 0)"
+          % (w0, wp, cr))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
