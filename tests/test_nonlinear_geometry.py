@@ -174,3 +174,45 @@ def test_dipole_errors():
         flows.berry_dipole(ptt.models.graphene(), 0.0, 0.0)
     with pytest.raises(ValueError):
         flows.berry_dipole(ptt.models.chain(), 0.0, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# spin Hall conductivity
+# ---------------------------------------------------------------------------
+
+
+def test_spin_hall_conserved_sz_quantized():
+    """With rashba = 0 Kane-Mele conserves s_z exactly: the Kubo spin
+    Hall value is the integer C_up - C_dn = 2 * spin_chern."""
+    m = ptt.models.kane_mele(esite=1.0, rashba=0.0)
+    sh = flows.spin_hall_conductivity(m, [0, 1], nk=(61, 61))
+    cs = flows.spin_chern(m, (0, 1), nk=(41, 41))["spin_chern"]
+    np.testing.assert_allclose(sh, 2.0 * cs, atol=1e-4)
+    assert abs(abs(sh) - 2.0) < 1e-4
+    # trivial phase: zero
+    t = ptt.models.kane_mele(esite=2.5, rashba=0.0)
+    sh_t = flows.spin_hall_conductivity(t, [0, 1], nk=(61, 61))
+    assert abs(sh_t) < 1e-4
+
+
+def test_spin_hall_rashba_deviation():
+    """Rashba breaks s_z conservation: the Kubo value deviates
+    CONTINUOUSLY from quantization (grows with rashba), while the
+    P.Sz.P spin Chern stays pinned -- the standard diagnostic pair."""
+    devs = []
+    for r in (0.0, 0.15, 0.3):
+        m = ptt.models.kane_mele(esite=1.0, rashba=r)
+        sh = flows.spin_hall_conductivity(m, [0, 1], nk=(61, 61))
+        cs = flows.spin_chern(m, (0, 1), nk=(41, 41))["spin_chern"]
+        assert abs(abs(cs) - 1.0) < 1e-3  # sector invariant stays pinned
+        devs.append(abs(abs(sh) - 2.0))
+    assert devs[0] < 1e-4 and devs[0] < devs[1] < devs[2]
+    assert devs[2] < 0.5  # still recognizably near the QSH value
+
+
+def test_spin_hall_errors():
+    with pytest.raises(ValueError):
+        flows.spin_hall_conductivity(ptt.models.haldane(), [0])
+    with pytest.raises(ValueError):
+        flows.spin_hall_conductivity(
+            ptt.models.kane_mele().cut_piece(3, 0), [0, 1])

@@ -358,6 +358,15 @@ def main():
           "W0=%.4f Wpi=%.4f C=%.4f (x64: -0.9619, -0.9693, 0)"
           % (w0, wp, cr))
 
+    # 28. Kubo spin Hall conductivity (f32)
+    sh_c = flows.spin_hall_conductivity(
+        zoo_models.kane_mele(esite=1.0, rashba=0.0), [0, 1], nk=(61, 61))
+    sh_r = flows.spin_hall_conductivity(
+        zoo_models.kane_mele(esite=1.0, rashba=0.25), [0, 1], nk=(61, 61))
+    check("kubo spin hall f32",
+          abs(sh_c + 2.0) < 1e-3 and abs(sh_r + 2.05432) < 1e-3,
+          "conserved=%.5f rashba=%.5f (x64: -2, -2.05432)" % (sh_c, sh_r))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
