@@ -1,0 +1,314 @@
+"""Quantum geometry of Bloch bands: metric, curvature, geometric tensor.
+
+The reference exposes Berry *phases* and plaquette *fluxes*
+(pythtb.py:2863-3118) but no pointwise geometric quantities: there is
+no way to ask for the Berry curvature at a k-point, the quantum
+(Fubini-Study) metric anywhere, or the BZ-integrated metric that
+controls Wannier spread and flat-band superfluid weight.  This module
+supplies the full quantum geometric tensor (QGT), TPU-first: one
+compiled program per k-batch, all matrix elements from the analytic
+Convention-I k-gradient (:func:`pythtb_tpu.ops.hamiltonian.assemble_dk`)
+-- no finite-difference grids, no gauge fixing.
+
+Definitions.  For the occupied subspace P(k) = sum_occ |u_n><u_n| the
+(non-abelian, gauge-invariant) QGT is
+
+    Q_ab(k) = Tr[ dP/dk_a (1 - P) dP/dk_b ]
+            = sum_{n occ, m unocc} conj(G^a_mn) G^b_mn,
+
+with the interband connection G^a_mn = <u_m| du_n/dk_a>.  Its real
+part is the quantum metric g_ab = Re Q_ab; its imaginary part is the
+Berry curvature Omega_ab = -2 Im Q_ab (so for a 2-D insulator
+``(2 pi / (A_c N_k)) sum_k Omega_xy = C``, the Chern number -- tested
+against :func:`pythtb_tpu.flows.chern_number`).
+
+Position-operator convention (the one subtlety).  A tight-binding model
+carries orbital positions t_alpha, and the *physical* position operator
+is r = R + t.  The cell-periodic overlap that knows about it is the
+Convention-II one, <u_k|u_k'> = sum_a conj(c_a(k)) c_a(k') e^{i (k'-k)
+. t_a}, and perturbation theory in that frame gives
+
+    G^a_mn = V^a_mn / (E_n - E_m) + i <m| t_cart_a |n>    (m != n)
+
+where V^a is the Convention-I velocity (band matrix elements of
+``assemble_dk`` converted to Cartesian).  The second term is the
+orbital-embedding correction: dropping it yields the "lattice gauge"
+curvature used internally by :func:`pythtb_tpu.flows.berry_dipole`
+(both integrate to the same Chern number; they differ pointwise by the
+curl of the embedding connection).  This module keeps it, because the
+embedded QGT is the one tied to physical observables: its BZ-integrated
+trace is exactly the gauge-invariant Wannier spread Omega_I of
+Marzari-Vanderbilt (computed independently by the b-shell machinery in
+:mod:`pythtb_tpu.wannier` -- the two agree as the grid refines, which is
+a committed test), and its metric bounds the flat-band superfluid
+weight.
+
+Everything returns host float64/complex128; complex crosses the device
+boundary ri-packed (utils/xfer.py).  Units: lengths in lattice units
+(Angstrom if the lattice is), energies in the model's units; the metric
+is [length^2], the curvature [length^2].
+"""
+
+from __future__ import annotations
+
+import warnings
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .model import PythtbError
+from .utils.xfer import host_unpack, pack_cplx, unpack_cplx
+
+__all__ = [
+    "quantum_geometric_tensor",
+    "quantum_metric",
+    "berry_curvature",
+    "integrated_metric",
+]
+
+_DEG_TOL = 1e-7  # energy-denominator mask, matches optical/flows siblings
+
+
+def _connection(static, data, kpts, lat, tcart):
+    """Interband connection G (B, d, S, S): G[b, a, m, n] =
+    <u_m|d u_n/dk_a> = V^a_mn/(E_n - E_m) + i t^a_mn, masked to zero
+    where |E_n - E_m| <= _DEG_TOL.  Returns (evals, G, min interband
+    |denominator| over the masked-in pairs is NOT computed here --
+    callers derive their own diagnostics from evals)."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble, assemble_dk
+
+    hp = jax.lax.Precision.HIGHEST
+    H = assemble(static, data, kpts)
+    evals, vecs = eigh_batched(H)  # rows are states
+    # complex-typed lattice factors: a mixed real x complex dot SIGABRTs
+    # the remote TPU compiler (see optical._band_tensors)
+    latj = jnp.asarray(lat).astype(config.complex_dtype())
+    dH = assemble_dk(static, data, kpts)
+    dHc = jnp.einsum("ra,brij->baij", latj, dH, precision=hp) / (2.0 * np.pi)
+    V = jnp.einsum("bns,bast,bmt->banm", jnp.conj(vecs), dHc, vecs,
+                   precision=hp)  # V[b, a, m, n] = <m|dH_a|n>
+    T = jnp.einsum("bms,sa,bns->bamn", jnp.conj(vecs),
+                   jnp.asarray(tcart).astype(config.complex_dtype()), vecs,
+                   precision=hp)
+    D = evals[:, None, :] - evals[:, :, None]  # D[b, m, n] = E_n - E_m
+    mask = jnp.abs(D) > _DEG_TOL
+    invD = jnp.where(mask, 1.0 / jnp.where(mask, D, 1.0), 0.0)
+    G = (V * invD[:, None].astype(V.dtype)
+         + 1.0j * T) * mask[:, None].astype(V.dtype)
+    return evals, G
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _qgt_occ_jit(static, data, kpts, occ, lat, tcart):
+    """Non-abelian QGT of the occupied multiplet, (B, d, d) ri-packed,
+    plus the minimum occupied<->empty energy separation (degeneracy
+    diagnostic)."""
+    evals, G = _connection(static, data, kpts, lat, tcart)
+    S = static.nsta
+    occ_idx = jnp.asarray(occ, jnp.int32)
+    unocc_idx = jnp.asarray(
+        [s for s in range(S) if s not in occ], jnp.int32
+    )
+    Gs = G[:, :, unocc_idx[:, None], occ_idx[None, :]]  # (B, d, mu, no)
+    Q = jnp.einsum("bamn,bcmn->bac", jnp.conj(Gs), Gs,
+                   precision=jax.lax.Precision.HIGHEST)
+    gap = jnp.min(jnp.abs(
+        evals[:, unocc_idx][:, :, None] - evals[:, occ_idx][:, None, :]
+    ))
+    return pack_cplx(Q), gap
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _qgt_bands_jit(static, data, kpts, lat, tcart):
+    """Band-resolved (abelian) QGT for every band, (B, S, d, d)
+    ri-packed: band n against all m != n."""
+    _, G = _connection(static, data, kpts, lat, tcart)
+    Q = jnp.einsum("bamn,bcmn->bnac", jnp.conj(G), G,
+                   precision=jax.lax.Precision.HIGHEST)
+    return pack_cplx(Q)
+
+
+def _prep(model, caller):
+    static, data = model._get_finalized()
+    if static.dim_k != model._dim_r:
+        raise PythtbError(
+            "%s requires a fully periodic model (dim_k == dim_r)" % caller
+        )
+    if static.dim_k == 0:
+        raise PythtbError("%s requires at least one periodic direction"
+                          % caller)
+    lat = np.asarray(model._lat, dtype=np.float64)
+    tcart = np.asarray(model._orb, dtype=np.float64) @ lat
+    if static.nspin == 2:
+        tcart = np.repeat(tcart, 2, axis=0)  # spin-fastest state layout
+    return static, data, lat, tcart
+
+
+def _check_occ(occ, nsta):
+    occ = tuple(int(o) for o in np.atleast_1d(occ))
+    if len(occ) == 0 or len(set(occ)) != len(occ):
+        raise PythtbError("occ must be a nonempty set of distinct bands")
+    if min(occ) < 0 or max(occ) >= nsta:
+        raise PythtbError("occ indices %s out of range for %d states"
+                          % (sorted(occ), nsta))
+    if len(occ) == nsta:
+        raise PythtbError("occ cannot contain every band (QGT of the "
+                          "full space vanishes identically)")
+    return occ
+
+
+def quantum_geometric_tensor(model, k_list, occ=None, bands=None):
+    """Quantum geometric tensor at arbitrary k-points, one device
+    program.
+
+    Exactly one of ``occ`` / ``bands`` must be given:
+
+    * ``occ=[...]``: the gauge-invariant non-abelian QGT of the
+      occupied multiplet, ``Q_ab = Tr[dP_a (1-P) dP_b]`` restricted to
+      interband pairs (occupied, empty) -- shape (B, d, d) complex.
+      Warns when the occupied/empty separation collapses below 1e-6
+      anywhere in the batch (the masked pairs then silently drop out
+      and the tensor is no longer the insulating-state QGT).
+    * ``bands="all"`` or a band list: the per-band (abelian) QGT of
+      each requested band against ALL other bands -- shape
+      (B, nbands, d, d) complex.  Pairs within 1e-7 of degeneracy are
+      masked to zero: at an exact band crossing the abelian QGT is
+      undefined (use ``occ=`` with the full degenerate group instead).
+
+    ``g = Q.real`` is the quantum metric, ``-2 * Q.imag`` the Berry
+    curvature tensor; both in Cartesian coordinates, [length^2] units.
+
+    :param k_list: (B, dim_k) reduced k-points
+    :returns: complex ndarray as above
+    """
+    static, data, lat, tcart = _prep(model, "quantum_geometric_tensor")
+    kpts = np.asarray(k_list, dtype=np.float64)
+    if kpts.ndim != 2 or kpts.shape[1] != static.dim_k:
+        raise PythtbError("k_list must be (B, %d)" % static.dim_k)
+    if (occ is None) == (bands is None):
+        raise PythtbError("give exactly one of occ= or bands=")
+    ftype = config.float_dtype()
+    if occ is not None:
+        occ = _check_occ(occ, static.nsta)
+        Q_ri, gap = jax.device_get(_qgt_occ_jit(
+            static, data, jnp.asarray(kpts, ftype), occ,
+            jnp.asarray(lat, ftype), jnp.asarray(tcart, ftype),
+        ))
+        if float(gap) < 1e-6:
+            warnings.warn(
+                "quantum_geometric_tensor: occupied and empty bands come "
+                "within %.2e of degeneracy -- the multiplet QGT is "
+                "ill-defined there (masked pairs dropped)." % float(gap),
+                UserWarning, stacklevel=2,
+            )
+        return host_unpack(Q_ri)
+    Q_ri = jax.device_get(_qgt_bands_jit(
+        static, data, jnp.asarray(kpts, ftype),
+        jnp.asarray(lat, ftype), jnp.asarray(tcart, ftype),
+    ))
+    Q = host_unpack(Q_ri)
+    if isinstance(bands, str):
+        if bands != "all":
+            raise PythtbError('bands must be "all" or a list of bands')
+        return Q
+    bands = [int(b) for b in np.atleast_1d(bands)]
+    if len(bands) and (min(bands) < 0 or max(bands) >= static.nsta):
+        raise PythtbError("bands %s out of range for %d states"
+                          % (bands, static.nsta))
+    return Q[:, bands]
+
+
+def quantum_metric(model, k_list, occ=None, bands=None):
+    """Quantum (Fubini-Study) metric ``g_ab = Re Q_ab`` -- see
+    :func:`quantum_geometric_tensor` for conventions and shapes."""
+    return quantum_geometric_tensor(model, k_list, occ=occ,
+                                    bands=bands).real
+
+
+def berry_curvature(model, k_list, occ=None, bands=None):
+    """Pointwise Berry curvature tensor ``Omega_ab = -2 Im Q_ab`` --
+    see :func:`quantum_geometric_tensor` for conventions and shapes.
+    For a 2-D model ``Omega[..., 0, 1]`` is the scalar curvature: its
+    BZ grid average times ``2 pi / A_c`` is the Chern number.
+
+    Uses the orbital-embedded (physical position operator) convention;
+    it integrates to the same Chern number as the plaquette engine
+    (:func:`pythtb_tpu.flows.chern_number` -- tested) but differs
+    pointwise from the lattice-gauge curvature by the curl of the
+    embedding connection."""
+    return -2.0 * quantum_geometric_tensor(model, k_list, occ=occ,
+                                           bands=bands).imag
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _integrated_jit(static, data, nk, occ, lat, tcart):
+    from .ops.solver import device_uniform_grid
+
+    kpts = device_uniform_grid(nk, jnp.zeros((static.dim_k,),
+                                             config.float_dtype()))
+    Q_ri, gap = _qgt_occ_jit(static, data, kpts, occ, lat, tcart)
+    Q = unpack_cplx(Q_ri)
+    return pack_cplx(jnp.mean(Q, axis=0)), gap
+
+
+def integrated_metric(model, occ, nk=(31, 31)):
+    """BZ-integrated quantum geometry of an occupied group: the
+    gauge-invariant Wannier spread and the integrated curvature, one
+    device program.
+
+    Returns a dict:
+
+    * ``"omega_i"``: ``(1/N_k) sum_k tr g`` -- exactly the
+      Marzari-Vanderbilt gauge-invariant spread Omega_I
+      ([length^2]; the continuum limit of the b-shell formula in
+      :mod:`pythtb_tpu.wannier`, and the lower bound on the total
+      spread of ANY Wannier representation of the group).  For an
+      isolated group with zero Chern number this bounds how localized
+      Wannier functions can possibly be; for flat-band
+      superconductivity it bounds the geometric superfluid weight.
+    * ``"metric"``: the full integrated metric ``(1/N_k) sum_k g_ab``,
+      (d, d).
+    * ``"curvature"``: ``(1/N_k) sum_k Omega_ab``, (d, d).
+    * ``"chern"`` (2-D models only): ``curvature[0, 1] / (2 pi A_c)``
+      -- equals the Chern number for an insulating group (smooth
+      periodic integrand: the grid sum converges exponentially).
+
+    :param occ: occupied band indices (a proper subset of all bands)
+    :param nk: grid sizes, one per periodic direction
+    """
+    static, data, lat, tcart = _prep(model, "integrated_metric")
+    occ = _check_occ(occ, static.nsta)
+    nk = tuple(int(n) for n in np.atleast_1d(nk))
+    if len(nk) != static.dim_k or min(nk) < 2:
+        raise PythtbError("nk must give %d sizes >= 2" % static.dim_k)
+    ftype = config.float_dtype()
+    Q_ri, gap = jax.device_get(_integrated_jit(
+        static, data, nk, occ, jnp.asarray(lat, ftype),
+        jnp.asarray(tcart, ftype),
+    ))
+    if float(gap) < 1e-6:
+        warnings.warn(
+            "integrated_metric: occupied and empty bands come within "
+            "%.2e of degeneracy on the grid -- Omega_I diverges "
+            "logarithmically at a band touching and the masked value "
+            "is grid-dependent." % float(gap),
+            UserWarning, stacklevel=2,
+        )
+    Q = host_unpack(Q_ri)
+    out = {
+        "omega_i": float(np.trace(Q.real)),
+        "metric": Q.real,
+        "curvature": -2.0 * Q.imag,
+    }
+    if static.dim_k == 2:
+        # C = (1/2pi) int_BZ Omega d^2k = (2 pi / A_c) <Omega>_grid
+        # (BZ area (2 pi)^2 / A_c times the grid mean)
+        cell_area = abs(np.linalg.det(lat))
+        out["chern"] = float(out["curvature"][0, 1]
+                             * 2.0 * np.pi / cell_area)
+    return out

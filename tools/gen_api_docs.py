@@ -29,6 +29,7 @@ SECTIONS = [
     ("pythtb_tpu.surface — semi-infinite surfaces", "pythtb_tpu.surface", None),
     ("pythtb_tpu.realspace — disordered-sample topology & transport", "pythtb_tpu.realspace", None),
     ("pythtb_tpu.optical — optical response", "pythtb_tpu.optical", None),
+    ("pythtb_tpu.geometry — quantum geometric tensor", "pythtb_tpu.geometry", None),
     ("pythtb_tpu.floquet — time-periodic driving", "pythtb_tpu.floquet", None),
     ("pythtb_tpu.unfold — band unfolding", "pythtb_tpu.unfold", None),
     ("pythtb_tpu.entanglement — entanglement spectra", "pythtb_tpu.entanglement", None),
