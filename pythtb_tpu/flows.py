@@ -1159,6 +1159,93 @@ def anomalous_nernst(model, mu, temperature, nk=(101, 101),
     return float(out[0]) if np.ndim(mu) == 0 else out
 
 
+def _c2_weight(x):
+    """Fermionic thermal-transport weight ``W(x) = int_x^inf y^2
+    (-df/dy) dy`` (f the Fermi function of the dimensionless energy y),
+    in closed form via the dilogarithm:
+
+    ``W = x^2 f(x) + 2 x ln(1 + e^-x) - 2 Li2(-e^-x)``
+
+    (two integrations by parts; jax.scipy.special.spence is scipy's
+    convention, Li2(w) = spence(1 - w)).  W(-inf) = pi^2/3 (the full
+    Sommerfeld integral), W(0) = pi^2/6, W decays like x^2 e^-x.
+    The clip keeps exp(-x) finite; below -30 the truncation error is
+    < 1e-11 so the constant branch is exact to double precision."""
+    xc = jnp.clip(x, -30.0, 30.0)
+    w = (xc**2 * jax.nn.sigmoid(-xc)
+         + 2.0 * xc * jax.nn.softplus(-xc)
+         - 2.0 * jax.scipy.special.spence(1.0 + jnp.exp(-xc)))
+    return jnp.where(x < -30.0, np.pi**2 / 3.0, w)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _thermal_hall_jit(static, data, n0, n1, start, phases_ri, mus, kt):
+    """c2-weighted band-resolved Berry curvature: kappa_xy(mu)/T for
+    the whole mu-batch in one program (same curvature engine as
+    _ahc_jit/_nernst_jit)."""
+    from .utils.xfer import unpack_cplx
+
+    kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
+    H = assemble(static, data, kpts)
+    evals, v = eigh_batched(H)
+    w = v.reshape(n0 - 1, n1 - 1, static.nsta, static.nsta)
+    w = extend_pbc_seq(w, [unpack_cplx(phases_ri[0]), unpack_cplx(phases_ri[1])])
+    wb = jnp.moveaxis(w, 2, 0)[..., None, :]
+    om = plaquette_phases(wb)  # (nsta, n0-1, n1-1)
+    E = evals.reshape(n0 - 1, n1 - 1, static.nsta).transpose(2, 0, 1)
+    x = (E[None] - mus[:, None, None, None]) / kt  # (nmu, nsta, ., .)
+    return jnp.sum(om[None] * _c2_weight(x), axis=(1, 2, 3)) / (2.0 * np.pi)
+
+
+def thermal_hall(model, mu, temperature, nk=(101, 101),
+                 start_k=(-0.5, -0.5)):
+    """Intrinsic electronic thermal Hall conductivity ``kappa_xy(mu,
+    T)`` in units of ``k_B^2 T / hbar * 1/(2 pi)`` = ``k_B^2 T / h``,
+    from the c2-weighted band-resolved Berry curvature (Smrcka-Streda;
+    Qin, Niu & Shi, PRL 107, 236601 (2011)):
+
+    ``kappa_xy / (k_B^2 T / h) = (1/2 pi) sum_{k, n} Omega_{n k}
+    W((e_{n k} - mu) / k_B T)``
+
+    with the closed-form Sommerfeld weight :func:`_c2_weight` -- which
+    is EXACTLY the energy integral ``(1/(k_B T)^2) int de (-df/de)
+    (e - mu)^2 sigma_xy(e)`` over the zero-temperature
+    :func:`anomalous_hall` staircase (verified numerically in the
+    tests).  Consequences, all tested:
+
+    * mu inside a gap, k_B T << gap: ``kappa_xy = (pi^2/3) C`` -- the
+      quantized thermal Hall plateau (Wiedemann-Franz with the Chern
+      number);
+    * low T anywhere: ``kappa_xy -> (pi^2/3) sigma_xy(mu)`` + O(T^2)
+      -- the Wiedemann-Franz law with Lorenz number (pi^2/3)(k_B/e)^2;
+    * time-reversal symmetry forces 0 at every mu.
+
+    The whole mu-batch is one device program.  No reference
+    counterpart.
+
+    :param mu: scalar or (nmu,) chemical potentials
+    :param temperature: k_B T in model energy units (must be > 0)
+    :returns: kappa_xy/(k_B^2 T/h) float array (nmu,) -- scalar input
+      gives a float
+    """
+    if float(temperature) <= 0.0:
+        raise ValueError("thermal_hall requires temperature > 0")
+    static, data, (n0, n1), (p0, p1) = _grid_inputs(
+        model, nk, start_k, "thermal_hall"
+    )
+    from .utils.xfer import host_pack
+
+    mus = np.atleast_1d(np.asarray(mu, dtype=np.float64))
+    phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
+    start = np.asarray(start_k, dtype=np.float64)
+    out = jax.device_get(
+        _thermal_hall_jit(static, data, n0, n1, start, phases_ri,
+                          jnp.asarray(mus), jnp.asarray(float(temperature)))
+    )
+    out = np.asarray(out, dtype=np.float64)
+    return float(out[0]) if np.ndim(mu) == 0 else out
+
+
 @partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
 def _nested_wilson_jit(static, data, occ, n0, n1, nest_dir, start, phases_ri):
     """Wannier-sector polarizations by nested Wilson loops (Benalcazar,
