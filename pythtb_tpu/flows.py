@@ -1378,35 +1378,128 @@ def quadrupole(model, occ=(0, 1), nk=(31, 31), start_k=(0.0, 0.0)):
     return out
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4))
-def _spin_chern_jit(static, data, occ, n0, n1, start, phases_ri):
-    """Prodan spin Chern (PRB 80, 125327 (2009)): diagonalize the
-    projected spin P Sz P within the occupied space, split it into the
-    Sz<0 / Sz>0 sectors, and integrate each sector's (non-abelian)
-    Berry flux.  Plaquette det-phases are invariant under k-dependent
-    basis rotations within a sector, so the arbitrary eigh phases are
-    harmless.  Returns (flux-, flux+, min Sz-projection gap, and the
-    extremal middle eigenvalues for the sign-straddle check)."""
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _sector_chern_jit(static, data, occ, n0, n1, split, start, phases_ri,
+                      op_ri):
+    """Prodan sector Chern engine (PRB 80, 125327 (2009), generalized
+    from Sz to any Hermitian operator): diagonalize the projected
+    operator P O P within the occupied space, split the spectrum into
+    the lowest ``split`` / remaining eigenstates, and integrate each
+    sector's (non-abelian) Berry flux.  Plaquette det-phases are
+    invariant under k-dependent basis rotations within a sector, so the
+    arbitrary eigh phases are harmless.  Returns (flux-, flux+, min
+    projection gap at the split, and the extremal eigenvalues around
+    the split for the sign-straddle check)."""
     from .utils.xfer import unpack_cplx
 
     kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
     w = _solve_grid_states(static, data, kpts, occ, n0, n1)
     w = extend_pbc_seq(w, [unpack_cplx(phases_ri[0]), unpack_cplx(phases_ri[1])])
-    # Sz in the flattened orb x spin layout (spin fastest)
-    sz = jnp.tile(jnp.array([1.0, -1.0]), static.norb)
+    op = unpack_cplx(op_ri)
     M = jnp.einsum(
-        "...nf,f,...mf->...nm", jnp.conj(w), sz.astype(w.dtype), w,
+        "...nf,fg,...mg->...nm", jnp.conj(w), op.astype(w.dtype), w,
         precision=jax.lax.Precision.HIGHEST,
     )  # (n0, n1, nocc, nocc) Hermitian
     ev, V = jnp.linalg.eigh(M)  # ascending
-    half = len(occ) // 2
-    gap = jnp.min(ev[..., half] - ev[..., half - 1])
+    gap = jnp.min(ev[..., split] - ev[..., split - 1])
     ws = jnp.einsum(
         "...nf,...ns->...sf", w, V, precision=jax.lax.Precision.HIGHEST
-    )  # rows = P Sz P eigenstates
-    fm = _total_flux(ws[..., :half, :])
-    fp = _total_flux(ws[..., half:, :])
-    return fm, fp, gap, jnp.max(ev[..., half - 1]), jnp.min(ev[..., half])
+    )  # rows = P O P eigenstates
+    fm = _total_flux(ws[..., :split, :])
+    fp = _total_flux(ws[..., split:, :])
+    return fm, fp, gap, jnp.max(ev[..., split - 1]), jnp.min(ev[..., split])
+
+
+def sector_chern(model, occ, op, nk=(41, 41), start_k=(-0.5, -0.5),
+                 split=None):
+    """Chern numbers of the eigensectors of a symmetry operator
+    projected into the occupied space -- the Prodan construction
+    (PRB 80, 125327 (2009)) for ANY Hermitian, k-independent operator,
+    one device program.  This is the engine behind crystalline
+    invariants:
+
+    * ``op`` = the spin matrix gives the spin Chern number (see
+      :func:`spin_chern`, which calls this);
+    * ``op`` = i * M for a spinful mirror M (or the mirror matrix
+      itself when M^2 = +1) on a mirror-invariant plane gives the
+      MIRROR Chern number ``C_M = (C_+ - C_-) / 2``;
+    * any other conserved (or approximately conserved) grading works
+      the same way -- the construction only needs the projected
+      spectrum ``P O P`` to stay gapped across the BZ, not
+      ``[O, H] = 0``.
+
+    ``op`` acts in the flattened state space (orb x spin, spin
+    fastest) and must be Hermitian; for a k-dependent mirror
+    representation conjugate the model into a cell where the mirror
+    permutes orbitals without fractional-lattice shifts first.
+
+    :param occ: occupied band indices
+    :param op: (nsta, nsta) Hermitian matrix (or a length-nsta
+      diagonal)
+    :param split: size of the lower-eigenvalue sector; default
+      ``len(occ) // 2``.  A warning reports when the projected
+      spectrum does not straddle zero at this split (the +- labels are
+      then arbitrary).
+    :returns: dict with ``sector_chern`` ((C+ - C-)/2), ``chern_plus``,
+      ``chern_minus``, ``gap`` (min P O P spectral gap at the split)
+    """
+    static, data, (n0, n1), (p0, p1) = _grid_inputs(
+        model, nk, start_k, "sector_chern"
+    )
+    occ = tuple(int(o) for o in np.atleast_1d(occ))
+    if len(occ) < 2:
+        raise ValueError("sector_chern needs at least two occupied bands")
+    if min(occ) < 0 or max(occ) >= static.nsta:
+        raise IndexError(
+            "occ indices %s out of range for %d states"
+            % (sorted(set(occ)), static.nsta)
+        )
+    split = len(occ) // 2 if split is None else int(split)
+    if not (1 <= split <= len(occ) - 1):
+        raise ValueError("split must be in [1, %d]" % (len(occ) - 1))
+    op = np.asarray(op, dtype=np.complex128)
+    if op.ndim == 1:
+        op = np.diag(op)
+    if op.shape != (static.nsta, static.nsta):
+        raise ValueError("op must be (%d, %d) (or a length-%d diagonal)"
+                         % (static.nsta, static.nsta, static.nsta))
+    if np.abs(op - op.conj().T).max() > 1e-12:
+        raise ValueError("op must be Hermitian (for a spinful mirror M "
+                         "with M^2 = -1, pass 1j * M)")
+    from .utils.xfer import host_pack
+
+    start = np.asarray(start_k, dtype=np.float64)
+    phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
+    fm, fp, gap, lo_max, hi_min = jax.device_get(
+        _sector_chern_jit(static, data, occ, n0, n1, split, start,
+                          phases_ri, host_pack(op))
+    )
+    cm = float(fm) / (2.0 * np.pi)
+    cp = float(fp) / (2.0 * np.pi)
+    import warnings
+
+    if float(gap) < 1e-3:
+        warnings.warn(
+            "sector_chern: the P O P spectrum is (nearly) gapless at the "
+            "split (min gap %.2e) -- the sector Chern numbers are "
+            "ill-defined for this model/operator/band choice."
+            % float(gap),
+            UserWarning, stacklevel=2,
+        )
+    elif not (float(lo_max) < 0.0 < float(hi_min)):
+        warnings.warn(
+            "sector_chern: the P O P spectrum does not straddle zero at "
+            "the requested split (eigenvalues around it in [%.3f, %.3f]) "
+            "-- the +- sector labels are arbitrary; check `split`."
+            % (float(lo_max), float(hi_min)),
+            UserWarning, stacklevel=2,
+        )
+    return {
+        "sector_chern": 0.5 * (cp - cm),
+        "chern_plus": cp,
+        "chern_minus": cm,
+        "gap": float(gap),
+    }
 
 
 def spin_chern(model, occ=(0, 1), nk=(41, 41), start_k=(-0.5, -0.5)):
@@ -1424,48 +1517,30 @@ def spin_chern(model, occ=(0, 1), nk=(41, 41), start_k=(-0.5, -0.5)):
     :returns: dict with ``spin_chern`` ((C+ - C-)/2), ``chern_plus``,
       ``chern_minus``, ``sz_gap``
     """
-    static, data, (n0, n1), (p0, p1) = _grid_inputs(model, nk, start_k, "spin_chern")
+    static, _ = model._get_finalized()
+    if static.dim_k != 2:
+        raise ValueError("spin_chern requires a model with dim_k == 2")
     if static.nspin != 2:
         raise ValueError("spin_chern requires a spinful model (nspin=2)")
     occ = tuple(int(o) for o in occ)
     if len(occ) % 2 != 0 or len(occ) == 0:
         raise ValueError("spin_chern needs an even, nonempty set of occupied bands")
-    if min(occ) < 0 or max(occ) >= static.nsta:
-        raise IndexError(
-            "occ indices %s out of range for %d states" % (sorted(set(occ)), static.nsta)
-        )
-    from .utils.xfer import host_pack
-
-    start = np.asarray(start_k, dtype=np.float64)
-    phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
-    fm, fp, gap, lo_max, hi_min = jax.device_get(
-        _spin_chern_jit(static, data, occ, n0, n1, start, phases_ri)
-    )
-    cm = float(fm) / (2.0 * np.pi)
-    cp = float(fp) / (2.0 * np.pi)
+    sz = np.tile([1.0, -1.0], static.norb)
     import warnings
 
-    if float(gap) < 1e-3:
-        warnings.warn(
-            "spin_chern: the P Sz P spectrum is (nearly) gapless "
-            "(min gap %.2e) -- the spin Chern number is ill-defined for "
-            "this model/band choice." % float(gap),
-            UserWarning, stacklevel=2,
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = sector_chern(model, occ, sz, nk=nk, start_k=start_k)
+    for w in caught:
+        msg = str(w.message).replace("sector_chern", "spin_chern").replace(
+            "P O P", "P Sz P"
         )
-    elif not (float(lo_max) < 0.0 < float(hi_min)):
-        warnings.warn(
-            "spin_chern: the P Sz P spectrum does not straddle zero "
-            "(middle eigenvalues in [%.3f, %.3f]) -- the occupied space "
-            "is spin-imbalanced, so the equal-count sector split is NOT "
-            "a split by spin sign and the +-labels are arbitrary."
-            % (float(lo_max), float(hi_min)),
-            UserWarning, stacklevel=2,
-        )
+        warnings.warn(msg, w.category, stacklevel=2)
     return {
-        "spin_chern": 0.5 * (cp - cm),
-        "chern_plus": cp,
-        "chern_minus": cm,
-        "sz_gap": float(gap),
+        "spin_chern": out["sector_chern"],
+        "chern_plus": out["chern_plus"],
+        "chern_minus": out["chern_minus"],
+        "sz_gap": out["gap"],
     }
 
 
