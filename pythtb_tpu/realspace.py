@@ -55,6 +55,7 @@ __all__ = [
     "TorusSample",
     "torus_sample",
     "kpm_conductivity",
+    "kpm_ldos",
     "chern_marker",
     "bott_index",
 ]
@@ -447,6 +448,121 @@ def kpm_conductivity(
         wtrap[0] = wtrap[-1] = de / 2
         sig = pref * (f * (integrand * wtrap)[None, :]).sum(axis=1)
     return fermi_levels, sig
+
+
+# --------------------------------------------------------------------
+# local density of states by KPM (deterministic, per-site)
+# --------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _ldos_moments_jit(h, ab, states, M):
+    """Deterministic Chebyshev LDOS moments ``mu_m(i) = <e_i| T_m(Ht)
+    |e_i>`` for a block of unit vectors at the given flat state
+    indices -- the same doubling recursion as flows._kpm_moments_jit
+    (two moments per matvec) but with one-hot columns and NO trace
+    averaging: the per-state moments are exact, not stochastic.
+    Returns (M, B) float."""
+    from .ops.matvec import matvec
+
+    N = h.nsta
+    B = states.shape[0]
+    ctype = config.complex_dtype()
+    x0 = jnp.zeros((N, B), dtype=ctype).at[
+        states, jnp.arange(B)
+    ].set(1.0)
+    shape = (h.norb, 2, B) if h.nspin == 2 else (h.norb, B)
+
+    def hmv(v):
+        return (matvec(h, v.reshape(shape)).reshape(N, B)
+                - ab[1] * v) / ab[0]
+
+    t0 = x0
+    t1 = hmv(x0)
+    mu0 = jnp.ones((B,), config.float_dtype())  # <e|T_0|e> = 1
+    mu1 = jnp.sum(jnp.real(jnp.conj(x0) * t1), axis=0)
+
+    def step(carry, _):
+        tm, tc = carry
+        tn = 2.0 * hmv(tc) - tm
+        even = 2.0 * jnp.sum(jnp.real(jnp.conj(tc) * tc), axis=0) - mu0
+        odd = 2.0 * jnp.sum(jnp.real(jnp.conj(tn) * tc), axis=0) - mu1
+        return (tc, tn), (even, odd)
+
+    _, (ev, od) = jax.lax.scan(step, (t0, t1), None, length=M // 2)
+    mu = jnp.zeros((M, B))
+    mu = mu.at[0].set(mu0).at[1].set(mu1)
+    mu = mu.at[2::2].set(ev[: (M - 2 + 1) // 2])
+    mu = mu.at[3::2].set(od[: (M - 2) // 2])
+    return mu
+
+
+def kpm_ldos(sample, sites, energies=None, num_moments=512,
+             n_energies=401):
+    """Site-resolved local density of states by the kernel polynomial
+    method -- deterministic (unit-vector moments, no stochastic trace),
+    one compiled device program for the whole site block.
+
+    ``rho_i(E) = sum_n |<i|psi_n>|^2 delta(E - E_n)`` Jackson-smeared
+    to resolution ~ bandwidth * pi / num_moments.  The workhorse for
+    impurity/edge/defect physics at sizes where diagonalization is
+    impossible: cost is one Chebyshev recursion on an (nsta, nsites)
+    block -- O(nhop * num_moments * nsites) -- independent of the
+    total DOS.
+
+    For a spinful sample each requested site's two spin states are
+    expanded internally and summed, so ``sum(rho_i) dE = nspin`` per
+    site.
+
+    :param sample: :class:`TorusSample` (from :func:`torus_sample`) or
+      a finite (dim_k == 0) :class:`pythtb_tpu.tb_model`
+    :param sites: orbital indices to resolve (iterable of int)
+    :param energies: energy grid (default: Gershgorin window,
+      ``n_energies`` points)
+    :param num_moments: Chebyshev order
+    :returns: ``(energies, ldos)`` with ``ldos`` shaped (nsites, nE)
+    """
+    from .ops.matvec import gershgorin_window, sparse_h
+
+    if isinstance(sample, TorusSample):
+        h = sample.h
+    else:
+        h = sparse_h(sample)
+    sites = np.asarray(sites, dtype=np.int64).reshape(-1)
+    if sites.size == 0:
+        raise PythtbError("kpm_ldos needs at least one site")
+    if sites.min() < 0 or sites.max() >= h.norb:
+        raise PythtbError("site indices out of range for %d orbitals"
+                          % h.norb)
+    if h.nspin == 2:  # states are spin-fastest: orbital i -> (2i, 2i+1)
+        states = np.stack([2 * sites, 2 * sites + 1], axis=1).reshape(-1)
+    else:
+        states = sites
+    lo, hi = gershgorin_window(h)
+    a = 0.5 * (hi - lo) / 0.98 + 1e-12
+    b = 0.5 * (hi + lo)
+    M = int(num_moments)
+    mu = np.asarray(jax.device_get(_ldos_moments_jit(
+        h, jnp.asarray([a, b], config.float_dtype()),
+        jnp.asarray(states), M,
+    )), dtype=np.float64)  # (M, nstates)
+    if h.nspin == 2:
+        mu = mu.reshape(M, -1, 2).sum(axis=2)
+
+    m_arr = np.arange(M)
+    Mp = M + 1.0
+    g = ((Mp - m_arr) * np.cos(np.pi * m_arr / Mp)
+         + np.sin(np.pi * m_arr / Mp) / np.tan(np.pi / Mp)) / Mp
+    if energies is None:
+        energies = np.linspace(lo, hi, int(n_energies))
+    energies = np.asarray(energies, dtype=np.float64)
+    et = np.clip((energies - b) / a, -1.0 + 1e-12, 1.0 - 1e-12)
+    tm = np.cos(m_arr[None, :] * np.arccos(et)[:, None])  # (nE, M)
+    wgt = np.full(M, 2.0)
+    wgt[0] = 1.0
+    ldos = (tm * (wgt * g)[None, :]) @ mu  # (nE, nsites)
+    ldos = ldos.T / (np.pi * np.sqrt(1.0 - et**2))[None, :] / a
+    return energies, ldos
 
 
 # --------------------------------------------------------------------

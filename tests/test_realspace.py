@@ -278,3 +278,73 @@ def test_fuzz_torus_vs_bloch(seed):
     s = realspace.torus_sample(m, L)
     w = np.linalg.eigvalsh(to_dense(s.h))
     np.testing.assert_allclose(w, _bloch_union(m, L), atol=1e-9)
+
+
+class TestKpmLdos:
+    def test_moments_match_dense_spectral_decomposition(self):
+        """Exact algebraic oracle: the Chebyshev recursion's per-site
+        moments equal sum_n |psi_n(i)|^2 T_m(E~_n) from a dense eigh --
+        no kernel, no broadening, just two routes to the same number."""
+        m = zoo.haldane()
+        s = realspace.torus_sample(m, (4, 4))
+        H = to_dense(s.h)
+        w, v = np.linalg.eigh(H)
+        from pythtb_tpu.ops.matvec import gershgorin_window
+        from pythtb_tpu.realspace import _ldos_moments_jit
+        from pythtb_tpu import config
+
+        lo, hi = gershgorin_window(s.h)
+        a = 0.5 * (hi - lo) / 0.98 + 1e-12
+        b = 0.5 * (hi + lo)
+        sites = np.array([0, 3, 17])
+        M = 64
+        mu = np.asarray(_ldos_moments_jit(
+            s.h, jnp.asarray([a, b], config.float_dtype()),
+            jnp.asarray(sites), M))
+        et = (w - b) / a
+        tm = np.cos(np.arange(M)[:, None] * np.arccos(et)[None, :])
+        ref = tm @ (np.abs(v[sites]) ** 2).T  # (M, nsites)
+        np.testing.assert_allclose(mu, ref, atol=1e-10)
+
+    def test_ldos_sums_to_total_dos_and_parseval(self):
+        m = zoo.haldane()
+        s = realspace.torus_sample(m, (5, 5))
+        e, ld = realspace.kpm_ldos(s, np.arange(s.norb), num_moments=128,
+                                   n_energies=801)
+        de = e[1] - e[0]
+        # each site integrates to ~1 state (Jackson kernel leaks a
+        # little weight past the window edges)
+        np.testing.assert_allclose(np.sum(ld, axis=1) * de,
+                                   np.ones(s.norb), atol=0.02)
+        # translationally invariant torus: every A site identical
+        np.testing.assert_allclose(ld[0], ld[2], atol=1e-9)
+
+    def test_ssh_edge_state_localization(self):
+        """Open SSH chain in the topological phase: midgap LDOS lives
+        on the edge, not the bulk."""
+        sshm = zoo.ssh(delta=-0.4)  # topological for delta < 0
+        chain = sshm.cut_piece(30, 0, glue_edgs=False)
+        e, ld = realspace.kpm_ldos(chain, [0, 29], num_moments=512,
+                                   n_energies=601)
+        mid = np.argmin(np.abs(e))
+        assert ld[0, mid] > 20.0 * ld[1, mid]
+        # trivial phase: no midgap weight anywhere
+        triv = zoo.ssh(delta=0.4).cut_piece(30, 0, glue_edgs=False)
+        e2, ld2 = realspace.kpm_ldos(triv, [0, 29], num_moments=512,
+                                     n_energies=601)
+        mid2 = np.argmin(np.abs(e2))
+        assert ld2[:, mid2].max() < 0.05
+
+    def test_spinful_sum_and_errors(self):
+        km = kane_mele(pythtb_tpu, topological="odd")
+        s = realspace.torus_sample(km, (3, 3))
+        e, ld = realspace.kpm_ldos(s, [0, 1], num_moments=96,
+                                   n_energies=501)
+        de = e[1] - e[0]
+        # spin summed: ~2 states per site
+        np.testing.assert_allclose(np.sum(ld, axis=1) * de,
+                                   np.full(2, 2.0), atol=0.05)
+        with pytest.raises(Exception):
+            realspace.kpm_ldos(s, [])
+        with pytest.raises(Exception):
+            realspace.kpm_ldos(s, [s.norb])
