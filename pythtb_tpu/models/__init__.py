@@ -9,6 +9,7 @@ Every constructor returns a fresh :class:`pythtb_tpu.tb_model` that can
 be further edited (``mode="reset"/"add"``), cut, super-celled, etc.
 """
 
+from .moire import sk_graphene, tbg, tbg_angle
 from .library import (
     bbh,
     bhz,
@@ -49,4 +50,7 @@ __all__ = [
     "bhz",
     "bbh",
     "weyl",
+    "tbg",
+    "tbg_angle",
+    "sk_graphene",
 ]

@@ -36,6 +36,7 @@ SECTIONS = [
     ("pythtb_tpu.family — structural parameter sweeps", "pythtb_tpu.family", None),
     ("pythtb_tpu.parallel — device meshes", "pythtb_tpu.parallel.mesh", None),
     ("pythtb_tpu.models — model zoo", "pythtb_tpu.models.library", None),
+    ("pythtb_tpu.models.moire — twisted bilayers", "pythtb_tpu.models.moire", None),
     ("pythtb_tpu.utils.serialization — checkpoints", "pythtb_tpu.utils.serialization", None),
     ("pythtb_tpu.utils.profiling — timing helpers", "pythtb_tpu.utils.profiling", None),
 ]
