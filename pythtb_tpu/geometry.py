@@ -245,12 +245,16 @@ def berry_curvature(model, k_list, occ=None, bands=None):
                                            bands=bands).imag
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def _integrated_jit(static, data, nk, occ, lat, tcart):
-    from .ops.solver import device_uniform_grid
+@partial(jax.jit, static_argnums=(0, 2, 3, 6))
+def _integrated_jit(static, data, nk, occ, lat, tcart, mesh=None):
+    from .ops.solver import device_uniform_grid, shard_grid_axis0
 
     kpts = device_uniform_grid(nk, jnp.zeros((static.dim_k,),
                                              config.float_dtype()))
+    if mesh is not None:
+        # data-parallel over the k-batch: GSPMD shards the assembly /
+        # eigh / contractions and inserts one all-reduce for the mean
+        kpts = shard_grid_axis0(kpts, mesh)
     Q_ri, gap = _qgt_occ_jit(static, data, kpts, occ, lat, tcart)
     Q = unpack_cplx(Q_ri)
     return pack_cplx(jnp.mean(Q, axis=0)), gap
@@ -286,10 +290,12 @@ def integrated_metric(model, occ, nk=(31, 31)):
     nk = tuple(int(n) for n in np.atleast_1d(nk))
     if len(nk) != static.dim_k or min(nk) < 2:
         raise PythtbError("nk must give %d sizes >= 2" % static.dim_k)
+    from .parallel import mesh as pmesh
+
     ftype = config.float_dtype()
     Q_ri, gap = jax.device_get(_integrated_jit(
         static, data, nk, occ, jnp.asarray(lat, ftype),
-        jnp.asarray(tcart, ftype),
+        jnp.asarray(tcart, ftype), pmesh.current_mesh(),
     ))
     if float(gap) < 1e-6:
         warnings.warn(

@@ -189,3 +189,18 @@ def test_floquet_chern_sharded_matches(mesh8):
         c1 = floquet.chern(m, 8.0, circ, band=0, nk=(9, 9), nt=16)
     np.testing.assert_allclose(c0, c1, atol=1e-9)
     assert abs(abs(c0) - 1.0) < 0.1
+
+
+def test_integrated_metric_sharded_matches(mesh8):
+    """geometry.integrated_metric under a mesh shards the k-grid; the
+    integrated QGT is unchanged vs the single-device path."""
+    from pythtb_tpu import geometry
+
+    m = zoo.haldane(ptt)
+    base = geometry.integrated_metric(m, occ=[0], nk=(24, 24))
+    with use_mesh(mesh8):
+        sharded = geometry.integrated_metric(m, occ=[0], nk=(24, 24))
+    np.testing.assert_allclose(base["metric"], sharded["metric"], atol=1e-12)
+    np.testing.assert_allclose(base["curvature"], sharded["curvature"],
+                               atol=1e-12)
+    assert abs(base["chern"] - sharded["chern"]) < 1e-12

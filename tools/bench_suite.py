@@ -297,6 +297,81 @@ def run_suite():
            np.abs(entf[1] - 0.5).min() < 0.02,
            "virtual-cut Chern flow, mid-gap %.4f" % np.abs(entf[1] - 0.5).min())
 
+    # -- round-3 second-wave capability rows -----------------------------
+    from pythtb_tpu import geometry
+    from pythtb_tpu.models import moire
+
+    wall, rg = _timed(lambda: geometry.integrated_metric(
+        hal, occ=[0], nk=(72, 72)), n=2)
+    report("qgt_integrated_72x72", None, wall,
+           abs(rg["chern"] + 1.0) < 1e-3
+           and abs(rg["omega_i"] - 0.223447) < 1e-3,
+           "C=%.4f Omega_I=%.5f (x64: -1, 0.22345)"
+           % (rg["chern"], rg["omega_i"]))
+
+    mus_th = np.linspace(-3.5, 3.5, 81)
+    wall, th = _timed(lambda: flows.thermal_hall(
+        hal, mus_th, 0.15, nk=(101, 101)), n=2)
+    i0 = int(np.argmin(np.abs(mus_th)))
+    report("thermal_hall_81mu_101x101", None, wall,
+           abs(th[i0] + np.pi**2 / 3.0) < 2e-3,
+           "81-mu sweep in one program; kappa(0)=%.5f (x64: -3.28987)"
+           % th[i0])
+
+    def _bilayer_sector():
+        mb2 = ptt.tb_model(
+            2, 2, [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]],
+            [[1 / 3, 1 / 3], [2 / 3, 2 / 3]] * 2)
+        mb2.set_onsite([-0.2, 0.2, -0.2, 0.2])
+        for off, sgn in ((0, 1.0), (2, -1.0)):
+            t2v = 0.15 * np.exp(1.0j * np.pi / 2.0 * sgn)
+            mb2.set_hop(-1.0, 0 + off, 1 + off, [0, 0])
+            mb2.set_hop(-1.0, 1 + off, 0 + off, [1, 0])
+            mb2.set_hop(-1.0, 1 + off, 0 + off, [0, 1])
+            for lv in ([1, 0], [-1, 1], [0, -1]):
+                mb2.set_hop(t2v, 0 + off, 0 + off, lv)
+                mb2.set_hop(np.conj(t2v), 1 + off, 1 + off, lv)
+        mb2.set_hop(0.3, 0, 2, [0, 0])
+        mb2.set_hop(0.3, 1, 3, [0, 0])
+        return flows.sector_chern(
+            mb2, (0, 1), np.array([1.0, 1.0, -1.0, -1.0]), nk=(41, 41))
+
+    wall, rs = _timed(_bilayer_sector, n=2)
+    report("sector_chern_bilayer_41x41", None, wall,
+           abs(rs["chern_plus"] + 1.0) < 1e-3
+           and abs(rs["chern_minus"] - 1.0) < 1e-3,
+           "C+-=%.4f/%.4f gap=%.4f" % (rs["chern_plus"],
+                                       rs["chern_minus"], rs["gap"]))
+
+    flake = hal.cut_piece(50, 0, glue_edgs=False).cut_piece(
+        50, 1, glue_edgs=False)  # 5,000 sites, open edges
+    sites = np.concatenate([np.arange(32), 2500 + np.arange(32)])
+    wall, (e_l, ld) = _timed(lambda: realspace.kpm_ldos(
+        flake, sites, num_moments=512, n_energies=801), n=2)
+    de_l = e_l[1] - e_l[0]
+    report("kpm_ldos_5k_sites_64probe", None, wall,
+           np.abs(np.sum(ld, axis=1) * de_l - 1.0).max() < 0.05,
+           "64 deterministic LDOS probes on a 5k-site flake")
+
+    # magic-angle TBG: 11,164-orbital moire cell, dense band solve of
+    # the flat manifold (middle 4 bands) at the moire Gamma/K/M points
+    def _middle4(m_idx, kfs):
+        t = moire.tbg(m_idx)
+        n = t._nsta // 2
+        ev = np.asarray(t.solve_all(np.asarray(kfs)))  # (nsta, nk)
+        return ev[n - 2:n + 2, :]
+
+    kfs3 = [[0.0, 0.0], [1 / 3, 2 / 3], [0.5, 0.5]]
+    wall, mid30 = _timed(lambda: _middle4(30, kfs3), n=1)
+    bw30 = float(mid30.max() - mid30.min())
+    mid8 = _middle4(8, kfs3)
+    bw8 = float(mid8.max() - mid8.min())
+    report("tbg_magic_angle_flatband_11k", None, wall,
+           bw30 < 0.06 and bw30 < 0.2 * bw8,
+           "middle-4 spread %.1f meV at 1.08 deg vs %.0f meV at "
+           "3.89 deg (11,164-orbital dense eigh incl. build)"
+           % (1e3 * bw30, 1e3 * bw8))
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

@@ -365,6 +365,91 @@ def main():
           abs(sh_c + 2.0) < 1e-3 and abs(sh_r + 2.05432) < 1e-3,
           "conserved=%.5f rashba=%.5f (x64: -2, -2.05432)" % (sh_c, sh_r))
 
+    # 29. quantum geometric tensor (f32): Chern + Omega_I sum rules
+    from pythtb_tpu import geometry
+
+    rg = geometry.integrated_metric(m, occ=[0], nk=(72, 72))
+    rk = geometry.integrated_metric(zoo_models.kane_mele(), occ=[0, 1],
+                                    nk=(25, 25))
+    check("quantum geometry f32",
+          abs(rg["chern"] + 1.0) < 1e-3
+          and abs(rg["omega_i"] - 0.223447) < 1e-3
+          and abs(rk["chern"]) < 1e-3
+          and abs(rk["omega_i"] - 0.418326) < 1e-3,
+          "C=%.4f Oi=%.5f | KM C=%.1e Oi=%.5f (x64: -1, 0.22345, 0, "
+          "0.41833)" % (rg["chern"], rg["omega_i"], rk["chern"],
+                        rk["omega_i"]))
+
+    # 30. thermal Hall (f32): quantized plateau + in-band pin
+    th_gap = flows.thermal_hall(m, 0.0, 0.02, nk=(81, 81))
+    th_band = flows.thermal_hall(m, 2.2, 0.15, nk=(101, 101))
+    check("thermal hall f32",
+          abs(th_gap + np.pi**2 / 3.0) < 1e-3
+          and abs(th_band + 0.097676) < 1e-3,
+          "gap=%.5f band=%.6f (x64: -3.28987, -0.09768)"
+          % (th_gap, th_band))
+
+    # 31. sector Chern (f32): layer-graded bilayer, grading broken
+    mb2 = ptt.tb_model(2, 2, [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]],
+                       [[1 / 3, 1 / 3], [2 / 3, 2 / 3]] * 2)
+    mb2.set_onsite([-0.2, 0.2, -0.2, 0.2])
+    for off, sgn in ((0, 1.0), (2, -1.0)):
+        t2v = 0.15 * np.exp(1.0j * np.pi / 2.0 * sgn)
+        mb2.set_hop(-1.0, 0 + off, 1 + off, [0, 0])
+        mb2.set_hop(-1.0, 1 + off, 0 + off, [1, 0])
+        mb2.set_hop(-1.0, 1 + off, 0 + off, [0, 1])
+        for lv in ([1, 0], [-1, 1], [0, -1]):
+            mb2.set_hop(t2v, 0 + off, 0 + off, lv)
+            mb2.set_hop(np.conj(t2v), 1 + off, 1 + off, lv)
+    mb2.set_hop(0.3, 0, 2, [0, 0])
+    mb2.set_hop(0.3, 1, 3, [0, 0])
+    rs = flows.sector_chern(mb2, (0, 1), np.array([1.0, 1.0, -1.0, -1.0]),
+                            nk=(31, 31))
+    check("sector chern f32",
+          abs(rs["chern_plus"] + 1.0) < 1e-3
+          and abs(rs["chern_minus"] - 1.0) < 1e-3
+          and abs(rs["gap"] - 1.866513) < 1e-3,
+          "C+=%.4f C-=%.4f gap=%.5f (x64: -1, +1, 1.86651)"
+          % (rs["chern_plus"], rs["chern_minus"], rs["gap"]))
+
+    # 32. deterministic KPM LDOS (f32): SSH edge state
+    from pythtb_tpu import realspace
+
+    sshm = zoo_models.ssh(delta=-0.4).cut_piece(30, 0, glue_edgs=False)
+    e_l, ld = realspace.kpm_ldos(sshm, [0, 29], num_moments=256,
+                                 n_energies=401)
+    mid = int(np.argmin(np.abs(e_l)))
+    de = e_l[1] - e_l[0]
+    check("kpm ldos f32",
+          abs(ld[0, mid] - 13.2615) < 0.1 and ld[0, mid] > 100 * ld[1, mid]
+          and abs(np.sum(ld[0]) * de - 1.0) < 0.03,
+          "edge=%.3f bulk=%.2e sum=%.3f (x64: 13.2615, ~0, 1)"
+          % (ld[0, mid], ld[1, mid], np.sum(ld[0]) * de))
+
+    # 33. twisted bilayer graphene (f32): velocity renormalization
+    from pythtb_tpu.models import moire
+
+    g_sk = moire.sk_graphene()
+    E_D = float(np.mean(np.asarray(
+        g_sk.solve_all(np.array([[2 / 3, 1 / 3]]))[:, 0])))
+
+    def _vel(model, Kfrac):
+        lat2d = np.asarray(model._lat)[:2, :2]
+        df = lat2d @ np.array([2e-3, 0.0]) / (2.0 * np.pi)
+
+        def upper(kf):
+            ee = np.sort(model.solve_all(np.array([kf]))[:, 0])
+            return ee[np.argsort(np.abs(ee - E_D))[:2]].max()
+
+        return (upper(np.asarray(Kfrac) + 2 * df)
+                - upper(np.asarray(Kfrac) + df)) / 2e-3
+
+    v0_sk = _vel(g_sk, [2 / 3, 1 / 3])
+    vr = _vel(moire.tbg(3), [1 / 3, 2 / 3]) / v0_sk
+    check("twisted bilayer f32",
+          abs(vr - 0.9520) < 5e-3,
+          "v/v0(9.43deg)=%.4f (x64: 0.9520)" % vr)
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
