@@ -68,6 +68,7 @@ __all__ = [
     "quantum_metric",
     "berry_curvature",
     "integrated_metric",
+    "superfluid_weight",
 ]
 
 _DEG_TOL = 1e-7  # energy-denominator mask, matches optical/flows siblings
@@ -318,3 +319,139 @@ def integrated_metric(model, occ, nk=(31, 31)):
         out["chern"] = float(out["curvature"][0, 1]
                              * 2.0 * np.pi / cell_area)
     return out
+
+
+# ---------------------------------------------------------------------------
+# superfluid weight (BdG phase-twist response)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _sfw_free_energy_jit(static, data, nk, dqs, mu, delta, kt):
+    """Mean-field BdG grand potential per cell at each reduced twist in
+    ``dqs`` (nq, d), one program: the particle block is H(k + dq) and
+    the hole block -conj(H(-k + dq)) + mu (both spins twisted by +q --
+    the gauge image of an order-parameter phase gradient), pairing
+    delta on every orbital.  Returns (nq,) float.
+
+    F(q) = (1/N_k) sum_k [ -kT sum_i log(1 + e^{-lam_i/kT})
+                           + Re tr(H(-k+dq)) - mu S ]
+
+    (the trace term comes from normal-ordering the hole block; it is
+    exactly the T -> 0 grand potential as kt -> 0)."""
+    from .ops.hamiltonian import assemble
+    from .ops.solver import device_uniform_grid
+
+    d = static.dim_k
+    S = static.nsta
+    ftype = config.float_dtype()
+    kg = device_uniform_grid(nk, jnp.zeros((d,), ftype))  # (B, d)
+    B = kg.shape[0]
+    nq = dqs.shape[0]
+    kp = (kg[None, :, :] + dqs[:, None, :]).reshape(nq * B, d)
+    km = (-kg[None, :, :] + dqs[:, None, :]).reshape(nq * B, d)
+    Hp = assemble(static, data, jnp.concatenate([kp, km], axis=0))
+    Hm = Hp[nq * B:]
+    Hp = Hp[: nq * B]
+    eye = jnp.eye(S, dtype=Hp.dtype)
+    pair = delta * jnp.broadcast_to(eye, Hp.shape)
+    bdg = jnp.concatenate(
+        [jnp.concatenate([Hp - mu * eye[None], pair], axis=2),
+         jnp.concatenate([pair, -(jnp.conj(Hm) - mu * eye[None])], axis=2)],
+        axis=1,
+    )
+    lam = jnp.linalg.eigvalsh(bdg)  # (nq*B, 2S)
+    fe = -kt * jnp.sum(jax.nn.softplus(-lam / kt), axis=-1)
+    tr = jnp.real(jnp.trace(Hm, axis1=-2, axis2=-1)) - mu * S
+    return jnp.sum((fe + tr).reshape(nq, B), axis=1) / B
+
+
+def _hessian_offsets(d, h):
+    """Central-difference stencil for a d-dim Hessian: origin, +-h e_a,
+    and the four signed corners per (a, b) pair."""
+    qs = [np.zeros(d)]
+    for a in range(d):
+        for s in (+1.0, -1.0):
+            v = np.zeros(d)
+            v[a] = s * h
+            qs.append(v)
+    pairs = [(a, b) for a in range(d) for b in range(a + 1, d)]
+    for a, b in pairs:
+        for sa, sb in ((1, 1), (-1, -1), (1, -1), (-1, 1)):
+            v = np.zeros(d)
+            v[a], v[b] = sa * h, sb * h
+            qs.append(v)
+    return np.array(qs), pairs
+
+
+def superfluid_weight(model, mu, delta, nk=(31, 31), temperature=None,
+                      step=1e-3):
+    """Superfluid weight ``D_s^{ab}`` of the s-wave mean-field state,
+    by exact BdG phase-twist response -- one compiled device program
+    for the whole finite-difference stencil.
+
+    ``D_s^{ab} = (1/A_c) d^2 F / dq_a dq_b`` at q = 0, where F(q) is
+    the grand potential per cell with the order-parameter phase
+    gradient gauged onto the hoppings (both spin species twisted by
+    +q; pairing ``delta`` uniform on all orbitals, chemical potential
+    ``mu`` fixed).  This is the FULL weight -- conventional
+    (band-dispersion) plus geometric (quantum-metric) parts -- with no
+    isolated-band or uniform-pairing-limit approximations beyond
+    mean field itself.  For an (ideally) flat band the conventional
+    part vanishes and D_s is carried entirely by the quantum metric
+    (Peotta & Torma, Nat. Commun. 6, 8944 (2015)) -- the Lieb-lattice
+    flat band at mu = 0 is the committed testbed, checked against an
+    independent dense twisted-torus BdG construction at 1e-8.
+
+    Spin enters as a degeneracy (singlet pairing between the two
+    members of a spin-degenerate band), so the reported weight counts
+    BOTH spin species -- the single-band metallic limit reads
+    ``D = 2 (1/A_c N_k) sum_k (d2 eps/dk2) n_k`` with the BCS
+    occupation (committed analytic test).  Models with explicit spin
+    structure (nspin = 2, e.g. SOC) are rejected -- their pairing
+    physics needs a Delta matrix, not a scalar.
+
+    :param mu: chemical potential
+    :param delta: s-wave pairing amplitude (energy units, > 0)
+    :param nk: BZ grid
+    :param temperature: k_B T for the Fermi smearing (default
+      ``delta / 50`` -- effectively T = 0 for a gapped BdG spectrum)
+    :param step: Cartesian twist step for the central-difference
+      Hessian
+    :returns: (d, d) float array, units [energy] / [length]^(d)... per
+      cell volume (divide by nothing else; ``hbar = e = 1``)
+    """
+    static, data, lat, _ = _prep(model, "superfluid_weight")
+    if static.nspin != 2 - 1:  # nspin == 1 only
+        raise PythtbError(
+            "superfluid_weight supports spinless (spin-degenerate) "
+            "models only -- explicit-spin pairing needs a Delta matrix"
+        )
+    if float(delta) <= 0.0:
+        raise PythtbError("superfluid_weight requires delta > 0")
+    d = static.dim_k
+    nk = tuple(int(n) for n in np.atleast_1d(nk))
+    if len(nk) != d or min(nk) < 2:
+        raise PythtbError("nk must give %d sizes >= 2" % d)
+    kt = float(delta) / 50.0 if temperature is None else float(temperature)
+    if kt <= 0.0:
+        raise PythtbError("temperature must be > 0 (use the default)")
+    h = float(step)
+    qs_cart, pairs = _hessian_offsets(d, h)
+    # reduced twist: k_red = lat @ k_cart / (2 pi) (row convention)
+    dqs = qs_cart @ lat.T / (2.0 * np.pi)
+    ftype = config.float_dtype()
+    F = np.asarray(jax.device_get(_sfw_free_energy_jit(
+        static, data, nk, jnp.asarray(dqs, ftype),
+        jnp.asarray(float(mu), ftype), jnp.asarray(float(delta), ftype),
+        jnp.asarray(kt, ftype),
+    )), dtype=np.float64)
+    vol = abs(np.linalg.det(lat))
+    D = np.zeros((d, d))
+    for a in range(d):
+        D[a, a] = (F[1 + 2 * a] + F[2 + 2 * a] - 2.0 * F[0]) / h**2
+    base = 1 + 2 * d
+    for idx, (a, b) in enumerate(pairs):
+        f = F[base + 4 * idx: base + 4 * idx + 4]
+        D[a, b] = D[b, a] = (f[0] + f[1] - f[2] - f[3]) / (4.0 * h**2)
+    return D / vol

@@ -229,3 +229,125 @@ def test_band_list_selection():
     # structure (same metric, opposite curvature)
     np.testing.assert_allclose(Qall[:, 0].real, Qall[:, 1].real, atol=1e-12)
     np.testing.assert_allclose(Qall[:, 0].imag, -Qall[:, 1].imag, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# superfluid weight
+# ---------------------------------------------------------------------------
+
+
+def _ds_torus_dense(model, mu, delta, L, h=1e-3, T=None):
+    """Independent oracle: dense BdG on an L1 x L2 twisted torus built
+    directly from the hop list (exact displacements; shares no code
+    with assemble/device paths)."""
+    T = delta / 50.0 if T is None else T
+    lat = np.asarray(model._lat, dtype=np.float64)
+    orb = np.asarray(model._orb, dtype=np.float64)
+    norb = model._norb
+    cells = np.array([(i, j) for i in range(L[0]) for j in range(L[1])])
+    nc = len(cells)
+    N = norb * nc
+
+    def H_q(q):
+        H = np.zeros((N, N), complex)
+        for h_ in model._hoppings:
+            amp, i, j, R = h_[0], h_[1], h_[2], np.asarray(h_[3])
+            dvec = (orb[j] + R[:2] - orb[i]) @ lat
+            ph = np.exp(1j * np.asarray(q) @ dvec)
+            for c_idx, c in enumerate(cells):
+                tc = (c + R[:2]) % [L[0], L[1]]
+                t_idx = int(tc[0] * L[1] + tc[1])
+                H[c_idx * norb + i, t_idx * norb + j] += amp * ph
+                H[t_idx * norb + j, c_idx * norb + i] += np.conj(amp * ph)
+        H += np.kron(np.eye(nc),
+                     np.diag(np.asarray(model._site_energies, float)))
+        return H
+
+    def F(q):
+        Hq = H_q(np.asarray(q))
+        I = np.eye(N)
+        bdg = np.zeros((2 * N, 2 * N), complex)
+        bdg[:N, :N] = Hq - mu * I
+        bdg[N:, N:] = -(np.conj(Hq) - mu * I)
+        bdg[:N, N:] = delta * I
+        bdg[N:, :N] = delta * I
+        lam = np.linalg.eigvalsh(bdg)
+        return (-T * np.sum(np.logaddexp(0, -lam / T))
+                + np.real(np.trace(Hq)) - mu * N) / nc
+
+    qs = [(0, 0), (h, 0), (-h, 0), (0, h), (0, -h),
+          (h, h), (-h, -h), (h, -h), (-h, h)]
+    Fv = np.array([F(q) for q in qs])
+    D = np.array([
+        [(Fv[1] + Fv[2] - 2 * Fv[0]) / h**2,
+         (Fv[5] + Fv[6] - Fv[7] - Fv[8]) / (4 * h**2)],
+        [(Fv[5] + Fv[6] - Fv[7] - Fv[8]) / (4 * h**2),
+         (Fv[3] + Fv[4] - 2 * Fv[0]) / h**2],
+    ])
+    return D / abs(np.linalg.det(lat[:2, :2]))
+
+
+def test_superfluid_weight_vs_twisted_torus():
+    """k-space BdG stencil == dense twisted-torus BdG (independent
+    construction) on matching grids, Lieb flat band + a random model."""
+    lieb = ptt.models.lieb()
+    Dk = geometry.superfluid_weight(lieb, 0.0, 0.3, nk=(6, 6))
+    Dt = _ds_torus_dense(lieb, 0.0, 0.3, (6, 6))
+    np.testing.assert_allclose(Dk, Dt, atol=1e-7)
+    m = _random_2d(11, norb=2)
+    mu = float(np.median(m.solve_all(np.random.default_rng(1).random((32, 2)))))
+    Dk2 = geometry.superfluid_weight(m, mu, 0.4, nk=(5, 5))
+    Dt2 = _ds_torus_dense(m, mu, 0.4, (5, 5))
+    np.testing.assert_allclose(Dk2, Dt2, atol=1e-7)
+
+
+def test_superfluid_weight_single_band_conventional():
+    """One band has NO geometric part: at T ~ 0 the weight is the
+    closed-form diamagnetic sum (1/A_c N) sum_k d2eps/dk2 * n_k with
+    the BCS occupation n_k = (1 - xi/E)/2 -- an independent analytic
+    route (no BdG, no stencil)."""
+    sq = ptt.models.square(t=-1.0)  # eps = -2t(cos kx a + cos ky a)?
+    static, _ = sq._get_finalized()
+    assert static.nsta == 1
+    lat = np.asarray(sq._lat)
+    a_len = lat[0, 0]
+    mu, delta = -1.0, 0.25
+    nk = 48
+    D = geometry.superfluid_weight(sq, mu, delta, nk=(nk, nk))
+    ks = np.stack(np.meshgrid(np.arange(nk) / nk, np.arange(nk) / nk,
+                              indexing="ij"), -1).reshape(-1, 2)
+    eps = sq.solve_all(ks).ravel()
+    xi = eps - mu
+    n_k = 0.5 * (1.0 - xi / np.sqrt(xi**2 + delta**2))
+    # d2 eps / dkx2 for eps = 2t cos(kx a) + 2t cos(ky a):
+    t_amp = float(np.real(sq._hoppings[0][0]))
+    d2eps = -2.0 * t_amp * (a_len**2) * np.cos(2 * np.pi * ks[:, 0])
+    Ac = abs(np.linalg.det(lat[:2, :2]))
+    # factor 2: the BdG free energy counts both spin species
+    D_analytic = 2.0 * np.sum(d2eps * n_k) / (len(ks) * Ac)
+    assert abs(D[0, 0] - D_analytic) < 2e-4 * max(abs(D_analytic), 1.0)
+    assert abs(D[0, 1]) < 1e-8
+
+
+def test_superfluid_weight_flat_band_geometric():
+    """Lieb flat band at mu = 0: the conventional (dispersion) part is
+    exactly zero, yet D_s > 0 -- carried by the quantum metric; it
+    grows with delta and vanishes as delta -> 0."""
+    lieb = ptt.models.lieb()
+    D1 = geometry.superfluid_weight(lieb, 0.0, 0.3, nk=(24, 24))
+    assert D1[0, 0] > 0.05
+    np.testing.assert_allclose(D1[0, 0], D1[1, 1], atol=1e-6)  # C4
+    assert np.linalg.eigvalsh(D1).min() > 0.0  # positive definite
+    D_small = geometry.superfluid_weight(lieb, 0.0, 0.03, nk=(24, 24))
+    assert 0.0 < D_small[0, 0] < 0.35 * D1[0, 0]
+
+
+def test_superfluid_weight_trivial_insulator_vanishes():
+    """Gapped trivial band, mu in the gap, delta << gap: D_s -> 0."""
+    cb = ptt.models.checkerboard(delta=4.0, t=0.3)
+    D = geometry.superfluid_weight(cb, 0.0, 0.02, nk=(16, 16))
+    assert np.abs(D).max() < 1e-4
+    with pytest.raises(PythtbError):
+        geometry.superfluid_weight(cb, 0.0, -0.1)
+    with pytest.raises(PythtbError):
+        geometry.superfluid_weight(ptt.models.kane_mele(), 0.0, 0.1)

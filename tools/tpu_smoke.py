@@ -450,6 +450,15 @@ def main():
           abs(vr - 0.9520) < 5e-3,
           "v/v0(9.43deg)=%.4f (x64: 0.9520)" % vr)
 
+    # 34. superfluid weight (f32): Lieb flat band, geometric pairing
+    dsw = geometry.superfluid_weight(zoo_models.lieb(), 0.0, 0.3,
+                                     nk=(24, 24))
+    check("superfluid weight f32",
+          abs(dsw[0, 0] - 0.211662) < 2e-3
+          and abs(dsw[0, 0] - dsw[1, 1]) < 1e-3,
+          "D_xx=%.5f (x64: 0.21166; flat band -> pure quantum metric)"
+          % dsw[0, 0])
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
