@@ -61,4 +61,28 @@ fig.tight_layout()
 fig.savefig("quantum_geometry.png", dpi=150)
 print("saved quantum_geometry.png")
 
+# ---- superfluid weight of a flat band ------------------------------------
+# The Lieb lattice's exactly flat band has ZERO group velocity, so the
+# conventional superfluid weight vanishes -- yet the BdG phase-twist
+# response is finite, carried entirely by the quantum metric
+# (Peotta & Torma).  One device program per point.
+from pythtb_tpu.models import lieb
+
+lb = lieb()
+deltas = [0.05, 0.1, 0.2, 0.3, 0.45]
+ds = [geometry.superfluid_weight(lb, 0.0, d, nk=(24, 24))[0, 0]
+      for d in deltas]
+print("Lieb flat band at mu = 0 (conventional part = 0):")
+for d, w in zip(deltas, ds):
+    print("  Delta = %.2f -> D_s = %.4f" % (d, w))
+
+fig2, ax2 = plt.subplots(figsize=(4.4, 3.4))
+ax2.plot(deltas, ds, "ko-", ms=4)
+ax2.set_xlabel(r"pairing $\Delta$")
+ax2.set_ylabel(r"$D_s$")
+ax2.set_title("flat-band superfluid weight\n(purely quantum-geometric)")
+fig2.tight_layout()
+fig2.savefig("superfluid_weight.png", dpi=150)
+print("saved superfluid_weight.png")
+
 print("Done.")
