@@ -422,7 +422,7 @@ def superfluid_weight(model, mu, delta, nk=(31, 31), temperature=None,
       cell volume (divide by nothing else; ``hbar = e = 1``)
     """
     static, data, lat, _ = _prep(model, "superfluid_weight")
-    if static.nspin != 2 - 1:  # nspin == 1 only
+    if static.nspin != 1:
         raise PythtbError(
             "superfluid_weight supports spinless (spin-degenerate) "
             "models only -- explicit-spin pairing needs a Delta matrix"
