@@ -343,11 +343,11 @@ def run_suite():
            "C+-=%.4f/%.4f gap=%.4f" % (rs["chern_plus"],
                                        rs["chern_minus"], rs["gap"]))
 
-    flake = hal.cut_piece(50, 0, glue_edgs=False).cut_piece(
+    flake5k = hal.cut_piece(50, 0, glue_edgs=False).cut_piece(
         50, 1, glue_edgs=False)  # 5,000 sites, open edges
     sites = np.concatenate([np.arange(32), 2500 + np.arange(32)])
     wall, (e_l, ld) = _timed(lambda: realspace.kpm_ldos(
-        flake, sites, num_moments=512, n_energies=801), n=2)
+        flake5k, sites, num_moments=512, n_energies=801), n=2)
     de_l = e_l[1] - e_l[0]
     report("kpm_ldos_5k_sites_64probe", None, wall,
            np.abs(np.sum(ld, axis=1) * de_l - 1.0).max() < 0.05,
@@ -368,6 +368,20 @@ def run_suite():
            and abs(dsw[0, 0] - dsw[1, 1]) < 1e-3,
            "13-point BdG twist stencil, one program; D_xx=%.5f "
            "(x64: 0.21165, flat-band/geometric)" % dsw[0, 0])
+
+    from pythtb_tpu import dynamics
+
+    def _evolve90k():
+        p0 = np.zeros(flake._nsta, complex)
+        p0[flake._nsta // 2] = 1.0  # flake = the 90k-site Peierls flake
+        return dynamics.evolve(flake, p0, np.linspace(0.5, 10.0, 20))
+
+    wall, psi_t = _timed(_evolve90k, n=2)
+    drift = float(np.abs(np.linalg.norm(psi_t, axis=1) - 1.0).max())
+    report("chebyshev_evolve_90k_20steps", None, wall,
+           drift < 1e-3,
+           "90k-site wavepacket, 20 steps, matrix-free; norm drift %.1e"
+           % drift)
 
     kfs3 = [[0.0, 0.0], [1 / 3, 2 / 3], [0.5, 0.5]]
     wall, mid30 = _timed(lambda: _middle4(30, kfs3), n=1)

@@ -459,6 +459,35 @@ def main():
           "D_xx=%.5f (x64: 0.21166; flat band -> pure quantum metric)"
           % dsw[0, 0])
 
+    # 35. real-time dynamics (f32): unitary Chebyshev propagation +
+    # chiral circulation + the quench-echo pins
+    from pythtb_tpu import dynamics
+    from pythtb_tpu.ops.matvec import sparse_h, to_dense
+
+    fl35 = haldane().cut_piece(8, 0).cut_piece(8, 1)
+    Hd = to_dense(sparse_h(fl35))
+    wv, vv = np.linalg.eigh(Hd)
+    pos35 = np.asarray(fl35._orb) @ np.asarray(fl35._lat)
+    gapm = np.abs(wv) < 0.5
+    seed35 = np.zeros(len(wv), complex)
+    seed35[int(np.argmin(pos35[:, 1]))] = 1.0
+    p0 = vv[:, gapm] @ (vv[:, gapm].conj().T @ seed35)
+    p0 /= np.linalg.norm(p0)
+    tts = np.linspace(1.0, 12.0, 12)
+    pt = dynamics.evolve(fl35, p0, tts)
+    norms = np.linalg.norm(pt, axis=1)
+    com = (np.abs(pt) ** 2) @ pos35 - pos35.mean(axis=0)
+    crs = com[:-1, 0] * com[1:, 1] - com[:-1, 1] * com[1:, 0]
+    ge = dynamics.quench_echo(ptt.models.ssh(delta=0.6),
+                              ptt.models.ssh(delta=-0.6), [0], (200,),
+                              np.array([1.0, 2.0]))
+    check("real-time dynamics f32",
+          np.abs(norms - 1.0).max() < 1e-4
+          and (np.all(crs > 0) or np.all(crs < 0))
+          and abs(ge[0] - 1.049032) < 1e-3 and abs(ge[1] - 0.071813) < 1e-3,
+          "norm drift %.1e, chiral, g=(%.4f, %.4f) (x64: 1.0490, 0.0718)"
+          % (np.abs(norms - 1.0).max(), ge[0], ge[1]))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
