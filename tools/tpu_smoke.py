@@ -488,6 +488,21 @@ def main():
           "norm drift %.1e, chiral, g=(%.4f, %.4f) (x64: 1.0490, 0.0718)"
           % (np.abs(norms - 1.0).max(), ge[0], ge[1]))
 
+    # 36. impurity T-matrix embedding (f32): BN in-gap bound state
+    from pythtb_tpu import impurity
+
+    rb = impurity.bound_states(ptt.models.bn(delta=1.0),
+                               np.array([[2.5]]), [0], (-0.95, 0.95),
+                               nk=(64, 64), tol=1e-5)
+    Gimp, _ = impurity.t_matrix(ptt.models.bn(delta=1.0),
+                                np.array([[2.5]]), np.array([-0.0998]),
+                                [0], nk=(64, 64), eta=0.01)
+    ld0 = float(-np.imag(Gimp[0, 0, 0]) / np.pi)
+    check("impurity embedding f32",
+          len(rb) == 1 and abs(rb[0] + 0.09976) < 1e-3 and ld0 > 1.0,
+          "E_b=%s LDOS@Eb=%.2f (x64: -0.09976, sharp)"
+          % (np.round(rb, 5), ld0))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
