@@ -165,3 +165,58 @@ def test_fuzz_dipole_vs_gradient(seed):
     )
     scale = max(np.abs(d_fd).max(), 1e-6)
     np.testing.assert_allclose(d_fd, d_pkg, atol=2e-2 * scale)
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_fuzz_dynamics_evolve_vs_dense(seed):
+    """Chebyshev propagation == dense eigendecomposition evolution on
+    random finite chains (random hop graph, complex amplitudes)."""
+    from pythtb_tpu import dynamics
+    from pythtb_tpu.ops.matvec import sparse_h, to_dense
+
+    rng = np.random.default_rng(seed)
+    m = _random_1d(seed, norb=3).cut_piece(6, 0, glue_edgs=False)
+    n = m._nsta
+    psi0 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    psi0 /= np.linalg.norm(psi0)
+    times = np.linspace(0.6, 4.2, 7)
+    out = dynamics.evolve(m, psi0, times)
+    H = to_dense(sparse_h(m))
+    w, v = np.linalg.eigh(H)
+    c0 = v.conj().T @ psi0
+    ref = np.stack([v @ (np.exp(-1j * w * t) * c0) for t in times])
+    assert np.abs(out - ref).max() < 1e-9
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_fuzz_impurity_g0_torus_identity(seed):
+    """Random 2-D host: k-sum G0 == dense glued-torus inverse exactly
+    at nk = L (phase convention under random orbital positions)."""
+    from pythtb_tpu import impurity
+    from .test_impurity import _torus_dense_g
+
+    m = _random_2d(seed, norb=3)
+    L = (5, 4)
+    Es = np.array([-0.8, 0.4])
+    G0 = impurity.host_greens_function(
+        m, Es, [0, 2, ([0, 1], 1)], nk=L, eta=0.07)
+    # cell (0, 1) orb 1 -> flat (1 * L0 + 0) * norb + 1 = 16
+    ref = _torus_dense_g(m, L, Es, 0.07, [0, 2, 1 * L[0] * 3 + 1])
+    np.testing.assert_allclose(G0, ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_fuzz_superfluid_k_vs_torus(seed):
+    """Random 2-D host at a random in-band mu: BdG stencil weight ==
+    dense twisted-torus construction."""
+    from pythtb_tpu import geometry
+    from .test_geometry import _ds_torus_dense
+
+    rng = np.random.default_rng(seed)
+    m = _random_2d(seed, norb=2)
+    ev = m.solve_all(rng.random((64, 2)))
+    mu = float(np.quantile(ev, rng.uniform(0.2, 0.8)))
+    delta = float(rng.uniform(0.15, 0.5))
+    Dk = geometry.superfluid_weight(m, mu, delta, nk=(5, 5))
+    Dt = _ds_torus_dense(m, mu, delta, (5, 5))
+    np.testing.assert_allclose(Dk, Dt, atol=1e-7)
