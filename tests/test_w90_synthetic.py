@@ -200,3 +200,52 @@ def test_tb_dat_truncated_rejected(tmp_path):
     open(path, "w").writelines(lines[: len(lines) // 2])
     with pytest.raises(Exception):
         ptt.w90(str(tmp_path), "bad", use_tb_file=True)
+
+
+class TestWriteW90:
+    def test_round_trip_random_3d(self, tmp_path):
+        rng = np.random.default_rng(5)
+        m = ptt.tb_model(
+            3, 3, lat=np.eye(3) + 0.1 * rng.standard_normal((3, 3)),
+            orb=rng.random((3, 3)))
+        m.set_onsite(rng.standard_normal(3))
+        for (i, j, R) in [(0, 1, [0, 0, 0]), (0, 2, [1, 0, 0]),
+                          (1, 2, [0, 1, 0]), (0, 0, [0, 0, 1]),
+                          (2, 2, [1, 1, 0])]:
+            amp = rng.standard_normal() + 1j * rng.standard_normal()
+            if i == j:
+                amp = amp  # complex same-orbital inter-cell hop is legal
+            m.set_hop(amp, i, j, R)
+        from pythtb_tpu.w90 import write_w90
+
+        write_w90(m, str(tmp_path), "rt")
+        back = ptt.w90(str(tmp_path), "rt").model()
+        ks = rng.random((23, 3))
+        np.testing.assert_allclose(back.solve_all(ks), m.solve_all(ks),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(back._orb),
+                                   np.asarray(m._orb), atol=1e-12)
+
+    def test_round_trip_silicon(self, tmp_path):
+        import os
+
+        src = os.path.join(os.path.dirname(__file__), "data", "w90_silicon")
+        if not os.path.isdir(src):
+            pytest.skip("silicon data not vendored")
+        si = ptt.w90(src, "silicon").model()
+        from pythtb_tpu.w90 import write_w90
+
+        write_w90(si, str(tmp_path), "si2")
+        back = ptt.w90(str(tmp_path), "si2").model()
+        ks = np.random.default_rng(0).random((17, 3))
+        np.testing.assert_allclose(back.solve_all(ks), si.solve_all(ks),
+                                   atol=1e-10)
+
+    def test_write_guards(self, tmp_path):
+        from pythtb_tpu.w90 import write_w90
+        from pythtb_tpu.model import PythtbError
+
+        with pytest.raises(PythtbError):
+            write_w90(ptt.models.haldane(), str(tmp_path), "x")
+        with pytest.raises(PythtbError):
+            write_w90(ptt.models.fu_kane_mele(), str(tmp_path), "x")
