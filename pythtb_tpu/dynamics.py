@@ -136,6 +136,8 @@ def evolve(model, psi0, times, order=None):
     a = 0.5 * (hi - lo) + 1e-12
     b = 0.5 * (hi + lo)
     M = _cheb_order(a, dt) if order is None else int(order)
+    if M < 2:
+        raise PythtbError("order must be >= 2 (got %d)" % M)
     from scipy.special import jv
 
     n = np.arange(M)
@@ -222,8 +224,10 @@ def quench_echo(model_i, model_f, occ, nk, times):
         raise PythtbError("model_i and model_f must share orbital "
                           "positions (same cell geometry)")
     occ = tuple(int(o) for o in np.atleast_1d(occ))
-    if len(occ) == 0 or min(occ) < 0 or max(occ) >= si.nsta:
-        raise PythtbError("bad occ for %d states" % si.nsta)
+    if (len(occ) == 0 or len(set(occ)) != len(occ)
+            or min(occ) < 0 or max(occ) >= si.nsta):
+        raise PythtbError(
+            "occ must be distinct band indices in [0, %d)" % si.nsta)
     nk = tuple(int(x) for x in np.atleast_1d(nk))
     if len(nk) != si.dim_k or min(nk) < 2:
         raise PythtbError("nk must give %d sizes >= 2" % si.dim_k)

@@ -759,12 +759,14 @@ def kpm_dos(model, energies=None, num_moments=512, num_vectors=8,
     if energies is None:
         energies = np.linspace(lo, hi, int(n_energies))
     energies = np.asarray(energies, dtype=np.float64)
-    et = np.clip((energies - b) / a, -1.0 + 1e-12, 1.0 - 1e-12)
+    et_raw = (energies - b) / a
+    inside = np.abs(et_raw) < 1.0 - 1e-12  # outside the window DOS = 0
+    et = np.clip(et_raw, -1.0 + 1e-12, 1.0 - 1e-12)
     tm = np.cos(m_arr[None, :] * np.arccos(et)[:, None])  # (E, M)
     w = np.full(M, 2.0)
     w[0] = 1.0
     dos = (tm * (w * g * mu)[None, :]).sum(axis=1) / (np.pi * np.sqrt(1.0 - et**2)) / a
-    return energies, dos
+    return energies, np.where(inside, dos, 0.0)
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
@@ -858,22 +860,32 @@ def wilson_flow(model, occ, nk=(41, 41), loop_dir=1, start_k=(-0.5, -0.5)):
     return np.asarray(evph, dtype=np.float64), np.asarray(traced, dtype=np.float64)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def _ahc_jit(static, data, n0, n1, start, phases_ri, efs, kt):
-    """Band-resolved Berry curvature with zero-temperature occupation
-    factors, one program: solve the grid, per-band plaquette fluxes
-    (abelian curvatures), mask by E <= E_F per requested Fermi level,
-    reduce.  Returns sigma_xy (nef,) in e^2/h."""
+def _band_curvature_grid(static, data, n0, n1, start, phases_ri):
+    """Shared engine of the ahc/nernst/thermal-hall family: solve the
+    interior grid, close it with the periodic gauge, per-band plaquette
+    fluxes.  Returns (om (nsta, n0-1, n1-1), E (nsta, n0-1, n1-1)) --
+    the single home of this pipeline (three copies once drifted:
+    only one had grown the degeneracy diagnostic)."""
     from .utils.xfer import unpack_cplx
 
     kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
     H = assemble(static, data, kpts)
-    evals, v = eigh_batched(H)  # (B, nsta), (B, nsta, F)
+    evals, v = eigh_batched(H)
     w = v.reshape(n0 - 1, n1 - 1, static.nsta, static.nsta)
     w = extend_pbc_seq(w, [unpack_cplx(phases_ri[0]), unpack_cplx(phases_ri[1])])
-    wb = jnp.moveaxis(w, 2, 0)[..., None, :]  # (nsta, n0, n1, 1, F)
+    wb = jnp.moveaxis(w, 2, 0)[..., None, :]
     om = plaquette_phases(wb)  # (nsta, n0-1, n1-1) per-band fluxes
     E = evals.reshape(n0 - 1, n1 - 1, static.nsta).transpose(2, 0, 1)
+    return om, E
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _ahc_jit(static, data, n0, n1, start, phases_ri, efs, kt):
+    """Band-resolved Berry curvature with zero-temperature occupation
+    factors, one program (curvature from _band_curvature_grid), masked
+    by E <= E_F per requested Fermi level.  Returns sigma_xy (nef,) in
+    e^2/h."""
+    om, E = _band_curvature_grid(static, data, n0, n1, start, phases_ri)
     x = (E[None] - efs[:, None, None, None])
     occ = jnp.where(
         kt > 0.0,
@@ -952,18 +964,8 @@ def anomalous_hall(model, fermi_levels, nk=(101, 101), start_k=(-0.5, -0.5),
 @partial(jax.jit, static_argnums=(0, 2, 3))
 def _nernst_jit(static, data, n0, n1, start, phases_ri, mus, kt):
     """Entropy-weighted band-resolved Berry curvature: alpha_xy(mu) for
-    the whole mu-batch in one program (same curvature engine as
-    _ahc_jit)."""
-    from .utils.xfer import unpack_cplx
-
-    kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
-    H = assemble(static, data, kpts)
-    evals, v = eigh_batched(H)
-    w = v.reshape(n0 - 1, n1 - 1, static.nsta, static.nsta)
-    w = extend_pbc_seq(w, [unpack_cplx(phases_ri[0]), unpack_cplx(phases_ri[1])])
-    wb = jnp.moveaxis(w, 2, 0)[..., None, :]
-    om = plaquette_phases(wb)  # (nsta, n0-1, n1-1)
-    E = evals.reshape(n0 - 1, n1 - 1, static.nsta).transpose(2, 0, 1)
+    the whole mu-batch in one program (_band_curvature_grid engine)."""
+    om, E = _band_curvature_grid(static, data, n0, n1, start, phases_ri)
     x = (E[None] - mus[:, None, None, None]) / kt  # (nmu, nsta, ., .)
     # electronic entropy density s = -f ln f - (1-f) ln(1-f)
     #   = x f(x) + ln(1 + e^{-x}),  f = sigmoid(-x)   (both stable)
@@ -1181,18 +1183,8 @@ def _c2_weight(x):
 @partial(jax.jit, static_argnums=(0, 2, 3))
 def _thermal_hall_jit(static, data, n0, n1, start, phases_ri, mus, kt):
     """c2-weighted band-resolved Berry curvature: kappa_xy(mu)/T for
-    the whole mu-batch in one program (same curvature engine as
-    _ahc_jit/_nernst_jit)."""
-    from .utils.xfer import unpack_cplx
-
-    kpts = device_uniform_grid((n0 - 1, n1 - 1), start)
-    H = assemble(static, data, kpts)
-    evals, v = eigh_batched(H)
-    w = v.reshape(n0 - 1, n1 - 1, static.nsta, static.nsta)
-    w = extend_pbc_seq(w, [unpack_cplx(phases_ri[0]), unpack_cplx(phases_ri[1])])
-    wb = jnp.moveaxis(w, 2, 0)[..., None, :]
-    om = plaquette_phases(wb)  # (nsta, n0-1, n1-1)
-    E = evals.reshape(n0 - 1, n1 - 1, static.nsta).transpose(2, 0, 1)
+    the whole mu-batch in one program (_band_curvature_grid engine)."""
+    om, E = _band_curvature_grid(static, data, n0, n1, start, phases_ri)
     x = (E[None] - mus[:, None, None, None]) / kt  # (nmu, nsta, ., .)
     return jnp.sum(om[None] * _c2_weight(x), axis=(1, 2, 3)) / (2.0 * np.pi)
 

@@ -76,6 +76,12 @@ def _cluster_arrays(model, cluster):
     Rs = np.asarray(Rs, dtype=np.float64)
     if Rs.shape[1] != dim_r:
         raise PythtbError("cluster R vectors must have dim_r components")
+    nonper = [d for d in range(dim_r) if d not in model._per]
+    if nonper and np.abs(Rs[:, nonper]).max() > 1e-9:
+        raise PythtbError(
+            "cluster R vectors must vanish along non-periodic "
+            "directions (there are no repeated cells there)"
+        )
     orb_red = np.asarray(model._orb, dtype=np.float64)
     pos_red = Rs + orb_red[orbs]  # (nc, dim_r) reduced positions
     if static.nspin == 2:
@@ -87,8 +93,9 @@ def _cluster_arrays(model, cluster):
 
 
 @partial(jax.jit, static_argnums=(0, 3))
-def _g0_jit(static, data, pos_red_per, nk, states, energies, eta):
-    """G0(E) for the energy batch, ri-packed (nE, nc, nc)."""
+def _spectrum_jit(static, data, pos_red_per, nk, states):
+    """Grid eigendecomposition once: (evals (B, S), ri-packed site-
+    basis amplitudes phi (B, S, nc))."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble
     from .ops.solver import device_uniform_grid
@@ -102,13 +109,31 @@ def _g0_jit(static, data, pos_red_per, nk, states, energies, eta):
         "bd,ad->ba", kpts.astype(config.complex_dtype()),
         pos_red_per.astype(config.complex_dtype()), precision=hp))
     phi = vecs[:, :, states] * ph[:, None, :]
+    return evals, pack_cplx(phi)
+
+
+@jax.jit
+def _g0_eval_jit(evals, phi_ri, energies, eta):
+    """G0(E) for an energy batch from the precomputed spectrum,
+    ri-packed (nE, nc, nc) -- the per-energy cost is one einsum."""
+    hp = jax.lax.Precision.HIGHEST
+    phi = unpack_cplx(phi_ri)
     denom = (energies[:, None, None]
              + jax.lax.complex(jnp.zeros((), config.float_dtype()), eta)
              - evals[None].astype(config.complex_dtype()))
-    # G0[e, a, b] = (1/N) sum_{k n} phi_a conj(phi_b) / denom
     G0 = jnp.einsum("kna,knc,ekn->eac", phi, jnp.conj(phi), 1.0 / denom,
-                    precision=hp) / kpts.shape[0]
+                    precision=hp) / phi.shape[0]
     return pack_cplx(G0)
+
+
+def _spectrum(model, static, data, pos_red, states, nk):
+    """Host wrapper for the one-time grid eigendecomposition (only the
+    periodic components of the positions enter the Bloch phase)."""
+    ftype = config.float_dtype()
+    evals, phi_ri = _spectrum_jit(
+        static, data, jnp.asarray(pos_red[:, list(model._per)], ftype),
+        nk, jnp.asarray(states))
+    return evals, phi_ri
 
 
 def _prep_host(model, nk, caller):
@@ -138,13 +163,10 @@ def host_greens_function(model, energies, cluster, nk=(64, 64), eta=1e-3):
     static, data, nk = _prep_host(model, nk, "host_greens_function")
     pos_red, states = _cluster_arrays(model, cluster)
     energies = np.atleast_1d(np.asarray(energies, dtype=np.float64))
+    evals, phi_ri = _spectrum(model, static, data, pos_red, states, nk)
     ftype = config.float_dtype()
-    # only periodic directions enter the phase (reduced k has dim_k
-    # components); non-periodic R components must be zero
-    per = list(model._per)
-    G0 = jax.device_get(_g0_jit(
-        static, data, jnp.asarray(pos_red[:, per], ftype), nk,
-        jnp.asarray(states), jnp.asarray(energies, ftype),
+    G0 = jax.device_get(_g0_eval_jit(
+        evals, phi_ri, jnp.asarray(energies, ftype),
         jnp.asarray(float(eta), ftype),
     ))
     return host_unpack(G0)
@@ -181,16 +203,18 @@ def bound_states(model, V, cluster, window, nk=(64, 64), n_scan=201,
     0), so for invertible V the condition ``det[1 - G0 V] = 0`` is the
     zero crossing of an eigenvalue of the HERMITIAN pencil ``A(E) =
     V^{-1} - G0(E)``: the scan tracks the count of negative
-    eigenvalues of A (each bound state changes it by one; exact
-    degeneracies change it by their multiplicity and are reported that
-    many times) and bisects every change.  A singular V falls back to
-    sign changes of the real determinant of ``1 - G0 V`` (which MISSES
-    even-multiplicity roots -- prefer invertible V).
+    eigenvalues of A and recursively bisects every change, so two
+    DISTINCT levels inside one scan interval are still separated (an
+    exact degeneracy converges to one energy reported with its
+    multiplicity).  A singular V falls back to sign changes of the
+    real determinant of ``1 - G0 V`` (which misses even-multiplicity
+    roots -- prefer invertible V).  The host spectrum is diagonalized
+    ONCE; every scan/bisection energy costs one small einsum.
 
     :param window: (E_lo, E_hi) inside a host gap (states inside bands
       are resonances, not bound states -- they will not be found)
-    :param n_scan: scan resolution (bisection refines each bracket to
-      ``tol``)
+    :param n_scan: initial scan resolution (recursion refines each
+      bracket to ``tol``)
     :returns: (nb,) array of bound-state energies (possibly empty)
     """
     E_lo, E_hi = float(window[0]), float(window[1])
@@ -198,16 +222,25 @@ def bound_states(model, V, cluster, window, nk=(64, 64), n_scan=201,
         raise PythtbError("window must be (E_lo, E_hi) with E_hi > E_lo")
     V = np.asarray(V, dtype=np.complex128)
 
-    # real-axis G0: tiny eta, keep the Hermitian part (in a gap the
-    # anti-Hermitian part ~ eta -> 0)
+    static, data, nk = _prep_host(model, nk, "bound_states")
+    pos_red, states = _cluster_arrays(model, cluster)
+    nc = len(states)
+    if V.shape != (nc, nc):
+        raise PythtbError("V must be (%d, %d) in the cluster state basis"
+                          % (nc, nc))
+    if np.abs(V - V.conj().T).max() > 1e-12:
+        raise PythtbError("V must be Hermitian")
+    evals, phi_ri = _spectrum(model, static, data, pos_red, states, nk)
+    ftype = config.float_dtype()
+    eta = jnp.asarray(1e-7, ftype)
+
+    # real-axis G0 from the precomputed spectrum: tiny eta, Hermitian
+    # part (in a gap the anti-Hermitian part ~ eta -> 0)
     def g0_herm(Es):
-        G0 = host_greens_function(model, Es, cluster, nk=nk, eta=1e-7)
+        G0 = host_unpack(jax.device_get(_g0_eval_jit(
+            evals, phi_ri, jnp.asarray(np.atleast_1d(Es), ftype), eta)))
         return 0.5 * (G0 + np.conj(np.swapaxes(G0, -1, -2)))
 
-    nc_probe = g0_herm(np.array([0.5 * (E_lo + E_hi)])).shape[-1]
-    if V.shape != (nc_probe, nc_probe):
-        raise PythtbError("V must be (%d, %d) in the cluster state basis"
-                          % (nc_probe, nc_probe))
     invertible = (np.linalg.cond(V) < 1e12
                   if np.abs(V).max() > 0 else False)
     if invertible:
@@ -218,25 +251,25 @@ def bound_states(model, V, cluster, window, nk=(64, 64), n_scan=201,
             return (np.linalg.eigvalsh(A) < 0.0).sum(axis=-1)
     else:
         def count(Es):
-            nc = V.shape[0]
             M = np.eye(nc)[None] - g0_herm(Es) @ V[None]
             return (np.real(np.linalg.det(M)) < 0.0).astype(int)
 
+    roots = []
+
+    def refine(lo, hi, clo, chi):
+        mult = abs(int(chi) - int(clo))
+        if mult == 0:
+            return
+        if hi - lo <= tol:
+            roots.extend([0.5 * (lo + hi)] * mult)
+            return
+        mid = 0.5 * (lo + hi)
+        cm = int(count(np.array([mid]))[0])
+        refine(lo, mid, clo, cm)
+        refine(mid, hi, cm, chi)
+
     Es = np.linspace(E_lo, E_hi, int(n_scan))
     c = count(Es)
-    roots = []
     for i in range(len(Es) - 1):
-        mult = abs(int(c[i + 1]) - int(c[i]))
-        if mult == 0:
-            continue
-        lo, hi = Es[i], Es[i + 1]
-        clo = int(c[i])
-        while hi - lo > tol:
-            mid = 0.5 * (lo + hi)
-            cm = int(count(np.array([mid]))[0])
-            if cm != clo:
-                hi = mid
-            else:
-                lo, clo = mid, cm
-        roots.extend([0.5 * (lo + hi)] * mult)
+        refine(Es[i], Es[i + 1], int(c[i]), int(c[i + 1]))
     return np.asarray(sorted(roots), dtype=np.float64)

@@ -556,13 +556,15 @@ def kpm_ldos(sample, sites, energies=None, num_moments=512,
     if energies is None:
         energies = np.linspace(lo, hi, int(n_energies))
     energies = np.asarray(energies, dtype=np.float64)
-    et = np.clip((energies - b) / a, -1.0 + 1e-12, 1.0 - 1e-12)
+    et_raw = (energies - b) / a
+    inside = np.abs(et_raw) < 1.0 - 1e-12  # outside the window LDOS = 0
+    et = np.clip(et_raw, -1.0 + 1e-12, 1.0 - 1e-12)
     tm = np.cos(m_arr[None, :] * np.arccos(et)[:, None])  # (nE, M)
     wgt = np.full(M, 2.0)
     wgt[0] = 1.0
     ldos = (tm * (wgt * g)[None, :]) @ mu  # (nE, nsites)
     ldos = ldos.T / (np.pi * np.sqrt(1.0 - et**2))[None, :] / a
-    return energies, ldos
+    return energies, np.where(inside[None, :], ldos, 0.0)
 
 
 # --------------------------------------------------------------------

@@ -187,3 +187,17 @@ def test_chiral_edge_transport():
     assert np.all(cross > 0) or np.all(cross < 0)
     # and it actually moves
     assert np.linalg.norm(com[-1] - com[0]) > 0.5
+
+
+def test_review_guards():
+    """Regressions from code review: order < 2 must raise (jnp index
+    clamping silently returned a non-unitary state); duplicate occ in
+    quench_echo must raise (rank-deficient determinant gave inf)."""
+    m = zoo.haldane(ptt).cut_piece(3, 0).cut_piece(3, 1)
+    with pytest.raises(PythtbError, match="order"):
+        dynamics.evolve(m, np.ones(m._nsta) / np.sqrt(m._nsta),
+                        np.array([1.0]), order=1)
+    with pytest.raises(PythtbError, match="distinct"):
+        dynamics.quench_echo(ptt.models.ssh(delta=0.5),
+                             ptt.models.ssh(delta=-0.5), [0, 0], (8,),
+                             np.array([1.0]))

@@ -138,3 +138,28 @@ def test_errors():
         impurity.host_greens_function(
             bn.cut_piece(3, 0, glue_edgs=False).cut_piece(
                 3, 1, glue_edgs=False), [0.0], [0])
+
+
+def test_bound_states_near_degenerate_pair_separated():
+    """Regression (code review): two DISTINCT levels inside one scan
+    interval must come back as two different energies (the recursive
+    bracket refinement), and non-periodic cluster R components must be
+    rejected."""
+    bn = ptt.models.bn(delta=1.0)
+    # weakly split two-site impurity: levels ~1e-3 apart
+    V = np.diag([6.0, 6.0])
+    cluster = [0, ([3, 0], 0)]
+    roots = impurity.bound_states(bn, V, cluster, (-0.95, 0.95),
+                                  nk=(48, 48), n_scan=5)
+    assert len(roots) == 2
+    assert abs(roots[1] - roots[0]) > 1e-6  # genuinely separated
+    fine = impurity.bound_states(bn, V, cluster, (-0.95, 0.95),
+                                 nk=(48, 48), n_scan=301)
+    np.testing.assert_allclose(roots, fine, atol=1e-7)
+    # non-periodic R rejection (dim_r = 3, dim_k = 2 host)
+    from pythtb_tpu.models import moire
+
+    g = moire.sk_graphene()
+    with pytest.raises(PythtbError, match="non-periodic"):
+        impurity.host_greens_function(g, [0.0], [([0, 0, 1], 0)],
+                                      nk=(8, 8))

@@ -348,3 +348,23 @@ class TestKpmLdos:
             realspace.kpm_ldos(s, [])
         with pytest.raises(Exception):
             realspace.kpm_ldos(s, [s.norb])
+
+
+def test_ldos_zero_outside_spectrum():
+    """Regression (code review): energies outside the Gershgorin
+    window must return LDOS 0, not the clipped-edge 1/sqrt(1-et^2)
+    spike."""
+    m = zoo.haldane()
+    s = realspace.torus_sample(m, (4, 4))
+    from pythtb_tpu.ops.matvec import gershgorin_window
+
+    lo, hi = gershgorin_window(s.h)
+    e, ld = realspace.kpm_ldos(s, [0], energies=np.array([lo - 2.0, 0.0,
+                                                          hi + 2.0]),
+                               num_moments=64)
+    assert ld[0, 0] == 0.0 and ld[0, 2] == 0.0
+    # same contract for the global KPM DOS
+    e2, dos = flows.kpm_dos(m.cut_piece(3, 0, glue_edgs=True).cut_piece(
+        3, 1, glue_edgs=True), energies=np.array([lo - 2.0, hi + 2.0]),
+        num_moments=32, num_vectors=2)
+    assert dos[0] == 0.0 and dos[1] == 0.0
