@@ -69,6 +69,7 @@ __all__ = [
     "berry_curvature",
     "integrated_metric",
     "superfluid_weight",
+    "drude_weight",
 ]
 
 _DEG_TOL = 1e-7  # energy-denominator mask, matches optical/flows siblings
@@ -437,6 +438,22 @@ def superfluid_weight(model, mu, delta, nk=(31, 31), temperature=None,
     if kt <= 0.0:
         raise PythtbError("temperature must be > 0 (use the default)")
     h = float(step)
+    # the BdG dispersion near the Fermi surface curves on the twist
+    # scale q_c ~ delta / v_F; a step that cannot resolve it silently
+    # UNDERESTIMATES the weight (measured: 13% low for delta = 0.002
+    # at the default step on the square lattice)
+    from .ops.matvec import sparse_h  # noqa: F401  (import check only)
+    bw = float(np.abs(np.asarray(model._site_energies)).max() + 2.0 * sum(
+        np.abs(complex(hh[0])) for hh in model._hoppings) + 1e-12)
+    if h > float(delta) / max(bw, 1e-12):
+        warnings.warn(
+            "superfluid_weight: step = %.1e cannot resolve the BdG "
+            "coherence scale delta / bandwidth ~ %.1e -- the finite-"
+            "difference Hessian will underestimate D_s; reduce `step` "
+            "(or treat the delta -> 0 limit with drude_weight)."
+            % (h, float(delta) / max(bw, 1e-12)),
+            UserWarning, stacklevel=2,
+        )
     qs_cart, pairs = _hessian_offsets(d, h)
     # reduced twist: k_red = lat @ k_cart / (2 pi) (row convention)
     dqs = qs_cart @ lat.T / (2.0 * np.pi)
@@ -455,3 +472,56 @@ def superfluid_weight(model, mu, delta, nk=(31, 31), temperature=None,
         f = F[base + 4 * idx: base + 4 * idx + 4]
         D[a, b] = D[b, a] = (f[0] + f[1] - f[2] - f[3]) / (4.0 * h**2)
     return D / vol
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _drude_jit(static, data, nk, lat, mu, kt):
+    """Diamagnetic band sum: D^ab = (2/A_c N_k) sum_kn
+    (d2 eps_n / dk_a dk_b) f(eps_n) with band second derivatives from
+    the exact sum rule d2eps = W2_nn + 2 sum_m |V_nm|^2 / (e_n - e_m)
+    (second-order perturbation theory -- no finite differences)."""
+    from .optical import _band_tensors
+
+    hp = jax.lax.Precision.HIGHEST
+    evals, _vecs, V, W2 = _band_tensors(static, data, nk, lat,
+                                        need_d2=True)
+    D = evals[:, :, None] - evals[:, None, :]  # D[b, n, m] = e_n - e_m
+    mask = jnp.abs(D) > 1e-7
+    invD = jnp.where(mask, 1.0 / jnp.where(mask, D, 1.0), 0.0)
+    # d2 eps[b, a, c, n]
+    inter = 2.0 * jnp.real(jnp.einsum(
+        "banm,bcmn,bnm->bacn", V, V, invD.astype(V.dtype), precision=hp))
+    d2 = jnp.real(W2[..., jnp.arange(static.nsta),
+                     jnp.arange(static.nsta)]) + inter
+    x = (evals - mu) / kt
+    occ = jax.nn.sigmoid(-x)  # (B, n)
+    return 2.0 * jnp.einsum("bacn,bn->ac", d2, occ,
+                            precision=hp) / evals.shape[0]
+
+
+def drude_weight(model, mu, nk=(64, 64), temperature=1e-3):
+    """Drude weight (charge stiffness) of the clean metal,
+    ``D^ab = (2/A_c) int d^dk/(2pi)^d ... = (2/(A_c N_k)) sum_{kn}
+    (d2 eps_n/dk_a dk_b) f(eps_n)`` -- the diamagnetic band sum with
+    analytic second derivatives (sum rule: ``d2eps_n = W2_nn +
+    2 sum_m |V_nm|^2/(e_n - e_m)``), both spin species counted.
+
+    At T = 0 in a clean superconductor this equals the
+    ``delta -> 0`` limit of :func:`superfluid_weight` (Leggett) --
+    the committed cross-oracle; in an insulator it vanishes.
+
+    :param mu: chemical potential
+    :param temperature: k_B T for the occupation smearing
+    :returns: (d, d) float array
+    """
+    static, data, lat, _ = _prep(model, "drude_weight")
+    nk = tuple(int(n) for n in np.atleast_1d(nk))
+    if len(nk) != static.dim_k or min(nk) < 2:
+        raise PythtbError("nk must give %d sizes >= 2" % static.dim_k)
+    ftype = config.float_dtype()
+    out = np.asarray(jax.device_get(_drude_jit(
+        static, data, nk, jnp.asarray(lat, ftype),
+        jnp.asarray(float(mu), ftype),
+        jnp.asarray(float(temperature), ftype),
+    )), dtype=np.float64)
+    return out / abs(np.linalg.det(lat))

@@ -351,3 +351,33 @@ def test_superfluid_weight_trivial_insulator_vanishes():
         geometry.superfluid_weight(cb, 0.0, -0.1)
     with pytest.raises(PythtbError):
         geometry.superfluid_weight(ptt.models.kane_mele(), 0.0, 0.1)
+
+
+def test_drude_weight_vs_superfluid_limit():
+    """Kohn/Leggett: for a clean TRS metal the delta -> 0 superfluid
+    weight equals the Drude weight (band-curvature f-sum with the
+    exact interband sum-rule term).  Isotropy and the insulator zero
+    come along."""
+    sq = ptt.models.square(t=-1.0)
+    D = geometry.drude_weight(sq, -1.0, nk=(48, 48), temperature=0.02)
+    Ds = geometry.superfluid_weight(sq, -1.0, 0.05, nk=(48, 48))
+    assert abs(Ds[0, 0] / D[0, 0] - 1.0) < 5e-3
+    assert abs(D[0, 0] - D[1, 1]) < 1e-10 and abs(D[0, 1]) < 1e-10
+    # doped graphene (two bands, TRS): same limit
+    g = ptt.models.graphene()
+    Dg = geometry.drude_weight(g, -0.8, nk=(72, 72), temperature=0.03)
+    Dsg = geometry.superfluid_weight(g, -0.8, 0.08, nk=(72, 72))
+    # finite delta adds a small positive GEOMETRIC (interband metric)
+    # piece on top of the Drude limit -- allow it, require closeness
+    assert 0.0 < Dsg[0, 0] / Dg[0, 0] - 1.0 < 0.08
+    # insulator: exactly zero band sum
+    cb = ptt.models.checkerboard(delta=4.0, t=0.3)
+    assert np.abs(geometry.drude_weight(cb, 0.0, nk=(24, 24))).max() < 1e-12
+
+
+def test_superfluid_step_resolution_warning():
+    """Regression: a twist step that cannot resolve delta/bandwidth
+    silently underestimated D_s by ~13% -- now warns."""
+    sq = ptt.models.square(t=-1.0)
+    with pytest.warns(UserWarning, match="underestimate"):
+        geometry.superfluid_weight(sq, -1.0, 0.002, nk=(8, 8))
