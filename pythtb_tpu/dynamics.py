@@ -151,31 +151,37 @@ def evolve(model, psi0, times, order=None):
     return psi_t[:, :, 0] if squeeze else psi_t
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def _init_states_jit(static, data, occ, nk):
-    """Occupied eigenstates on the grid, ri-packed (B, nocc, S)."""
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _init_states_jit(static, data, occ, nk, mesh=None):
+    """Occupied eigenstates on the grid, ri-packed (B, nocc, S); with
+    a mesh the k-batch is GSPMD-sharded."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble
-    from .ops.solver import device_uniform_grid
+    from .ops.solver import device_uniform_grid, shard_grid_axis0
 
     kpts = device_uniform_grid(nk, jnp.zeros((static.dim_k,),
                                              config.float_dtype()))
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
     _, v = eigh_batched(assemble(static, data, kpts))
     return pack_cplx(v[:, jnp.asarray(occ, jnp.int32), :])
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _echo_jit(static_f, data_f, u0_ri, nk, times):
+@partial(jax.jit, static_argnums=(0, 3, 5))
+def _echo_jit(static_f, data_f, u0_ri, nk, times, mesh=None):
     """ln L(t) for the whole time batch: eigendecompose H_f on the
     grid once, build overlap determinants det M_k(t) for every time by
-    phase-twisted projection."""
+    phase-twisted projection.  With a mesh the k-batch (and hence the
+    determinant products) run data-parallel; the time reduction psums."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble
-    from .ops.solver import device_uniform_grid
+    from .ops.solver import device_uniform_grid, shard_grid_axis0
 
     hp = jax.lax.Precision.HIGHEST
     kpts = device_uniform_grid(nk, jnp.zeros((static_f.dim_k,),
                                              config.float_dtype()))
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
     Hf = assemble(static_f, data_f, kpts)
     ef, vf = eigh_batched(Hf)  # rows are states
     u0 = unpack_cplx(u0_ri)  # (B, nocc, S) initial occupied states
@@ -233,9 +239,12 @@ def quench_echo(model_i, model_f, occ, nk, times):
         raise PythtbError("nk must give %d sizes >= 2" % si.dim_k)
     times = np.asarray(times, dtype=np.float64)
 
-    u0_ri = _init_states_jit(si, di, occ, nk)
+    from .parallel import mesh as pmesh
+
+    mesh = pmesh.current_mesh()
+    u0_ri = _init_states_jit(si, di, occ, nk, mesh)
     lnL = jax.device_get(_echo_jit(
-        sf, df, u0_ri, nk, jnp.asarray(times, config.float_dtype())
+        sf, df, u0_ri, nk, jnp.asarray(times, config.float_dtype()), mesh
     ))
     N = int(np.prod(nk)) * len(occ)
     return -np.asarray(lnL, dtype=np.float64) / N

@@ -204,3 +204,17 @@ def test_integrated_metric_sharded_matches(mesh8):
     np.testing.assert_allclose(base["curvature"], sharded["curvature"],
                                atol=1e-12)
     assert abs(base["chern"] - sharded["chern"]) < 1e-12
+
+
+def test_quench_echo_sharded_matches(mesh8):
+    """dynamics.quench_echo under a mesh shards the k-grid; the rate
+    function is unchanged."""
+    from pythtb_tpu import dynamics
+
+    mi = ptt.models.ssh(delta=0.5)
+    mf = ptt.models.ssh(delta=-0.5)
+    ts = np.linspace(0.3, 3.0, 5)
+    base = dynamics.quench_echo(mi, mf, [0], (16,), ts)
+    with use_mesh(mesh8):
+        sharded = dynamics.quench_echo(mi, mf, [0], (16,), ts)
+    np.testing.assert_allclose(base, sharded, atol=1e-12)
