@@ -104,9 +104,9 @@ def evolve(model, psi0, times, order=None):
     :param psi0: (nsta,) or (nsta, B) complex initial states (flat
       spin-fastest layout for spinful models); normalization is
       preserved exactly by unitarity (checked in tests to 1e-12)
-    :param times: 1-D array of UNIFORMLY spaced times starting after 0
-      (e.g. ``np.linspace(dt, T, n)``); the step is ``times[1] -
-      times[0]`` and ``times[0]`` must equal it
+    :param times: 1-D array of UNIFORMLY spaced times (any start,
+      including 0); the step is ``times[1] - times[0]`` and an
+      initial fractional step seeds the series at ``times[0]``
     :param order: Chebyshev order per step (default: Bessel-safe
       ``a dt + 40``)
     :returns: (ntimes, nsta) or (ntimes, nsta, B) complex array
@@ -118,12 +118,16 @@ def evolve(model, psi0, times, order=None):
     times = np.asarray(times, dtype=np.float64)
     if times.ndim != 1 or len(times) < 1:
         raise PythtbError("times must be a nonempty 1-D array")
-    dt = times[0]
-    if dt <= 0 or (len(times) > 1 and np.abs(np.diff(times) - dt).max() > 1e-9 * dt):
-        raise PythtbError(
-            "times must be uniformly spaced with times[0] == step "
-            "(use np.linspace(dt, T, n))"
-        )
+    if len(times) > 1:
+        dt = float(times[1] - times[0])
+        if dt <= 0 or np.abs(np.diff(times) - dt).max() > 1e-9 * abs(dt):
+            raise PythtbError("times must be uniformly spaced and "
+                              "increasing")
+    else:
+        dt = float(times[0])
+        if dt == 0.0:
+            raise PythtbError("a single requested time must be nonzero")
+    seed_dt = float(times[0]) - dt  # fractional step to reach times[0]
     psi0 = np.asarray(psi0, dtype=np.complex128)
     squeeze = psi0.ndim == 1
     if squeeze:
@@ -141,11 +145,23 @@ def evolve(model, psi0, times, order=None):
     from scipy.special import jv
 
     n = np.arange(M)
-    coef = (2.0 - (n == 0)) * (-1.0j) ** n * jv(n, a * dt) * np.exp(-1.0j * b * dt)
+
+    def _coef(step):
+        return ((2.0 - (n == 0)) * (-1.0j) ** n * jv(n, a * step)
+                * np.exp(-1.0j * b * step))
+
     ftype = config.float_dtype()
+    start = psi0.reshape(shape)
+    if abs(seed_dt) > 1e-12 * max(abs(dt), 1.0):
+        # one fractional (possibly backward) step so the scan lands
+        # exactly on times[0], times[0] + dt, ...
+        start = host_unpack(jax.device_get(_cheb_evolve_jit(
+            h, jnp.asarray([a, b], ftype), host_pack(_coef(seed_dt)),
+            host_pack(start), 1,
+        )))[0]
     out = jax.device_get(_cheb_evolve_jit(
-        h, jnp.asarray([a, b], ftype), host_pack(coef),
-        host_pack(psi0.reshape(shape)), len(times),
+        h, jnp.asarray([a, b], ftype), host_pack(_coef(dt)),
+        host_pack(start), len(times),
     ))
     psi_t = host_unpack(out).reshape(len(times), h.nsta, B)
     return psi_t[:, :, 0] if squeeze else psi_t

@@ -201,3 +201,21 @@ def test_review_guards():
         dynamics.quench_echo(ptt.models.ssh(delta=0.5),
                              ptt.models.ssh(delta=-0.5), [0, 0], (8,),
                              np.array([1.0]))
+
+
+def test_evolve_arbitrary_uniform_grid():
+    """times need not start at the step: an initial fractional
+    (possibly backward) Chebyshev step seeds the series, so any uniform
+    grid -- including one starting at 0 -- matches the dense oracle."""
+    m = zoo.haldane(ptt).cut_piece(3, 0).cut_piece(3, 1)
+    rng = np.random.default_rng(3)
+    psi0 = rng.standard_normal(m._nsta) + 1j * rng.standard_normal(m._nsta)
+    psi0 /= np.linalg.norm(psi0)
+    for times in (np.linspace(0.5, 3.5, 6),   # t0 < step
+                  np.linspace(2.0, 4.0, 5),   # t0 > step
+                  np.linspace(0.0, 2.0, 5)):  # includes t = 0
+        out = dynamics.evolve(m, psi0, times)
+        ref = _dense_evolution(m, psi0, times)
+        assert np.abs(out - ref).max() < 1e-10
+    with pytest.raises(PythtbError):
+        dynamics.evolve(m, psi0, np.array([0.0]))
