@@ -55,6 +55,43 @@ from .utils.xfer import host_pack, host_unpack, pack_cplx, unpack_cplx
 __all__ = ["evolve", "quench_echo"]
 
 
+@partial(jax.jit, static_argnums=(5,))
+def _cheb_evolve_seeded_jit(h, ab, seed_coef_ri, coef_ri, psi0_ri, nsteps):
+    """Seeded variant: one fractional step with its own (independently
+    sized) coefficient vector, then the uniform scan -- all on device,
+    no host round trip for the seeded state."""
+    from .ops.matvec import matvec
+
+    seed = unpack_cplx(seed_coef_ri)
+    psi0 = unpack_cplx(psi0_ri)
+
+    def scaled(v):
+        return (matvec(h, v) - ab[1] * v) / ab[0]
+
+    def one_step(psi, coef):
+        t0 = psi
+        t1 = scaled(psi)
+
+        def cheb(carry, c):
+            tm, tc, acc = carry
+            tn = 2.0 * scaled(tc) - tm
+            return (tc, tn, acc + c * tn), None
+
+        acc0 = coef[0] * t0 + coef[1] * t1
+        (_, _, acc), _ = jax.lax.scan(cheb, (t0, t1, acc0), coef[2:])
+        return acc
+
+    start = one_step(psi0, seed)
+    coef = unpack_cplx(coef_ri)
+
+    def step(psi, _):
+        out = one_step(psi, coef)
+        return out, out
+
+    _, hist = jax.lax.scan(step, start, None, length=nsteps)
+    return pack_cplx(hist)
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _cheb_evolve_jit(h, ab, coef_ri, psi0_ri, nsteps):
     """Chebyshev time stepping: apply e^{-i H dt} ``nsteps`` times to a
@@ -90,9 +127,12 @@ def _cheb_evolve_jit(h, ab, coef_ri, psi0_ri, nsteps):
 
 
 def _cheb_order(a, dt):
-    """Bessel tail: J_n(x) decays superexponentially for n > x; the
-    +40 buffer puts the truncation at double-precision round-off."""
-    return int(np.ceil(abs(a * dt))) + 40
+    """Bessel tail: J_n(x) decays superexponentially for n > x, but
+    the turning-point width grows like x^(1/3) -- a fixed +40 buffer
+    left ~1e-7 errors at x ~ 350 (review).  x + 12 x^(1/3) + 40 holds
+    double-precision round-off at any step length."""
+    x = abs(a * dt)
+    return int(np.ceil(x + 12.0 * x ** (1.0 / 3.0))) + 40
 
 
 def evolve(model, psi0, times, order=None):
@@ -142,27 +182,33 @@ def evolve(model, psi0, times, order=None):
     M = _cheb_order(a, dt) if order is None else int(order)
     if M < 2:
         raise PythtbError("order must be >= 2 (got %d)" % M)
+    # the seed step can be much longer than dt (times[0] >> step); it
+    # always gets its own Bessel-safe order -- truncating it at M gave
+    # silently non-unitary states (code review)
+    M_seed = _cheb_order(a, seed_dt)
     from scipy.special import jv
 
-    n = np.arange(M)
-
-    def _coef(step):
-        return ((2.0 - (n == 0)) * (-1.0j) ** n * jv(n, a * step)
+    def _coef(step, order_):
+        nn = np.arange(order_)
+        return ((2.0 - (nn == 0)) * (-1.0j) ** nn * jv(nn, a * step)
                 * np.exp(-1.0j * b * step))
 
     ftype = config.float_dtype()
     start = psi0.reshape(shape)
     if abs(seed_dt) > 1e-12 * max(abs(dt), 1.0):
-        # one fractional (possibly backward) step so the scan lands
-        # exactly on times[0], times[0] + dt, ...
-        start = host_unpack(jax.device_get(_cheb_evolve_jit(
-            h, jnp.asarray([a, b], ftype), host_pack(_coef(seed_dt)),
-            host_pack(start), 1,
-        )))[0]
-    out = jax.device_get(_cheb_evolve_jit(
-        h, jnp.asarray([a, b], ftype), host_pack(_coef(dt)),
-        host_pack(start), len(times),
-    ))
+        # one fractional (possibly backward) Bessel-safe step so the
+        # scan lands exactly on times[0], times[0] + dt, ... -- fused
+        # with the scan in one device program
+        out = jax.device_get(_cheb_evolve_seeded_jit(
+            h, jnp.asarray([a, b], ftype),
+            host_pack(_coef(seed_dt, M_seed)), host_pack(_coef(dt, M)),
+            host_pack(start), len(times),
+        ))
+    else:
+        out = jax.device_get(_cheb_evolve_jit(
+            h, jnp.asarray([a, b], ftype), host_pack(_coef(dt, M)),
+            host_pack(start), len(times),
+        ))
     psi_t = host_unpack(out).reshape(len(times), h.nsta, B)
     return psi_t[:, :, 0] if squeeze else psi_t
 

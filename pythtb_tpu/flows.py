@@ -1873,6 +1873,9 @@ def parity_z2(model, occ, center=None, parity=None, tol=1e-6):
     occ = tuple(int(o) for o in np.atleast_1d(occ))
     if len(occ) == 0 or len(occ) % 2 != 0 or len(set(occ)) != len(occ):
         raise PythtbError("occ must be an even number of distinct bands")
+    if min(occ) < 0 or max(occ) >= static.nsta:
+        raise PythtbError("occ indices %s out of range for %d states"
+                          % (sorted(occ), static.nsta))
     norb = model._norb
     orb = np.asarray(model._orb, dtype=np.float64)[:, model._per]
     c = (np.zeros(d) if center is None
@@ -1884,28 +1887,47 @@ def parity_z2(model, occ, center=None, parity=None, tol=1e-6):
     if xi.shape != (norb,) or np.abs(np.abs(xi) - 1.0).max() > 0:
         raise PythtbError("parity must give +-1 per orbital")
 
-    # geometry: p(a), R_a with 2c - t_a = t_{p(a)} + R_a
+    # geometry: p(a), R_a with 2c - t_a = t_{p(a)} + R_a.  Coincident
+    # orbital positions (e.g. BHZ s/p at the origin) are geometrically
+    # indistinguishable: prefer the self-map at inversion-fixed
+    # positions and otherwise consume partners from an availability
+    # pool so multiple coincident orbitals pair off consistently (a
+    # greedy first-hit map once sent two orbitals to the SAME partner,
+    # leaving P singular -- caught in review).  The numeric
+    # P H(-k) P^+ == H(k) check below still vets the assignment.
     p = np.full(norb, -1, dtype=np.int64)
     Ra = np.zeros((norb, d))
+    available = set(range(norb))
     for a in range(norb):
+        if p[a] >= 0:
+            continue
         target = 2.0 * c - orb[a]
         diff = target[None, :] - orb  # (norb, d)
         Rcand = np.round(diff)
-        hit = np.where(np.abs(diff - Rcand).max(axis=1) < 1e-8)[0]
-        if len(hit) == 0:
+        hit = [int(b) for b in
+               np.where(np.abs(diff - Rcand).max(axis=1) < 1e-8)[0]
+               if b in available]
+        if not hit:
             raise PythtbError(
                 "no inversion partner for orbital %d about center %s "
                 "-- wrong center or no inversion symmetry"
                 % (a, c.tolist())
             )
-        # coincident orbital positions (e.g. BHZ s/p at the origin):
-        # geometry cannot distinguish them -- map each onto ITSELF and
-        # let the per-orbital `parity` signs carry the orbital
-        # character (the numeric P H(-k) P^+ == H(k) check catches a
-        # wrong assignment)
         use = a if a in hit else hit[0]
         p[a] = use
         Ra[a] = Rcand[use]
+        available.discard(a)
+        if use != a:
+            # the partner maps back with R determined by ITS target
+            p[use] = a
+            back = 2.0 * c - orb[use] - orb[a]
+            Ra[use] = np.round(back)
+            if np.abs(back - Ra[use]).max() > 1e-8:
+                raise PythtbError(
+                    "inversion partner mismatch for orbitals %d/%d"
+                    % (a, use)
+                )
+            available.discard(use)
 
     def P_of_k(k):
         P = np.zeros((norb, norb), dtype=complex)
@@ -1927,7 +1949,7 @@ def parity_z2(model, occ, center=None, parity=None, tol=1e-6):
         k = rng.random(d)
         Pk = P_of_k(k)
         dev = np.abs(Pk @ H_II(-k) @ Pk.conj().T - H_II(k)).max()
-        if dev > max(tol, 1e-6):
+        if dev > tol:
             raise PythtbError(
                 "model is not inversion symmetric about %s with the "
                 "given orbital parities (|P H(-k) P^+ - H(k)| = %.2e)"
@@ -1944,14 +1966,14 @@ def parity_z2(model, occ, center=None, parity=None, tol=1e-6):
         u = vec * np.exp(2.0j * np.pi * (t @ kappa))[None, :]
         uo = u[list(occ)]
         M = uo.conj() @ P_of_k(kappa) @ uo.T
-        if np.abs(M @ M.conj().T - np.eye(len(occ))).max() > 1e-5:
+        if np.abs(M @ M.conj().T - np.eye(len(occ))).max() > 10.0 * tol:
             raise PythtbError(
                 "occupied space at TRIM %s is not closed under "
                 "inversion -- check that occ is an isolated group"
                 % (np.asarray(kappa).tolist(),)
             )
         xis = np.linalg.eigvalsh(0.5 * (M + M.conj().T))
-        if np.abs(np.abs(xis) - 1.0).max() > 1e-5:
+        if np.abs(np.abs(xis) - 1.0).max() > 10.0 * tol:
             raise PythtbError("parity eigenvalues not quantized at "
                               "TRIM %s" % (np.asarray(kappa).tolist(),))
         n_minus = int(np.sum(xis < 0))

@@ -442,7 +442,6 @@ def superfluid_weight(model, mu, delta, nk=(31, 31), temperature=None,
     # scale q_c ~ delta / v_F; a step that cannot resolve it silently
     # UNDERESTIMATES the weight (measured: 13% low for delta = 0.002
     # at the default step on the square lattice)
-    from .ops.matvec import sparse_h  # noqa: F401  (import check only)
     bw = float(np.abs(np.asarray(model._site_energies)).max() + 2.0 * sum(
         np.abs(complex(hh[0])) for hh in model._hoppings) + 1e-12)
     if h > float(delta) / max(bw, 1e-12):
@@ -495,8 +494,11 @@ def _drude_jit(static, data, nk, lat, mu, kt):
                      jnp.arange(static.nsta)]) + inter
     x = (evals - mu) / kt
     occ = jax.nn.sigmoid(-x)  # (B, n)
-    return 2.0 * jnp.einsum("bacn,bn->ac", d2, occ,
-                            precision=hp) / evals.shape[0]
+    # spin degeneracy factor: 2 for spinless (spin-degenerate) bands,
+    # 1 when the states already carry explicit spin (nspin == 2)
+    spin = 2.0 if static.nspin == 1 else 1.0
+    return spin * jnp.einsum("bacn,bn->ac", d2, occ,
+                             precision=hp) / evals.shape[0]
 
 
 def drude_weight(model, mu, nk=(64, 64), temperature=1e-3):
@@ -504,7 +506,9 @@ def drude_weight(model, mu, nk=(64, 64), temperature=1e-3):
     ``D^ab = (2/A_c) int d^dk/(2pi)^d ... = (2/(A_c N_k)) sum_{kn}
     (d2 eps_n/dk_a dk_b) f(eps_n)`` -- the diamagnetic band sum with
     analytic second derivatives (sum rule: ``d2eps_n = W2_nn +
-    2 sum_m |V_nm|^2/(e_n - e_m)``), both spin species counted.
+    2 sum_m |V_nm|^2/(e_n - e_m)``).  Both spin species are counted:
+    spinless models get the degeneracy factor 2, explicit-spin
+    (nspin = 2) models count their states directly.
 
     At T = 0 in a clean superconductor this equals the
     ``delta -> 0`` limit of :func:`superfluid_weight` (Leggett) --

@@ -219,3 +219,18 @@ def test_evolve_arbitrary_uniform_grid():
         assert np.abs(out - ref).max() < 1e-10
     with pytest.raises(PythtbError):
         dynamics.evolve(m, psi0, np.array([0.0]))
+
+
+def test_evolve_long_seed_step_exact():
+    """Regression (review): a seed step much longer than dt needs its
+    OWN Bessel-safe order -- truncating it at the scan order gave
+    silently non-unitary states."""
+    m = zoo.haldane(ptt).cut_piece(3, 0).cut_piece(3, 1)
+    rng = np.random.default_rng(5)
+    psi0 = rng.standard_normal(m._nsta) + 1j * rng.standard_normal(m._nsta)
+    psi0 /= np.linalg.norm(psi0)
+    times = np.linspace(100.0, 101.0, 3)  # seed step ~ 99.5 >> dt 0.5
+    out = dynamics.evolve(m, psi0, times)
+    ref = _dense_evolution(m, psi0, times)
+    assert np.abs(out - ref).max() < 1e-9
+    assert np.abs(np.linalg.norm(out, axis=1) - 1.0).max() < 1e-12

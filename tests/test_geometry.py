@@ -381,3 +381,17 @@ def test_superfluid_step_resolution_warning():
     sq = ptt.models.square(t=-1.0)
     with pytest.warns(UserWarning, match="underestimate"):
         geometry.superfluid_weight(sq, -1.0, 0.002, nk=(8, 8))
+
+
+def test_drude_spin_convention():
+    """Regression (review): an explicit-spin copy of a spinless model
+    must give the SAME Drude weight (its states already count both
+    spins)."""
+    sq1 = ptt.models.square(t=-1.0)
+    sq2 = ptt.tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]],
+                       nspin=2)
+    sq2.set_hop([-1.0, 0.0, 0.0, 0.0], 0, 0, [1, 0])
+    sq2.set_hop([-1.0, 0.0, 0.0, 0.0], 0, 0, [0, 1])
+    D1 = geometry.drude_weight(sq1, -1.0, nk=(24, 24), temperature=0.05)
+    D2 = geometry.drude_weight(sq2, -1.0, nk=(24, 24), temperature=0.05)
+    np.testing.assert_allclose(D1, D2, atol=1e-10)

@@ -74,3 +74,22 @@ def test_guards():
         flows.parity_z2(ptt.models.haldane(), (0,))
     with pytest.raises(PythtbError, match="even"):
         flows.parity_z2(ptt.models.bhz(), (0,), parity=[1, -1])
+
+
+def test_coincident_offcenter_pairs_and_occ_range():
+    """Regression (review): coincident orbitals AWAY from an
+    inversion-fixed point must pair off consistently (the greedy map
+    once sent two orbitals to the same partner, leaving P singular);
+    and occ is range-checked (negative indices used to wrap silently
+    to the conduction bands)."""
+    m = ptt.tb_model(1, 1, lat=[[1.0]],
+                     orb=[[0.25], [0.25], [0.75], [0.75]], nspin=2)
+    m.set_onsite([0.3, -0.3, 0.3, -0.3])
+    m.set_hop(1.0, 0, 2, [0])
+    m.set_hop(1.0, 1, 3, [0])
+    m.set_hop(0.7, 2, 0, [1])
+    m.set_hop(0.7, 3, 1, [1])
+    r = flows.parity_z2(m, (0, 1, 2, 3), center=[0.5])
+    assert r["nu0"] in (0, 1)  # computes instead of false-raising
+    with pytest.raises(PythtbError, match="range"):
+        flows.parity_z2(ptt.models.bhz(), (-2, -1), parity=[1, -1])
