@@ -591,3 +591,163 @@ def joint_dos(model, omegas, occ, nk=(101, 101), sigma=0.05):
         jnp.asarray(float(sigma), ftype),
     )
     return np.asarray(jax.device_get(out), dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# time-domain nonlinear response (exact Peierls gauge)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _td_current_jit(static, data, nk, occ, dks_mid, dks_out, dt, lat):
+    """Exact time evolution of the filled bands under a uniform vector
+    potential and the resulting macroscopic current.
+
+    The Peierls substitution for a spatially uniform A(t) is EXACT for
+    tight binding: H(t) = H(k + A_red(t)).  Each step applies the
+    midpoint propagator exp(-i H(k + A(t_mid)) dt) to the occupied
+    block (one batched eigh per step, matmul rotation -- the same
+    pattern as floquet._propagation_scan) and reads out the
+    minimal-coupling current j^a = (1/N_k) sum_{k, occ}
+    <psi| dH/dk_cart_a (k + A) |psi> at the step end.
+
+    dks_mid / dks_out: (nt, d) REDUCED A at step midpoints / ends.
+    Returns (nt, d_cart) real currents per unit cell.
+    """
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble, assemble_dk
+    from .ops.solver import device_uniform_grid
+
+    hp = jax.lax.Precision.HIGHEST
+    d = static.dim_k
+    kg = device_uniform_grid(nk, jnp.zeros((d,), config.float_dtype()))
+    occ_idx = jnp.asarray(occ, jnp.int32)
+    _, v0 = eigh_batched(assemble(static, data, kg))
+    psi = v0[:, occ_idx, :]  # (B, nocc, S) rows are states
+    latj = jnp.asarray(lat).astype(config.complex_dtype())
+
+    def step(psi, dk):
+        dk_mid, dk_out = dk
+        w, V = eigh_batched(assemble(static, data, kg + dk_mid[None, :]))
+        phase = jnp.exp(jax.lax.complex(jnp.zeros_like(w), -w * dt))
+        U = jnp.einsum("bns,bn,bnt->bst", V, phase, jnp.conj(V),
+                       precision=hp)
+        psi = jnp.einsum("bst,bmt->bms", U, psi, precision=hp)
+        dH = assemble_dk(static, data, kg + dk_out[None, :])
+        dHc = jnp.einsum("ra,brij->baij", latj, dH,
+                         precision=hp) / (2.0 * np.pi)
+        j = jnp.real(jnp.einsum("bms,bast,bmt->a", jnp.conj(psi), dHc,
+                                psi, precision=hp)) / kg.shape[0]
+        return psi, j
+
+    _, js = jax.lax.scan(step, psi, (dks_mid, dks_out))
+    return js
+
+
+def harmonic_spectrum(model, omega, efield, occ, nk=(48, 48), cycles=24,
+                      ramp_cycles=8, steps_per_cycle=96, n_harmonics=5,
+                      pol=None):
+    """Nonlinear optical response by EXACT time evolution: drive the
+    filled bands with ``E(t) = E0 cos(omega t)`` (sin^2-ramped over
+    ``ramp_cycles``), evolve with the exact Peierls-gauge Hamiltonian
+    H(k + A(t)), and Fourier-analyze the current over the final
+    integer periods.
+
+    Nonperturbative and gauge-exact -- the workhorse for solid-state
+    high-harmonic generation and the oracle for every frequency-domain
+    response in this module: the n = 1 channel reproduces the Kubo
+    :func:`optical_conductivity` (committed test), the n = 2 channel
+    at small fields is the SHG conductivity, inversion symmetry kills
+    all even harmonics (tested), and perturbative field scaling j_n ~
+    E0^n holds until genuine non-perturbative physics takes over.
+
+    :param omega: drive frequency (choose 2*omega below the gap for a
+      transparent-regime SHG measurement)
+    :param efield: field amplitude E0 (energy / length units); scalar
+    :param occ: filled bands (clean insulator)
+    :param pol: Cartesian polarization vector (default x̂)
+    :param cycles / ramp_cycles: total and ramp length in periods
+      (the analysis window is the final ``cycles - ramp_cycles - 2``
+      periods, minimum 1)
+    :param steps_per_cycle: midpoint-propagator resolution
+    :param n_harmonics: highest harmonic returned
+    :returns: dict with ``harmonics`` ((n_harmonics + 1, d_cart)
+      complex amplitudes C_n: j^a(t) ~ sum_n Re[C_n^a e^{-i n omega
+      t}]), ``sigma1`` (C_1 / E0, the linear conductivity in the
+      optical_conductivity units), and ``sigma2`` (C_2 / E0^2)
+    """
+    static, data = model._get_finalized()
+    if static.dim_k != model._dim_r:
+        raise PythtbError("harmonic_spectrum requires a fully periodic "
+                          "model")
+    d = static.dim_k
+    nk = tuple(int(x) for x in np.atleast_1d(nk))
+    if len(nk) != d:
+        raise PythtbError("nk must give %d sizes" % d)
+    occ_t = tuple(int(o) for o in np.atleast_1d(occ))
+    if (len(occ_t) == 0 or len(set(occ_t)) != len(occ_t)
+            or min(occ_t) < 0 or max(occ_t) >= static.nsta):
+        raise PythtbError("occ must be distinct bands in range")
+    omega = float(omega)
+    E0 = float(efield)
+    pol_v = np.zeros(d)
+    pol_v[0] = 1.0
+    if pol is not None:
+        pol_v = np.asarray(pol, dtype=np.float64)
+        if pol_v.shape != (d,):
+            raise PythtbError("pol must have %d components" % d)
+        pol_v = pol_v / np.linalg.norm(pol_v)
+    cycles = int(cycles)
+    ramp_cycles = int(ramp_cycles)
+    spc = int(steps_per_cycle)
+    if cycles - ramp_cycles < 3:
+        raise PythtbError("need at least 3 cycles after the ramp")
+    T = 2.0 * np.pi / omega
+    dt = T / spc
+    nt = cycles * spc
+    # E(t) = E0 r(t) cos(w t); A(t) = -int E dt (fine host trapezoid)
+    tfine = np.arange(2 * nt + 1) * (dt / 2.0)  # half-step resolution
+
+    def envelope(t):
+        tr = ramp_cycles * T
+        return np.where(t < tr, np.sin(0.5 * np.pi * t / tr) ** 2, 1.0)
+
+    Efine = E0 * envelope(tfine) * np.cos(omega * tfine)
+    Afine = -np.concatenate([[0.0], np.cumsum(
+        0.5 * (Efine[1:] + Efine[:-1]) * (dt / 2.0))])
+    A_mid = Afine[1::2][:nt]   # midpoints t_s + dt/2
+    A_out = Afine[2::2][:nt]   # step ends
+    lat = np.asarray(model._lat, dtype=np.float64)
+    # reduced shift: dk_red = lat @ A_cart / (2 pi)
+    Acart_mid = A_mid[:, None] * pol_v[None, :]
+    Acart_out = A_out[:, None] * pol_v[None, :]
+    dks_mid = Acart_mid @ lat.T / (2.0 * np.pi)
+    dks_out = Acart_out @ lat.T / (2.0 * np.pi)
+    ftype = config.float_dtype()
+    js = np.asarray(jax.device_get(_td_current_jit(
+        static, data, nk, occ_t, jnp.asarray(dks_mid, ftype),
+        jnp.asarray(dks_out, ftype), jnp.asarray(dt, ftype),
+        jnp.asarray(lat, ftype),
+    )), dtype=np.float64)  # (nt, d)
+    # analysis window: final integer periods, skipping 2 settle cycles
+    nwin = max(1, cycles - ramp_cycles - 2)
+    sl = slice(nt - nwin * spc, nt)
+    twin = (np.arange(nt) * dt + dt)[sl]
+    jwin = js[sl]
+    nH = int(n_harmonics)
+    C = np.zeros((nH + 1, d), dtype=complex)
+    for n in range(nH + 1):
+        w_ = np.exp(1.0j * n * omega * twin)
+        C[n] = (2.0 if n else 1.0) * (w_[:, None] * jwin).mean(axis=0)
+    vol = abs(np.linalg.det(lat))
+    # -2 pi: converts the raw e = hbar = 1 current amplitudes to the
+    # e^2/h units and phase convention of optical_conductivity (locked
+    # by the committed linear-channel oracle below AND above the gap)
+    out = {
+        "harmonics": C / vol,
+        "sigma1": -2.0 * np.pi * C[1] / E0 / vol,
+        "sigma2": -2.0 * np.pi * C[2] / E0**2 / vol,
+        "current": js,
+        "dt": dt,
+    }
+    return out
