@@ -503,6 +503,32 @@ def main():
           "E_b=%s LDOS@Eb=%.2f (x64: -0.09976, sharp)"
           % (np.round(rb, 5), ld0))
 
+    # 37. Fu-Kane parity Z2 (f32 TRIM solves + symmetry verification)
+    rp = flows.parity_z2(zoo_models.bhz(m=-1.0), (0, 1),
+                         parity=[1, -1], tol=1e-3)
+    rf37 = flows.parity_z2(
+        zoo_models.fu_kane_mele(), (0, 1),
+        center=np.asarray(zoo_models.fu_kane_mele()._orb).sum(0) / 2.0,
+        tol=1e-3)
+    check("fu-kane parity z2 f32",
+          rp["nu0"] == 1 and rf37["nu0"] == 1
+          and rf37["weak"] == (1, 1, 1),
+          "BHZ nu=%d FKM (%d;%s)" % (rp["nu0"], rf37["nu0"],
+                                     rf37["weak"]))
+
+    # 38. real-time harmonics (f32): linear channel vs Kubo pin + SHG
+    from pythtb_tpu import optical as opt38
+
+    bn38 = ptt.models.bn(delta=1.0)
+    rh = opt38.harmonic_spectrum(bn38, 0.6, 1e-3, occ=[0], nk=(36, 36),
+                                 cycles=24, ramp_cycles=8,
+                                 steps_per_cycle=72)
+    check("real-time harmonics f32",
+          abs(rh["sigma1"][0] - (-0.140661j)) < 2e-3
+          and abs(rh["sigma2"][1] - 0.030100j) < 1e-3,
+          "s1=%.5fj s2=%.5fj (x64: -0.14066j, 0.03010j)"
+          % (rh["sigma1"][0].imag, rh["sigma2"][1].imag))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
