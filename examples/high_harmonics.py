@@ -52,13 +52,11 @@ print("strong field: plateau spans ~%d harmonics"
 
 # ---- SHG dispersion ----------------------------------------------------
 ws = np.linspace(0.3, 0.95, 10)
-shg = []
-for wi in ws:
-    r = optical.harmonic_spectrum(bn, wi, 1e-3, occ=[0], nk=(36, 36),
-                                  cycles=24, ramp_cycles=8,
-                                  steps_per_cycle=72)
-    shg.append(r["sigma2"][1])
-shg = np.array(shg)
+# the whole dispersion sweep is ONE vmapped device program
+r = optical.harmonic_spectrum(bn, ws, 1e-3, occ=[0], nk=(36, 36),
+                              cycles=24, ramp_cycles=8,
+                              steps_per_cycle=72)
+shg = r["sigma2"][:, 1]
 axs[2].plot(ws, shg.real, "k-", label=r"Re $\sigma^{yxx}$")
 axs[2].plot(ws, shg.imag, "-", color="0.6", label=r"Im $\sigma^{yxx}$")
 axs[2].axvline(1.0, color="0.85", lw=0.8)  # 2w = gap

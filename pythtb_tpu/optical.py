@@ -644,6 +644,18 @@ def _td_current_jit(static, data, nk, occ, dks_mid, dks_out, dt, lat):
     return js
 
 
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _td_current_batch_jit(static, data, nk, occ, dks_mid, dks_out, dts,
+                          lat):
+    """vmap of :func:`_td_current_jit` over a frequency batch: inputs
+    carry a leading (nw,) axis ((nw, nt, d), (nw,)); one compiled
+    program runs every drive frequency's full evolution."""
+    return jax.vmap(
+        lambda m, o, t: _td_current_jit(static, data, nk, occ, m, o, t,
+                                        lat)
+    )(dks_mid, dks_out, dts)
+
+
 def harmonic_spectrum(model, omega, efield, occ, nk=(48, 48), cycles=24,
                       ramp_cycles=8, steps_per_cycle=96, n_harmonics=5,
                       pol=None):
@@ -661,8 +673,10 @@ def harmonic_spectrum(model, omega, efield, occ, nk=(48, 48), cycles=24,
     all even harmonics (tested), and perturbative field scaling j_n ~
     E0^n holds until genuine non-perturbative physics takes over.
 
-    :param omega: drive frequency (choose 2*omega below the gap for a
-      transparent-regime SHG measurement)
+    :param omega: drive frequency, scalar or (nw,) array -- a batch
+      runs every frequency's full evolution in ONE vmapped device
+      program (choose 2*omega below the gap for a transparent-regime
+      SHG measurement)
     :param efield: field amplitude E0 (energy / length units); scalar
     :param occ: filled bands (clean insulator)
     :param pol: Cartesian polarization vector (default x̂)
@@ -673,8 +687,9 @@ def harmonic_spectrum(model, omega, efield, occ, nk=(48, 48), cycles=24,
     :param n_harmonics: highest harmonic returned
     :returns: dict with ``harmonics`` ((n_harmonics + 1, d_cart)
       complex amplitudes C_n: j^a(t) ~ sum_n Re[C_n^a e^{-i n omega
-      t}]), ``sigma1`` (C_1 / E0, the linear conductivity in the
-      optical_conductivity units), and ``sigma2`` (C_2 / E0^2)
+      t}]), ``sigma1`` (the linear conductivity in the
+      optical_conductivity units), and ``sigma2`` (the SHG
+      conductivity); an omega batch prepends an (nw,) axis to each
     """
     static, data = model._get_finalized()
     if static.dim_k != model._dim_r:
@@ -688,7 +703,8 @@ def harmonic_spectrum(model, omega, efield, occ, nk=(48, 48), cycles=24,
     if (len(occ_t) == 0 or len(set(occ_t)) != len(occ_t)
             or min(occ_t) < 0 or max(occ_t) >= static.nsta):
         raise PythtbError("occ must be distinct bands in range")
-    omega = float(omega)
+    omegas_in = np.atleast_1d(np.asarray(omega, dtype=np.float64))
+    scalar_w = np.ndim(omega) == 0
     E0 = float(efield)
     pol_v = np.zeros(d)
     pol_v[0] = 1.0
@@ -702,52 +718,59 @@ def harmonic_spectrum(model, omega, efield, occ, nk=(48, 48), cycles=24,
     spc = int(steps_per_cycle)
     if cycles - ramp_cycles < 3:
         raise PythtbError("need at least 3 cycles after the ramp")
-    T = 2.0 * np.pi / omega
-    dt = T / spc
     nt = cycles * spc
-    # E(t) = E0 r(t) cos(w t); A(t) = -int E dt (fine host trapezoid)
-    tfine = np.arange(2 * nt + 1) * (dt / 2.0)  # half-step resolution
-
-    def envelope(t):
-        tr = ramp_cycles * T
-        return np.where(t < tr, np.sin(0.5 * np.pi * t / tr) ** 2, 1.0)
-
-    Efine = E0 * envelope(tfine) * np.cos(omega * tfine)
-    Afine = -np.concatenate([[0.0], np.cumsum(
-        0.5 * (Efine[1:] + Efine[:-1]) * (dt / 2.0))])
-    A_mid = Afine[1::2][:nt]   # midpoints t_s + dt/2
-    A_out = Afine[2::2][:nt]   # step ends
     lat = np.asarray(model._lat, dtype=np.float64)
-    # reduced shift: dk_red = lat @ A_cart / (2 pi)
-    Acart_mid = A_mid[:, None] * pol_v[None, :]
-    Acart_out = A_out[:, None] * pol_v[None, :]
-    dks_mid = Acart_mid @ lat.T / (2.0 * np.pi)
-    dks_out = Acart_out @ lat.T / (2.0 * np.pi)
+    nw = len(omegas_in)
+    dks_mid = np.zeros((nw, nt, d))
+    dks_out = np.zeros((nw, nt, d))
+    dts = np.zeros(nw)
+    for iw, om in enumerate(omegas_in):
+        T = 2.0 * np.pi / om
+        dt = T / spc
+        dts[iw] = dt
+        # E(t) = E0 r(t) cos(w t); A = -int E dt (fine host trapezoid)
+        tfine = np.arange(2 * nt + 1) * (dt / 2.0)
+        tr = ramp_cycles * T
+        env = np.where(tfine < tr,
+                       np.sin(0.5 * np.pi * tfine / max(tr, 1e-300)) ** 2,
+                       1.0)
+        Efine = E0 * env * np.cos(om * tfine)
+        Afine = -np.concatenate([[0.0], np.cumsum(
+            0.5 * (Efine[1:] + Efine[:-1]) * (dt / 2.0))])
+        A_mid = Afine[1::2][:nt]   # midpoints t_s + dt/2
+        A_out = Afine[2::2][:nt]   # step ends
+        # reduced shift: dk_red = lat @ A_cart / (2 pi)
+        dks_mid[iw] = (A_mid[:, None] * pol_v[None, :]) @ lat.T / (2.0 * np.pi)
+        dks_out[iw] = (A_out[:, None] * pol_v[None, :]) @ lat.T / (2.0 * np.pi)
     ftype = config.float_dtype()
-    js = np.asarray(jax.device_get(_td_current_jit(
+    js = np.asarray(jax.device_get(_td_current_batch_jit(
         static, data, nk, occ_t, jnp.asarray(dks_mid, ftype),
-        jnp.asarray(dks_out, ftype), jnp.asarray(dt, ftype),
+        jnp.asarray(dks_out, ftype), jnp.asarray(dts, ftype),
         jnp.asarray(lat, ftype),
-    )), dtype=np.float64)  # (nt, d)
+    )), dtype=np.float64)  # (nw, nt, d)
     # analysis window: final integer periods, skipping 2 settle cycles
     nwin = max(1, cycles - ramp_cycles - 2)
     sl = slice(nt - nwin * spc, nt)
-    twin = (np.arange(nt) * dt + dt)[sl]
-    jwin = js[sl]
     nH = int(n_harmonics)
-    C = np.zeros((nH + 1, d), dtype=complex)
-    for n in range(nH + 1):
-        w_ = np.exp(1.0j * n * omega * twin)
-        C[n] = (2.0 if n else 1.0) * (w_[:, None] * jwin).mean(axis=0)
     vol = abs(np.linalg.det(lat))
+    C = np.zeros((nw, nH + 1, d), dtype=complex)
+    for iw, om in enumerate(omegas_in):
+        twin = (np.arange(nt) * dts[iw] + dts[iw])[sl]
+        jwin = js[iw, sl]
+        for n in range(nH + 1):
+            w_ = np.exp(1.0j * n * om * twin)
+            C[iw, n] = (2.0 if n else 1.0) * (w_[:, None] * jwin).mean(axis=0)
     # -2 pi: converts the raw e = hbar = 1 current amplitudes to the
     # e^2/h units and phase convention of optical_conductivity (locked
     # by the committed linear-channel oracle below AND above the gap)
     out = {
         "harmonics": C / vol,
-        "sigma1": -2.0 * np.pi * C[1] / E0 / vol,
-        "sigma2": -2.0 * np.pi * C[2] / E0**2 / vol,
+        "sigma1": -2.0 * np.pi * C[:, 1] / E0 / vol,
+        "sigma2": -2.0 * np.pi * C[:, 2] / E0**2 / vol,
         "current": js,
-        "dt": dt,
+        "dt": dts,
     }
+    if scalar_w:
+        out = {k: (v[0] if k != "dt" else float(v[0]))
+               for k, v in out.items()}
     return out

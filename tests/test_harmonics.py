@@ -90,3 +90,20 @@ def test_guards():
     with pytest.raises(PythtbError):
         optical.harmonic_spectrum(
             bn.cut_piece(3, 0, glue_edgs=False), 0.5, 1e-3, occ=[0])
+
+
+def test_omega_batch_matches_scalar():
+    """An omega batch (one vmapped program) equals per-omega runs."""
+    bn = ptt.models.bn(delta=1.0)
+    kw = dict(occ=[0], nk=(16, 16), cycles=16, ramp_cycles=6,
+              steps_per_cycle=48)
+    ws = np.array([0.5, 0.7])
+    rb = optical.harmonic_spectrum(bn, ws, 1e-3, **kw)
+    for i, w in enumerate(ws):
+        rs = optical.harmonic_spectrum(bn, float(w), 1e-3, **kw)
+        # vmap reorders the reductions: bit-identity is not expected
+        np.testing.assert_allclose(rb["sigma1"][i], rs["sigma1"],
+                                   atol=1e-9)
+        np.testing.assert_allclose(rb["sigma2"][i], rs["sigma2"],
+                                   atol=1e-9)
+    assert rb["sigma1"].shape == (2, 2)
