@@ -598,8 +598,9 @@ def joint_dos(model, omegas, occ, nk=(101, 101), sigma=0.05):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def _td_current_jit(static, data, nk, occ, dks_mid, dks_out, dt, lat):
+@partial(jax.jit, static_argnums=(0, 2, 3, 8))
+def _td_current_jit(static, data, nk, occ, dks_mid, dks_out, dt, lat,
+                    mesh=None):
     """Exact time evolution of the filled bands under a uniform vector
     potential and the resulting macroscopic current.
 
@@ -621,6 +622,10 @@ def _td_current_jit(static, data, nk, occ, dks_mid, dks_out, dt, lat):
     hp = jax.lax.Precision.HIGHEST
     d = static.dim_k
     kg = device_uniform_grid(nk, jnp.zeros((d,), config.float_dtype()))
+    if mesh is not None:
+        from .ops.solver import shard_grid_axis0
+
+        kg = shard_grid_axis0(kg, mesh)
     occ_idx = jnp.asarray(occ, jnp.int32)
     _, v0 = eigh_batched(assemble(static, data, kg))
     psi = v0[:, occ_idx, :]  # (B, nocc, S) rows are states
@@ -644,15 +649,16 @@ def _td_current_jit(static, data, nk, occ, dks_mid, dks_out, dt, lat):
     return js
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
+@partial(jax.jit, static_argnums=(0, 2, 3, 8))
 def _td_current_batch_jit(static, data, nk, occ, dks_mid, dks_out, dts,
-                          lat):
+                          lat, mesh=None):
     """vmap of :func:`_td_current_jit` over a frequency batch: inputs
     carry a leading (nw,) axis ((nw, nt, d), (nw,)); one compiled
-    program runs every drive frequency's full evolution."""
+    program runs every drive frequency's full evolution (with a mesh
+    the k-grid of each shards over the devices)."""
     return jax.vmap(
         lambda m, o, t: _td_current_jit(static, data, nk, occ, m, o, t,
-                                        lat)
+                                        lat, mesh)
     )(dks_mid, dks_out, dts)
 
 
@@ -743,10 +749,12 @@ def harmonic_spectrum(model, omega, efield, occ, nk=(48, 48), cycles=24,
         dks_mid[iw] = (A_mid[:, None] * pol_v[None, :]) @ lat.T / (2.0 * np.pi)
         dks_out[iw] = (A_out[:, None] * pol_v[None, :]) @ lat.T / (2.0 * np.pi)
     ftype = config.float_dtype()
+    from .parallel import mesh as pmesh
+
     js = np.asarray(jax.device_get(_td_current_batch_jit(
         static, data, nk, occ_t, jnp.asarray(dks_mid, ftype),
         jnp.asarray(dks_out, ftype), jnp.asarray(dts, ftype),
-        jnp.asarray(lat, ftype),
+        jnp.asarray(lat, ftype), pmesh.current_mesh(),
     )), dtype=np.float64)  # (nw, nt, d)
     # analysis window: final integer periods, skipping 2 settle cycles
     nwin = max(1, cycles - ramp_cycles - 2)

@@ -218,3 +218,21 @@ def test_quench_echo_sharded_matches(mesh8):
     with use_mesh(mesh8):
         sharded = dynamics.quench_echo(mi, mf, [0], (16,), ts)
     np.testing.assert_allclose(base, sharded, atol=1e-12)
+
+
+def test_harmonic_spectrum_sharded_matches(mesh8):
+    """optical.harmonic_spectrum under a mesh shards the k-grid inside
+    the vmapped time evolution; harmonics unchanged."""
+    from pythtb_tpu import optical
+
+    bn = ptt.models.bn(delta=1.0)
+    kw = dict(occ=[0], nk=(16, 16), cycles=14, ramp_cycles=5,
+              steps_per_cycle=32)
+    base = optical.harmonic_spectrum(bn, 0.6, 1e-3, **kw)
+    with use_mesh(mesh8):
+        sharded = optical.harmonic_spectrum(bn, 0.6, 1e-3, **kw)
+    # sharded reductions reorder the k-sum: agreement to round-off
+    np.testing.assert_allclose(base["sigma1"], sharded["sigma1"],
+                               atol=1e-8)
+    np.testing.assert_allclose(base["sigma2"], sharded["sigma2"],
+                               atol=1e-8)
