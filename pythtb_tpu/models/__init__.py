@@ -11,6 +11,7 @@ be further edited (``mode="reset"/"add"``), cut, super-celled, etc.
 
 from .moire import sk_graphene, tbg, tbg_angle
 from .library import (
+    apply_strain,
     bbh,
     bhz,
     bn,
@@ -28,6 +29,7 @@ from .library import (
     ssh,
     three_site_chain,
     trestle,
+    triaxial_graphene_flake,
     weyl,
 )
 
@@ -53,4 +55,6 @@ __all__ = [
     "tbg",
     "tbg_angle",
     "sk_graphene",
+    "apply_strain",
+    "triaxial_graphene_flake",
 ]

@@ -303,3 +303,79 @@ def bbh(gamma=0.5, lam=1.0):
     m.set_hop(-lam, 2, 0, [0, 1])
     m.set_hop(lam, 3, 1, [0, 1])
     return m
+
+
+def apply_strain(model, displacement, beta, in_place=False):
+    """Strain-engineer a FINITE model: displace every orbital by
+    ``displacement(r_cart) -> u`` and rescale each hopping by the
+    standard exponential bond-length rule
+
+        t -> t * exp(-beta (|d'| / |d| - 1)),
+
+    with ``d`` / ``d'`` the unstrained / strained bond vectors.  The
+    workhorse of pseudo-magnetic-field engineering: a triaxial
+    displacement on graphene produces a uniform valley-odd
+    pseudo-field whose Landau levels (E_n ~ sqrt(n), sublattice-
+    polarized n = 0) appear directly in
+    :func:`pythtb_tpu.realspace.kpm_ldos` -- see
+    :func:`triaxial_graphene_flake` and the committed sqrt(n) oracle.
+
+    :param model: finite (dim_k == 0) tb_model
+    :param displacement: callable mapping an (n, dim_r) Cartesian
+      position array to an (n, dim_r) displacement array
+    :param beta: dimensionless bond-decay constant
+      (d ln t / d ln r ~ -beta; graphene: ~3.37)
+    :param in_place: mutate ``model`` instead of copying
+    :returns: the strained model
+    """
+    from ..model import PythtbError
+
+    if model._dim_k != 0:
+        raise PythtbError("apply_strain requires a finite model "
+                          "(strain fields break translation symmetry)")
+    import copy
+
+    m = model if in_place else copy.deepcopy(model)
+    pos = np.asarray(m._orb, dtype=np.float64) @ np.asarray(
+        m._lat, dtype=np.float64)
+    u = np.asarray(displacement(pos), dtype=np.float64)
+    if u.shape != pos.shape:
+        raise PythtbError("displacement must return an (norb, dim_r) "
+                          "array")
+    new_pos = pos + u
+    for h in m._hoppings:
+        i, j = h[1], h[2]
+        d0 = np.linalg.norm(pos[j] - pos[i])
+        d1 = np.linalg.norm(new_pos[j] - new_pos[i])
+        h[0] = h[0] * np.exp(-float(beta) * (d1 / d0 - 1.0))
+    m._invalidate()
+    return m
+
+
+def triaxial_graphene_flake(L, strain, t=-2.7, beta=3.37):
+    """Triaxially strained graphene flake: the canonical uniform
+    PSEUDO-magnetic field (Guinea, Katsnelson & Geim, Nat. Phys. 6,
+    30 (2010)).  Displacement ``u = strain * (2xy, x^2 - y^2)`` about
+    the flake center gives a valley-odd field with sqrt(n)-spaced
+    Landau levels in the local DOS and a sublattice-polarized zero
+    mode -- time-reversal stays UNBROKEN (the committed tests pin
+    both).
+
+    :param L: flake size (L x L cells, 2 L^2 orbitals, open edges)
+    :param strain: displacement amplitude (lattice units; the
+      pseudo-field grows linearly, E_1 ~ sqrt(strain))
+    :returns: finite tb_model
+    """
+    flake = graphene(t=t).cut_piece(L, 0, glue_edgs=False).cut_piece(
+        L, 1, glue_edgs=False)
+    pos = np.asarray(flake._orb, dtype=np.float64) @ np.asarray(
+        flake._lat, dtype=np.float64)
+    center = pos.mean(axis=0)
+
+    def u_fn(p):
+        xy = p - center[None, :]
+        return float(strain) * np.stack(
+            [2.0 * xy[:, 0] * xy[:, 1], xy[:, 0] ** 2 - xy[:, 1] ** 2],
+            axis=-1)
+
+    return apply_strain(flake, u_fn, beta, in_place=True)
