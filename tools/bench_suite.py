@@ -384,15 +384,19 @@ def run_suite():
            % drift)
 
     kfs3 = [[0.0, 0.0], [1 / 3, 2 / 3], [0.5, 0.5]]
-    wall, mid30 = _timed(lambda: _middle4(30, kfs3), n=1)
-    bw30 = float(mid30.max() - mid30.min())
-    mid8 = _middle4(8, kfs3)
-    bw8 = float(mid8.max() - mid8.min())
-    report("tbg_magic_angle_flatband_11k", None, wall,
-           bw30 < 0.1 and bw30 < 0.25 * bw8,
-           "middle-4 spread %.1f meV at 1.08 deg vs %.0f meV at "
-           "3.89 deg (11,164-orbital dense eigh incl. build)"
-           % (1e3 * bw30, 1e3 * bw8))
+    try:
+        wall, mid30 = _timed(lambda: _middle4(30, kfs3), n=1)
+        bw30 = float(mid30.max() - mid30.min())
+        mid8 = _middle4(8, kfs3)
+        bw8 = float(mid8.max() - mid8.min())
+        report("tbg_magic_angle_flatband_11k", None, wall,
+               bw30 < 0.1 and bw30 < 0.25 * bw8,
+               "middle-4 spread %.1f meV at 1.08 deg vs %.0f meV at "
+               "3.89 deg (11,164-orbital dense eigh incl. build)"
+               % (1e3 * bw30, 1e3 * bw8))
+    except Exception as exc:  # an 11k-state eigh may exhaust a device
+        report("tbg_magic_angle_flatband_11k", None, float("nan"),
+               False, "FAILED: %r" % (exc,))
 
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
