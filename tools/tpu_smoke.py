@@ -529,6 +529,25 @@ def main():
           "s1=%.5fj s2=%.5fj (x64: -0.14066j, 0.03010j)"
           % (rh["sigma1"][0].imag, rh["sigma2"][1].imag))
 
+    # 39. valley Chern + strain pseudo-field (f32)
+    cv39 = flows.valley_chern(ptt.models.bn(delta=0.3), [0],
+                              [[1 / 3, 2 / 3], [2 / 3, 1 / 3]],
+                              nk=(81, 81))
+    from pythtb_tpu.models import triaxial_graphene_flake
+
+    fl39 = triaxial_graphene_flake(24, 0.006)
+    pos39 = np.asarray(fl39._orb) @ np.asarray(fl39._lat)
+    xy39 = pos39 - pos39.mean(axis=0)
+    ic39 = int(np.argmin(np.sum(xy39**2, axis=1)))
+    e39, ld39 = realspace.kpm_ldos(fl39, [ic39], num_moments=512,
+                                   n_energies=801)
+    i0 = int(np.argmin(np.abs(e39)))
+    check("valley chern + pseudo field f32",
+          abs(cv39[0] + 0.384408) < 2e-3 and abs(cv39.sum()) < 1e-4
+          and np.isfinite(ld39).all(),
+          "C_K=%.5f sum=%.1e ldos0=%.3f (x64: -0.38441, 0)"
+          % (cv39[0], cv39.sum(), ld39[0, i0]))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
