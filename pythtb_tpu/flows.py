@@ -2060,3 +2060,54 @@ def _band_curvature_grid_jit(static, data, n0, n1, start, phases_ri):
     partitioning happens on host -- the owner masks are data-dependent
     geometry, not tensor math)."""
     return _band_curvature_grid(static, data, n0, n1, start, phases_ri)
+
+
+def polarization(model, occ, dir=0, nk=31, start_k=None):
+    """Electronic polarization of the filled bands along one lattice
+    vector, in reduced units (mod 1): ``p_d = <phi_d(k_perp)> / 2 pi``
+    with branch-continuous averaging of the Berry phases over the
+    perpendicular grid (King-Smith--Vanderbilt).
+
+    The reference computes this by hand in its examples (berry_phase /
+    2 pi); this wrapper packages the convention: multiply by the
+    lattice vector (and electron charge) for a dipole moment, add the
+    ionic point charges for the total, and remember the polarization
+    QUANTUM -- values are defined mod 1.  Inversion-symmetric
+    insulators quantize p to one of two values half a quantum apart
+    (the offset is set by the inversion center: both SSH phases read
+    1/4 and 3/4 -- bond centers -- and flip under delta -> -delta;
+    tested); pumping cycles wind p by the Chern number (tested on the
+    three-site pump); h-BN's filled band sits on the anion at
+    p = (1/3, 1/3) (tested, O(1/nk^2) grid convergence).
+
+    :param occ: filled band indices
+    :param dir: polarization direction (a periodic lattice vector)
+    :param nk: scalar or per-direction grid sizes
+    :param start_k: grid origin (default zeros)
+    :returns: float in [0, 1)
+    """
+    from .model import PythtbError
+    from .wf_array import wf_array as _wf
+
+    static, _data = model._get_finalized()
+    d = static.dim_k
+    if d < 1:
+        raise PythtbError("polarization needs a periodic model")
+    dir = int(dir)
+    if not 0 <= dir < d:
+        raise PythtbError("dir must index a periodic direction")
+    occ = tuple(int(o) for o in np.atleast_1d(occ))
+    if len(occ) == 0 or min(occ) < 0 or max(occ) >= static.nsta:
+        raise PythtbError("bad occ")
+    nks = tuple(int(x) for x in (np.atleast_1d(nk) if np.ndim(nk)
+                                 else [nk] * d))
+    if len(nks) == 1 and d > 1:
+        nks = nks * d
+    if len(nks) != d:
+        raise PythtbError("nk must give one size per direction")
+    start = (np.zeros(d) if start_k is None
+             else np.asarray(start_k, dtype=np.float64))
+    wf = _wf(model, list(nks))
+    wf.solve_on_grid(start)
+    ph = wf.berry_phase(list(occ), dir, contin=True)
+    return float(np.mean(ph) / (2.0 * np.pi) % 1.0)
