@@ -2026,25 +2026,27 @@ def valley_chern(model, occ, valley_points, nk=(101, 101),
 
     start = np.asarray(start_k, dtype=np.float64)
     phases_ri = np.stack([host_pack(p0), host_pack(p1)], axis=0)
-    om, E = jax.device_get(_band_curvature_grid_jit(
-        static, data, n0, n1, start, phases_ri))
-    om_occ = np.asarray(om, dtype=np.float64)[list(occ)].sum(axis=0)
+    om_occ = np.asarray(jax.device_get(_band_curvature_grid_jit(
+        static, data, occ, n0, n1, start, phases_ri)), dtype=np.float64)
     # plaquette centers in reduced coordinates
     c0 = (np.arange(n0 - 1) + 0.5) / (n0 - 1) + start[0]
     c1 = (np.arange(n1 - 1) + 0.5) / (n1 - 1) + start[1]
     cc = np.stack(np.meshgrid(c0, c1, indexing="ij"), axis=-1)
-    # torus distance in Cartesian reciprocal space: minimize over the
-    # nine neighbor images
-    lat2 = np.asarray(model._lat, dtype=np.float64)[:2, :2]
-    G = 2.0 * np.pi * np.linalg.inv(lat2).T  # rows = reciprocal vectors
+    # torus distance in the reciprocal metric of the PERIODIC lattice
+    # vectors (kspace.py convention): distance^2 = dred M dred^T with
+    # M = (lat_per lat_per^T)^{-1} -- taking a Cartesian 2x2 block is
+    # wrong (or singular) for dim_r = 3 embeddings (review finding);
+    # minimize over the nine neighbor images for the torus wrap
+    lat_per = np.asarray(model._lat, dtype=np.float64)[list(model._per)]
+    k_metric = np.linalg.inv(lat_per @ lat_per.T)
     imgs = np.array([(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)])
     d2 = np.empty((len(vp),) + cc.shape[:2])
     for v, kv in enumerate(vp):
         dred = cc - kv[None, None, :]
         best = None
         for im in imgs:
-            dk = (dred + im[None, None, :]) @ G
-            dd = np.sum(dk**2, axis=-1)
+            dk = dred + im[None, None, :]
+            dd = np.einsum("ija,ab,ijb->ij", dk, k_metric, dk)
             best = dd if best is None else np.minimum(best, dd)
         d2[v] = best
     owner = np.argmin(d2, axis=0)  # (n0-1, n1-1)
@@ -2054,12 +2056,14 @@ def valley_chern(model, occ, valley_points, nk=(101, 101),
     return out
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def _band_curvature_grid_jit(static, data, n0, n1, start, phases_ri):
-    """Device entry point for the shared curvature engine (valley
-    partitioning happens on host -- the owner masks are data-dependent
-    geometry, not tensor math)."""
-    return _band_curvature_grid(static, data, n0, n1, start, phases_ri)
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _band_curvature_grid_jit(static, data, occ, n0, n1, start, phases_ri):
+    """Device entry point for the shared curvature engine: sums the
+    occupied bands' plaquette fluxes ON DEVICE so only the (n0-1,
+    n1-1) flux grid crosses the boundary (valley partitioning happens
+    on host -- the owner masks are geometry, not tensor math)."""
+    om, _E = _band_curvature_grid(static, data, n0, n1, start, phases_ri)
+    return jnp.sum(om[jnp.asarray(occ, jnp.int32)], axis=0)
 
 
 def polarization(model, occ, dir=0, nk=31, start_k=None):
@@ -2109,5 +2113,10 @@ def polarization(model, occ, dir=0, nk=31, start_k=None):
              else np.asarray(start_k, dtype=np.float64))
     wf = _wf(model, list(nks))
     wf.solve_on_grid(start)
-    ph = wf.berry_phase(list(occ), dir, contin=True)
+    ph = np.asarray(wf.berry_phase(list(occ), dir, contin=True))
+    # berry_phase returns the perpendicular grid INCLUDING the wrapped
+    # pbc duplicate row per axis -- averaging it double-counts k_perp =
+    # start and degrades convergence to O(1/nk) (review finding)
+    if ph.ndim > 0:
+        ph = ph[tuple(slice(0, -1) for _ in range(ph.ndim))]
     return float(np.mean(ph) / (2.0 * np.pi) % 1.0)

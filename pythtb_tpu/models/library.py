@@ -346,6 +346,10 @@ def apply_strain(model, displacement, beta, in_place=False):
     for h in m._hoppings:
         i, j = h[1], h[2]
         d0 = np.linalg.norm(pos[j] - pos[i])
+        if d0 < 1e-12:
+            # coincident orbitals displace together: the bond length is
+            # unchanged, so the hop is too (0/0 guarded; review finding)
+            continue
         d1 = np.linalg.norm(new_pos[j] - new_pos[i])
         h[0] = h[0] * np.exp(-float(beta) * (d1 / d0 - 1.0))
     m._invalidate()

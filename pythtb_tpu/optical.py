@@ -775,7 +775,7 @@ def harmonic_spectrum(model, omega, efield, occ, nk=(48, 48), cycles=24,
         "harmonics": C / vol,
         "sigma1": -2.0 * np.pi * C[:, 1] / E0 / vol,
         "sigma2": -2.0 * np.pi * C[:, 2] / E0**2 / vol,
-        "current": js,
+        "current": js / vol,  # same density normalization as harmonics
         "dt": dts,
     }
     if scalar_w:

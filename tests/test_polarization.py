@@ -42,8 +42,10 @@ def test_bn_wannier_center_on_anion():
                                 nk=nk)
         assert abs(p0 - p1) < 1e-9  # C3-equivalent directions
         errs.append(abs(p0 - 1.0 / 3.0))
-    assert errs[1] < 2e-3
-    assert errs[1] < 0.6 * errs[0]  # converging toward 1/3
+    # regression (review): averaging the pbc-duplicated endpoint row
+    # degraded this to O(1/nk) (2e-3-level errors, halving ratio)
+    assert errs[1] < 2e-4
+    assert errs[1] < 0.35 * errs[0]  # O(1/nk^2)
 
 
 def test_guards():

@@ -94,3 +94,14 @@ def test_apply_strain_identity_and_guards():
         np.sort(ptt.models.graphene().cut_piece(
             4, 0, glue_edgs=False).cut_piece(
             4, 1, glue_edgs=False).solve_all()), atol=1e-12)
+
+
+def test_apply_strain_coincident_orbitals():
+    """Regression (review): hops between coincident orbitals (BBH
+    keeps all four at the origin) must pass through unchanged, not
+    NaN out on the 0/0 bond length."""
+    fl = ptt.models.bbh(gamma=0.5).cut_piece(3, 0, glue_edgs=False)
+    fl = fl.cut_piece(3, 1, glue_edgs=False)
+    bent = apply_strain(fl, lambda p: 0.01 * p**2, 3.0)
+    ev = np.sort(bent.solve_all())
+    assert np.all(np.isfinite(ev))

@@ -57,3 +57,23 @@ def test_guards():
         flows.valley_chern(bn, [5], K_PTS, nk=(21, 21))
     with pytest.raises(ValueError):
         flows.valley_chern(ptt.models.ssh(), [0], K_PTS)
+
+
+def test_embedded_3d_lattice():
+    """Regression (review): the valley metric must come from the
+    PERIODIC lattice vectors (a 2-D layer embedded in 3-D used to hit
+    a singular 2x2 Cartesian block)."""
+    lat3 = [[1.0, 0.0, 0.0], [0.5, 0.0, np.sqrt(3.0) / 2.0],
+            [0.0, -1.0, 0.0]]
+    orb3 = [[1 / 3, 1 / 3, 0.0], [2 / 3, 2 / 3, 0.0]]
+    m = ptt.tb_model(2, 3, lat3, orb3, per=[0, 1])
+    m.set_onsite([-0.3, 0.3])
+    m.set_hop(-1.0, 0, 1, [0, 0, 0])
+    m.set_hop(-1.0, 1, 0, [1, 0, 0])
+    m.set_hop(-1.0, 1, 0, [0, 1, 0])
+    cv = flows.valley_chern(m, [0], K_PTS, nk=(61, 61))
+    assert abs(cv.sum()) < 1e-9
+    assert abs(cv[0] + cv[1]) < 1e-9
+    ref = flows.valley_chern(ptt.models.bn(delta=0.3), [0], K_PTS,
+                             nk=(61, 61))
+    np.testing.assert_allclose(np.abs(cv), np.abs(ref), atol=1e-6)
