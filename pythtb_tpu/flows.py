@@ -1827,6 +1827,63 @@ def _assemble_packed_jit(static, data, kpts):
     return pack_cplx(assemble(static, data, kpts))
 
 
+def _inversion_partners(orb, c):
+    """Partner map p(a), R_a with 2c - t_a = t_{p(a)} + R_a.
+    Coincident orbital positions are geometrically indistinguishable:
+    prefer the self-map at inversion-fixed positions and otherwise
+    consume partners from an availability pool so multiple coincident
+    orbitals pair off consistently (a greedy first-hit map once sent
+    two orbitals to the SAME partner, leaving P singular).  The
+    numeric P H(-k) P^+ == H(k) check in the callers vets the
+    assignment."""
+    from .model import PythtbError
+
+    norb, d = orb.shape
+    p = np.full(norb, -1, dtype=np.int64)
+    Ra = np.zeros((norb, d))
+    available = set(range(norb))
+    for a in range(norb):
+        if p[a] >= 0:
+            continue
+        target = 2.0 * c - orb[a]
+        diff = target[None, :] - orb  # (norb, d)
+        Rcand = np.round(diff)
+        hit = [int(b) for b in
+               np.where(np.abs(diff - Rcand).max(axis=1) < 1e-8)[0]
+               if b in available]
+        if not hit:
+            raise PythtbError(
+                "no inversion partner for orbital %d about center %s "
+                "-- wrong center or no inversion symmetry"
+                % (a, c.tolist())
+            )
+        use = a if a in hit else hit[0]
+        p[a] = use
+        Ra[a] = Rcand[use]
+        available.discard(a)
+        if use != a:
+            p[use] = a
+            back = 2.0 * c - orb[use] - orb[a]
+            Ra[use] = np.round(back)
+            if np.abs(back - Ra[use]).max() > 1e-8:
+                raise PythtbError(
+                    "inversion partner mismatch for orbitals %d/%d"
+                    % (a, use)
+                )
+            available.discard(use)
+    return p, Ra
+
+
+def _inversion_matrix(p, Ra, xi, k):
+    """Convention-II inversion representation at reduced k:
+    P_{p(a), a} = xi_a e^{2 pi i k . R_a} (orbital space only)."""
+    norb = len(p)
+    P = np.zeros((norb, norb), dtype=complex)
+    P[p, np.arange(norb)] = xi * np.exp(
+        2.0j * np.pi * (Ra @ np.asarray(k)))
+    return P
+
+
 def parity_z2(model, occ, center=None, parity=None, tol=1e-6):
     """Fu-Kane Z2 invariants from parity eigenvalues at the TRIMs
     (PRB 76, 045302 (2007)) -- the inversion-symmetric shortcut that
@@ -1887,53 +1944,11 @@ def parity_z2(model, occ, center=None, parity=None, tol=1e-6):
     if xi.shape != (norb,) or np.abs(np.abs(xi) - 1.0).max() > 0:
         raise PythtbError("parity must give +-1 per orbital")
 
-    # geometry: p(a), R_a with 2c - t_a = t_{p(a)} + R_a.  Coincident
-    # orbital positions (e.g. BHZ s/p at the origin) are geometrically
-    # indistinguishable: prefer the self-map at inversion-fixed
-    # positions and otherwise consume partners from an availability
-    # pool so multiple coincident orbitals pair off consistently (a
-    # greedy first-hit map once sent two orbitals to the SAME partner,
-    # leaving P singular -- caught in review).  The numeric
-    # P H(-k) P^+ == H(k) check below still vets the assignment.
-    p = np.full(norb, -1, dtype=np.int64)
-    Ra = np.zeros((norb, d))
-    available = set(range(norb))
-    for a in range(norb):
-        if p[a] >= 0:
-            continue
-        target = 2.0 * c - orb[a]
-        diff = target[None, :] - orb  # (norb, d)
-        Rcand = np.round(diff)
-        hit = [int(b) for b in
-               np.where(np.abs(diff - Rcand).max(axis=1) < 1e-8)[0]
-               if b in available]
-        if not hit:
-            raise PythtbError(
-                "no inversion partner for orbital %d about center %s "
-                "-- wrong center or no inversion symmetry"
-                % (a, c.tolist())
-            )
-        use = a if a in hit else hit[0]
-        p[a] = use
-        Ra[a] = Rcand[use]
-        available.discard(a)
-        if use != a:
-            # the partner maps back with R determined by ITS target
-            p[use] = a
-            back = 2.0 * c - orb[use] - orb[a]
-            Ra[use] = np.round(back)
-            if np.abs(back - Ra[use]).max() > 1e-8:
-                raise PythtbError(
-                    "inversion partner mismatch for orbitals %d/%d"
-                    % (a, use)
-                )
-            available.discard(use)
+    p, Ra = _inversion_partners(orb, c)
 
     def P_of_k(k):
-        P = np.zeros((norb, norb), dtype=complex)
-        P[p, np.arange(norb)] = xi * np.exp(
-            2.0j * np.pi * (Ra @ np.asarray(k)))
-        return np.kron(P, np.eye(2))  # spin untouched, spin-fastest
+        return np.kron(_inversion_matrix(p, Ra, xi, k),
+                       np.eye(2))  # spin untouched, spin-fastest
 
     def H_II(k):
         Hk = host_unpack(jax.device_get(_assemble_packed_jit(
@@ -2120,3 +2135,85 @@ def polarization(model, occ, dir=0, nk=31, start_k=None):
     if ph.ndim > 0:
         ph = ph[tuple(slice(0, -1) for _ in range(ph.ndim))]
     return float(np.mean(ph) / (2.0 * np.pi) % 1.0)
+
+
+def parity_polarization(model, occ, center=None, parity=None, tol=1e-6):
+    """Quantized polarization of a 1-D inversion-symmetric insulator
+    from the TRIM parity products (Zak):
+
+        e^{2 pi i (p - n_occ c)} = prod_{n occ} xi_n(0) xi_n(pi),
+
+    so ``p = n_occ c + {0 or 1/2} mod 1`` with the product over ALL
+    occupied states -- two diagonalizations instead of a Berry-phase
+    grid, and an INDEPENDENT oracle for :func:`polarization`
+    (committed test).  Spinful chains: each Kramers pair contributes
+    xi^2 = +1, so inversion pins p completely to ``n_occ c mod 1``
+    (both spin-doubled SSH phases legitimately read the same value --
+    tested against the Berry route).  The inversion operator is built
+    and numerically verified exactly as in :func:`parity_z2`.
+
+    :param occ: filled bands
+    :param center: inversion center (reduced; default 0)
+    :param parity: per-orbital intrinsic parities (default +1)
+    :returns: float polarization in [0, 1)
+    """
+    from .model import PythtbError
+    from .utils.xfer import host_unpack
+
+    static, data = model._get_finalized()
+    if static.dim_k != 1:
+        raise PythtbError("parity_polarization is 1-D (reduce_dim "
+                          "higher-dimensional models first)")
+    occ = tuple(int(o) for o in np.atleast_1d(occ))
+    if len(occ) == 0 or len(set(occ)) != len(occ) or min(occ) < 0 \
+            or max(occ) >= static.nsta:
+        raise PythtbError("occ must be distinct bands in range")
+    norb = model._norb
+    orb = np.asarray(model._orb, dtype=np.float64)[:, model._per]
+    c = (np.zeros(1) if center is None
+         else np.atleast_1d(np.asarray(center, dtype=np.float64)))
+    xi = (np.ones(norb) if parity is None
+          else np.asarray(parity, dtype=np.float64))
+    if xi.shape != (norb,) or np.abs(np.abs(xi) - 1.0).max() > 0:
+        raise PythtbError("parity must give +-1 per orbital")
+    p, Ra = _inversion_partners(orb, c)
+    spinful = static.nspin == 2
+
+    def P_of_k(k):
+        P = _inversion_matrix(p, Ra, xi, k)
+        return np.kron(P, np.eye(2)) if spinful else P
+
+    def H_II(k):
+        Hk = host_unpack(jax.device_get(_assemble_packed_jit(
+            static, data, jnp.asarray(np.asarray(k)[None],
+                                      config.float_dtype()))))[0]
+        t = np.repeat(orb, 2, axis=0) if spinful else orb
+        ph = np.exp(2.0j * np.pi * (t @ np.asarray(k)))
+        return ph[:, None] * Hk * np.conj(ph)[None, :]
+
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        k = rng.random(1)
+        Pk = P_of_k(k)
+        dev = np.abs(Pk @ H_II(-k) @ Pk.conj().T - H_II(k)).max()
+        if dev > tol:
+            raise PythtbError(
+                "model is not inversion symmetric about %s "
+                "(|P H(-k) P^+ - H(k)| = %.2e)" % (c.tolist(), dev))
+    prod = 1.0
+    for kap in (np.zeros(1), np.array([0.5])):
+        _, vec = model.solve_one(kap, eig_vectors=True)
+        vec = np.atleast_2d(np.asarray(vec)).reshape(static.nsta, -1)
+        t = np.repeat(orb, 2, axis=0) if spinful else orb
+        u = vec * np.exp(2.0j * np.pi * (t @ kap))[None, :]
+        uo = u[list(occ)]
+        M = uo.conj() @ P_of_k(kap) @ uo.T
+        if np.abs(M @ M.conj().T - np.eye(len(occ))).max() > 10.0 * tol:
+            raise PythtbError("occupied space at TRIM %s not closed "
+                              "under inversion" % kap.tolist())
+        xis = np.linalg.eigvalsh(0.5 * (M + M.conj().T))
+        if np.abs(np.abs(xis) - 1.0).max() > 10.0 * tol:
+            raise PythtbError("parity eigenvalues not quantized")
+        prod *= float(np.prod(np.sign(xis)))
+    branch = 0.0 if prod > 0 else 0.5
+    return float((len(occ) * float(c[0]) + branch) % 1.0)

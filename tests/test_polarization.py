@@ -56,3 +56,37 @@ def test_guards():
     with pytest.raises(PythtbError):
         flows.polarization(
             ptt.models.ssh().cut_piece(4, 0, glue_edgs=False), [0])
+
+
+def test_parity_polarization_matches_berry():
+    """Zak: the TRIM parity product picks the quantized branch --
+    independent algorithm (2 diagonalizations + parity products) vs
+    the Berry-phase grid average, on both SSH phases, a 4-orbital
+    symmetric chain (both fillings), and a spinful symmetric chain."""
+    for d in (0.3, -0.3):
+        m = ptt.models.ssh(delta=d)
+        assert abs(flows.parity_polarization(m, [0], center=0.25)
+                   - flows.polarization(m, [0], nk=64)) < 1e-9
+    m4 = ptt.tb_model(1, 1, lat=[[1.0]],
+                      orb=[[0.25], [0.25], [0.75], [0.75]])
+    m4.set_onsite([0.3, -0.3, 0.3, -0.3])
+    m4.set_hop(1.0, 0, 2, [0])
+    m4.set_hop(1.0, 1, 3, [0])
+    m4.set_hop(0.7, 2, 0, [1])
+    m4.set_hop(0.7, 3, 1, [1])
+    for occ in ([0], [0, 1], [0, 1, 2]):
+        assert abs(flows.parity_polarization(m4, occ, center=0.5)
+                   - flows.polarization(m4, occ, nk=128)) < 1e-9
+    # spinful chain (Kramers pairs)
+    ms = ptt.tb_model(1, 1, lat=[[1.0]], orb=[[0.0], [0.5]], nspin=2)
+    ms.set_hop(1.1, 0, 1, [0])
+    ms.set_hop(0.6, 1, 0, [1])
+    assert abs(flows.parity_polarization(ms, [0, 1], center=0.25)
+               - flows.polarization(ms, [0, 1], nk=64)) < 1e-9
+    # asymmetric model raises
+    bad = ptt.models.ssh(delta=0.3)
+    bad.set_onsite([0.4, -0.1], mode="reset")
+    with pytest.raises(PythtbError, match="inversion"):
+        flows.parity_polarization(bad, [0], center=0.25)
+    with pytest.raises(PythtbError):
+        flows.parity_polarization(ptt.models.bn(), [0])
