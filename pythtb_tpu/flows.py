@@ -2217,3 +2217,54 @@ def parity_polarization(model, occ, center=None, parity=None, tol=1e-6):
         prod *= float(np.prod(np.sign(xis)))
     branch = 0.0 if prod > 0 else 0.5
     return float((len(occ) * float(c[0]) + branch) % 1.0)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _spin_texture_jit(static, data, kpts, bands):
+    """<S_x,y,z>_n(k) for the requested bands, (B, nb, 3)."""
+    hp = jax.lax.Precision.HIGHEST
+    H = assemble(static, data, kpts)
+    _, vecs = eigh_batched(H)  # (B, S, F) rows are states
+    v = vecs[:, jnp.asarray(bands, jnp.int32), :]
+    B, nb, F = v.shape
+    vv = v.reshape(B, nb, F // 2, 2)  # spin-fastest layout
+    up, dn = vv[..., 0], vv[..., 1]
+    sx = 2.0 * jnp.real(jnp.einsum("bno,bno->bn", jnp.conj(up), dn,
+                                   precision=hp))
+    sy = 2.0 * jnp.imag(jnp.einsum("bno,bno->bn", jnp.conj(up), dn,
+                                   precision=hp))
+    sz = jnp.real(jnp.einsum("bno,bno->bn", jnp.conj(up), up,
+                             precision=hp)
+                  - jnp.einsum("bno,bno->bn", jnp.conj(dn), dn,
+                               precision=hp))
+    return jnp.stack([sx, sy, sz], axis=-1)
+
+
+def spin_texture(model, bands, k_list):
+    """Spin expectation values ``<S_a>_n(k) = <psi_n| sigma_a (x) 1
+    |psi_n>`` (units of hbar/2) for a batch of k-points and bands, one
+    device program -- the standard map for Rashba winding, QSH helical
+    edges, and skyrmion textures.
+
+    Oracles (committed): Sz-conserving Kane-Mele returns +-1
+    exactly; the Rashba-coupled in-plane texture winds once around a
+    band extremum; |<S>| <= 1 everywhere.
+
+    :param bands: band indices
+    :param k_list: (B, dim_k) reduced k-points
+    :returns: (B, nb, 3) float array
+    """
+    from .model import PythtbError
+
+    static, data = model._get_finalized()
+    if static.nspin != 2:
+        raise PythtbError("spin_texture requires a spinful model")
+    bands = tuple(int(b) for b in np.atleast_1d(bands))
+    if len(bands) == 0 or min(bands) < 0 or max(bands) >= static.nsta:
+        raise PythtbError("bands out of range")
+    kpts = np.asarray(k_list, dtype=np.float64)
+    if kpts.ndim != 2 or kpts.shape[1] != static.dim_k:
+        raise PythtbError("k_list must be (B, %d)" % static.dim_k)
+    out = jax.device_get(_spin_texture_jit(
+        static, data, jnp.asarray(kpts, config.float_dtype()), bands))
+    return np.asarray(out, dtype=np.float64)

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 
 from . import config
 from .model import PythtbError
-from .utils.xfer import host_pack, host_unpack, pack_cplx, unpack_cplx
+from .utils.xfer import host_unpack, pack_cplx, unpack_cplx
 
 __all__ = ["host_greens_function", "t_matrix", "bound_states"]
 
