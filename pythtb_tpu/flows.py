@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "orbital_magnetization", "second_chern", "axion_theta"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -1884,6 +1884,37 @@ def _inversion_matrix(p, Ra, xi, k):
     return P
 
 
+def _verify_inversion(static, data, orb, spinful, P_of_k, c, tol, caller):
+    """Numerically vet the built inversion representation:
+    P H_II(-k) P^+ == H_II(k) at random k (the single home of this
+    check for parity_z2 / parity_polarization)."""
+    from .model import PythtbError
+    from .utils.xfer import host_unpack
+
+    def H_II(k):
+        Hk = host_unpack(jax.device_get(_assemble_packed_jit(
+            static, data, jnp.asarray(np.asarray(k)[None],
+                                      config.float_dtype()))))[0]
+        t = np.repeat(orb, 2, axis=0) if spinful else orb
+        ph = np.exp(2.0j * np.pi * (t @ np.asarray(k)))
+        return ph[:, None] * Hk * np.conj(ph)[None, :]
+
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        k = rng.random(orb.shape[1])
+        Pk = P_of_k(k)
+        dev = np.abs(Pk @ H_II(-k) @ Pk.conj().T - H_II(k)).max()
+        if dev > tol:
+            raise PythtbError(
+                "%s: model is not inversion symmetric about %s with "
+                "the given orbital parities (|P H(-k) P^+ - H(k)| = "
+                "%.2e).  Note coincident-orbital partners are paired "
+                "greedily by position -- if your model's true partner "
+                "map differs, relabel the orbitals so partners are "
+                "geometrically distinct." % (caller, c.tolist(), dev)
+            )
+
+
 def parity_z2(model, occ, center=None, parity=None, tol=1e-6):
     """Fu-Kane Z2 invariants from parity eigenvalues at the TRIMs
     (PRB 76, 045302 (2007)) -- the inversion-symmetric shortcut that
@@ -1950,26 +1981,8 @@ def parity_z2(model, occ, center=None, parity=None, tol=1e-6):
         return np.kron(_inversion_matrix(p, Ra, xi, k),
                        np.eye(2))  # spin untouched, spin-fastest
 
-    def H_II(k):
-        Hk = host_unpack(jax.device_get(_assemble_packed_jit(
-            static, data, jnp.asarray(np.asarray(k)[None],
-                                      config.float_dtype()))))[0]
-        t = np.repeat(orb, 2, axis=0)
-        ph = np.exp(2.0j * np.pi * (t @ np.asarray(k)))
-        return ph[:, None] * Hk * np.conj(ph)[None, :]
-
-    # numeric symmetry verification at random k
-    rng = np.random.default_rng(0)
-    for _ in range(3):
-        k = rng.random(d)
-        Pk = P_of_k(k)
-        dev = np.abs(Pk @ H_II(-k) @ Pk.conj().T - H_II(k)).max()
-        if dev > tol:
-            raise PythtbError(
-                "model is not inversion symmetric about %s with the "
-                "given orbital parities (|P H(-k) P^+ - H(k)| = %.2e)"
-                % (c.tolist(), dev)
-            )
+    _verify_inversion(static, data, orb, True, P_of_k, c, tol,
+                      "parity_z2")
 
     trims = np.stack(np.meshgrid(*([[0.0, 0.5]] * d), indexing="ij"),
                      axis=-1).reshape(-1, d)
@@ -2172,6 +2185,8 @@ def parity_polarization(model, occ, center=None, parity=None, tol=1e-6):
     orb = np.asarray(model._orb, dtype=np.float64)[:, model._per]
     c = (np.zeros(1) if center is None
          else np.atleast_1d(np.asarray(center, dtype=np.float64)))
+    if c.shape != (1,):
+        raise PythtbError("center must have dim_k = 1 components")
     xi = (np.ones(norb) if parity is None
           else np.asarray(parity, dtype=np.float64))
     if xi.shape != (norb,) or np.abs(np.abs(xi) - 1.0).max() > 0:
@@ -2183,23 +2198,8 @@ def parity_polarization(model, occ, center=None, parity=None, tol=1e-6):
         P = _inversion_matrix(p, Ra, xi, k)
         return np.kron(P, np.eye(2)) if spinful else P
 
-    def H_II(k):
-        Hk = host_unpack(jax.device_get(_assemble_packed_jit(
-            static, data, jnp.asarray(np.asarray(k)[None],
-                                      config.float_dtype()))))[0]
-        t = np.repeat(orb, 2, axis=0) if spinful else orb
-        ph = np.exp(2.0j * np.pi * (t @ np.asarray(k)))
-        return ph[:, None] * Hk * np.conj(ph)[None, :]
-
-    rng = np.random.default_rng(0)
-    for _ in range(3):
-        k = rng.random(1)
-        Pk = P_of_k(k)
-        dev = np.abs(Pk @ H_II(-k) @ Pk.conj().T - H_II(k)).max()
-        if dev > tol:
-            raise PythtbError(
-                "model is not inversion symmetric about %s "
-                "(|P H(-k) P^+ - H(k)| = %.2e)" % (c.tolist(), dev))
+    _verify_inversion(static, data, orb, spinful, P_of_k, c, tol,
+                      "parity_polarization")
     prod = 1.0
     for kap in (np.zeros(1), np.array([0.5])):
         _, vec = model.solve_one(kap, eig_vectors=True)
@@ -2221,11 +2221,17 @@ def parity_polarization(model, occ, center=None, parity=None, tol=1e-6):
 
 @partial(jax.jit, static_argnums=(0, 3))
 def _spin_texture_jit(static, data, kpts, bands):
-    """<S_x,y,z>_n(k) for the requested bands, (B, nb, 3)."""
+    """<S_x,y,z>_n(k) for the requested bands, (B, nb, 3), plus the
+    minimum separation of each requested band from its spectral
+    neighbors (degeneracy diagnostic)."""
     hp = jax.lax.Precision.HIGHEST
     H = assemble(static, data, kpts)
-    _, vecs = eigh_batched(H)  # (B, S, F) rows are states
-    v = vecs[:, jnp.asarray(bands, jnp.int32), :]
+    evals, vecs = eigh_batched(H)  # (B, S, F) rows are states
+    bidx = jnp.asarray(bands, jnp.int32)
+    D = jnp.abs(evals[:, :, None] - evals[:, None, :])
+    D = D + jnp.eye(static.nsta)[None] * 1e30
+    mingap = jnp.min(jnp.min(D, axis=-1)[:, bidx])
+    v = vecs[:, bidx, :]
     B, nb, F = v.shape
     vv = v.reshape(B, nb, F // 2, 2)  # spin-fastest layout
     up, dn = vv[..., 0], vv[..., 1]
@@ -2237,7 +2243,7 @@ def _spin_texture_jit(static, data, kpts, bands):
                              precision=hp)
                   - jnp.einsum("bno,bno->bn", jnp.conj(dn), dn,
                                precision=hp))
-    return jnp.stack([sx, sy, sz], axis=-1)
+    return jnp.stack([sx, sy, sz], axis=-1), mingap
 
 
 def spin_texture(model, bands, k_list):
@@ -2248,7 +2254,11 @@ def spin_texture(model, bands, k_list):
 
     Oracles (committed): Sz-conserving Kane-Mele returns +-1
     exactly; the Rashba-coupled in-plane texture winds once around a
-    band extremum; |<S>| <= 1 everywhere.
+    band extremum; |<S>| <= 1 everywhere.  At a (near-)degenerate
+    k-point the per-band expectation is basis-arbitrary -- a warning
+    reports the minimum band separation when it drops below 1e-8
+    (e.g. Kramers points of a TRS model: only the PAIR SUM is
+    well-defined there).
 
     :param bands: band indices
     :param k_list: (B, dim_k) reduced k-points
@@ -2265,6 +2275,17 @@ def spin_texture(model, bands, k_list):
     kpts = np.asarray(k_list, dtype=np.float64)
     if kpts.ndim != 2 or kpts.shape[1] != static.dim_k:
         raise PythtbError("k_list must be (B, %d)" % static.dim_k)
-    out = jax.device_get(_spin_texture_jit(
+    out, mingap = jax.device_get(_spin_texture_jit(
         static, data, jnp.asarray(kpts, config.float_dtype()), bands))
+    if float(mingap) < 1e-8:
+        import warnings
+
+        warnings.warn(
+            "spin_texture: a requested band is within %.1e of a "
+            "neighbor somewhere in the batch -- per-band spin "
+            "expectations are basis-arbitrary at (near-)degenerate "
+            "k-points (Kramers points of TRS models); only degenerate-"
+            "subspace sums are well-defined there." % float(mingap),
+            UserWarning, stacklevel=2,
+        )
     return np.asarray(out, dtype=np.float64)

@@ -39,3 +39,12 @@ def test_guards():
         flows.spin_texture(ptt.models.kane_mele(), [9], np.zeros((1, 2)))
     with pytest.raises(PythtbError):
         flows.spin_texture(ptt.models.kane_mele(), [0], np.zeros((1, 3)))
+
+
+def test_degeneracy_warning():
+    """Regression (review): per-band spin at a Kramers point is
+    basis-arbitrary -- a warning must fire when the batch contains a
+    (near-)degenerate k."""
+    km = ptt.models.kane_mele(esite=1.0, rashba=0.35)
+    with pytest.warns(UserWarning, match="basis-arbitrary"):
+        flows.spin_texture(km, [0], np.zeros((1, 2)))  # Gamma: Kramers
