@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases"]
 
 
 def gauge_phases(model, dims, flatten=True):

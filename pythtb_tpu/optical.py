@@ -60,7 +60,7 @@ from .model import PythtbError
 from .utils.xfer import host_unpack, pack_cplx
 
 __all__ = ["optical_conductivity", "joint_dos", "shift_current",
-           "injection_current"]
+           "injection_current", "harmonic_spectrum"]
 
 _CHUNK = 4096
 
