@@ -548,6 +548,22 @@ def main():
           "C_K=%.5f sum=%.1e ldos0=%.3f (x64: -0.38441, 0)"
           % (cv39[0], cv39.sum(), ld39[0, i0]))
 
+    # 40. polarization, parity polarization, spin texture (f32)
+    p40 = flows.polarization(ptt.models.bn(delta=0.7), [0], dir=0,
+                             nk=61)
+    pp40 = flows.parity_polarization(ptt.models.ssh(delta=0.3), [0],
+                                     center=0.25, tol=1e-3)
+    st40 = flows.spin_texture(
+        zoo_models.kane_mele(esite=1.0, rashba=0.35), [0],
+        np.array([[0.13, 0.27]]))[0, 0]
+    check("polarization + spin texture f32",
+          abs(p40 - 0.333373) < 1e-3 and abs(pp40 - 0.25) < 1e-9
+          and np.abs(st40 - np.array([-0.84235, 0.46123, -0.26747])
+                     ).max() < 1e-3,
+          "p=%.5f pp=%.2f S=(%.4f,%.4f,%.4f) (x64: 0.33337, 0.25, "
+          "-0.8424/0.4612/-0.2675)"
+          % (p40, pp40, st40[0], st40[1], st40[2]))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
