@@ -60,6 +60,7 @@ def test_public_functions_are_exported():
     import pythtb_tpu.geometry
     import pythtb_tpu.impurity
     import pythtb_tpu.magnetic
+    import pythtb_tpu.negf
     import pythtb_tpu.optical
     import pythtb_tpu.realspace
     import pythtb_tpu.surface
@@ -69,7 +70,7 @@ def test_public_functions_are_exported():
         pythtb_tpu.flows, pythtb_tpu.geometry, pythtb_tpu.dynamics,
         pythtb_tpu.impurity, pythtb_tpu.optical, pythtb_tpu.realspace,
         pythtb_tpu.surface, pythtb_tpu.magnetic, pythtb_tpu.unfold,
-        pythtb_tpu.entanglement, pythtb_tpu.floquet,
+        pythtb_tpu.entanglement, pythtb_tpu.floquet, pythtb_tpu.negf,
     ]
     missing = []
     for mod in mods:

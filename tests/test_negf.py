@@ -1,0 +1,95 @@
+"""Landauer/NEGF oracles (pythtb_tpu.negf).
+
+- the pristine-wire transmission equals the independently counted
+  number of propagating modes (integer staircase; energies where the
+  counter itself is stable under +-h shifts, avoiding band-edge
+  tangencies);
+- the Kane-Mele QSH ribbon transmits exactly 2 in the bulk gap (one
+  helical pair per edge) and keeps doing so under TRS-preserving
+  disorder (topological protection) while a trivial wire does not;
+- a strong barrier suppresses transmission; disorder cannot exceed the
+  pristine value.
+"""
+
+import numpy as np
+import pytest
+
+import pythtb_tpu as ptt
+from pythtb_tpu import PythtbError, negf
+
+
+def test_pristine_equals_mode_count():
+    g = ptt.models.graphene(t=-1.0)
+    rib = g.cut_piece(5, 1, glue_edgs=False)
+    Es = np.linspace(-2.6, 2.6, 53)
+    T = negf.landauer_transmission(rib, Es, eta=1e-7)
+    M = negf.mode_count(rib, Es)
+    h = 0.02
+    Mm = negf.mode_count(rib, Es - h)
+    Mp = negf.mode_count(rib, Es + h)
+    stable = (M == Mm) & (M == Mp) & (M > 0)
+    assert stable.sum() >= 20
+    assert np.abs(T[stable] - M[stable]).max() < 1e-4
+
+
+def test_qsh_quantized_and_disorder_protected():
+    km = ptt.models.kane_mele(esite=1.0, rashba=0.0)
+    rib = km.cut_piece(6, 1, glue_edgs=False)
+    Es = np.array([-0.4, -0.2, 0.2, 0.4])
+    T = negf.landauer_transmission(rib, Es, eta=1e-7)
+    np.testing.assert_allclose(T, 2.0, atol=1e-6)
+    # TRS-preserving onsite disorder in the device: the helical pair
+    # cannot backscatter -- T stays pinned at 2
+    H00, _ = negf.lead_blocks(rib)
+    rng = np.random.default_rng(0)
+    dis = np.repeat(rng.uniform(-0.4, 0.4, len(H00) // 2), 2)
+    Td = negf.landauer_transmission(rib, Es, device=H00 + np.diag(dis),
+                                    eta=1e-7)
+    np.testing.assert_allclose(Td, 2.0, atol=0.02)
+    # contrast: a trivial metal wire IS degraded by the same disorder
+    g = ptt.models.graphene(t=-1.0)
+    rib2 = g.cut_piece(5, 1, glue_edgs=False)
+    G00, _ = negf.lead_blocks(rib2)
+    dis2 = rng.uniform(-0.8, 0.8, len(G00))
+    E1 = np.array([1.25])
+    T0 = negf.landauer_transmission(rib2, E1, eta=1e-7)
+    Tdis = negf.landauer_transmission(rib2, E1,
+                                      device=G00 + np.diag(dis2),
+                                      eta=1e-7)
+    assert Tdis[0] < T0[0] - 0.05
+    assert Tdis[0] > 0.0
+
+
+def test_barrier_and_bounds():
+    g = ptt.models.graphene(t=-1.0)
+    rib = g.cut_piece(5, 1, glue_edgs=False)
+    H00, _ = negf.lead_blocks(rib)
+    E1 = np.array([1.25])
+    T0 = negf.landauer_transmission(rib, E1, eta=1e-7)
+    Tb = negf.landauer_transmission(rib, E1,
+                                    device=H00 + 6.0 * np.eye(len(H00)),
+                                    eta=1e-7)
+    assert Tb[0] < 0.1 * T0[0]
+    # transmission never exceeds the channel count (where the counter
+    # is stable -- exact band-edge tangencies undercount crossings)
+    Es = np.linspace(-2.5, 2.5, 41)
+    T = negf.landauer_transmission(rib, Es, eta=1e-7)
+    M = negf.mode_count(rib, Es)
+    h = 0.02
+    stable = ((M == negf.mode_count(rib, Es - h))
+              & (M == negf.mode_count(rib, Es + h)) & (M > 0))
+    assert np.all(T[stable] <= M[stable] + 1e-3)
+
+
+def test_guards():
+    g = ptt.models.graphene()
+    with pytest.raises(PythtbError):
+        negf.landauer_transmission(g, [0.0])  # 2-D model, not a lead
+    rib = g.cut_piece(3, 1, glue_edgs=False)
+    with pytest.raises(PythtbError):
+        negf.landauer_transmission(rib, [0.0], device=np.eye(3))
+    H00, _ = negf.lead_blocks(rib)
+    bad = H00.copy()
+    bad[0, 1] += 1.0  # non-Hermitian
+    with pytest.raises(PythtbError):
+        negf.landauer_transmission(rib, [0.0], device=bad)
