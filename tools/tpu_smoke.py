@@ -564,6 +564,21 @@ def main():
           "-0.8424/0.4612/-0.2675)"
           % (p40, pp40, st40[0], st40[1], st40[2]))
 
+    # 41. Landauer NEGF (f32): staircase + QSH protected plateau
+    from pythtb_tpu import negf
+
+    rib41 = ptt.models.graphene(t=-1.0).cut_piece(5, 1, glue_edgs=False)
+    T41 = negf.landauer_transmission(rib41, np.array([1.25, 2.25]),
+                                     eta=1e-5)
+    ribk41 = zoo_models.kane_mele(esite=1.0, rashba=0.0).cut_piece(
+        6, 1, glue_edgs=False)
+    Tq41 = negf.landauer_transmission(ribk41, np.array([0.3]), eta=1e-5)
+    check("landauer transport f32",
+          abs(T41[0] - 4.0) < 5e-3 and abs(T41[1] - 2.0) < 5e-3
+          and abs(Tq41[0] - 2.0) < 5e-3,
+          "T=%.4f,%.4f QSH=%.4f (x64: 4, 2, 2)"
+          % (T41[0], T41[1], Tq41[0]))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
