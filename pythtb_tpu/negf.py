@@ -75,15 +75,17 @@ def _lead_blocks_jit(s00, s01, d00, d01):
             pack_cplx(_one_sided(s01, d01, kpar)[0]))
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters):
+@partial(jax.jit, static_argnums=(5, 6))
+def _landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters, nlay):
     """T(E) for the whole energy batch: two decimations (left/right
-    surface GFs) + self-energies + one dense solve per energy."""
+    surface GFs) + self-energies + one dense solve per energy.  The
+    device is ``nlay`` layers (diagonal blocks stacked in Hd_ri's
+    leading axis) chained by H01."""
     hp = jax.lax.Precision.HIGHEST
     mm = partial(jnp.matmul, precision=hp)
     H00 = unpack_cplx(H00_ri)
     H01 = unpack_cplx(H01_ri)
-    Hd = unpack_cplx(Hd_ri)
+    Hd = unpack_cplx(Hd_ri)  # (nlay, S, S)
     S = H00.shape[-1]
     ctype = H00.dtype
     eye = jnp.eye(S, dtype=ctype)
@@ -123,10 +125,29 @@ def _landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters):
               mm(gR, jnp.broadcast_to(H01d[None], wI.shape)))
     GamL = 1j * (SigL - jnp.conj(jnp.swapaxes(SigL, -1, -2)))
     GamR = 1j * (SigR - jnp.conj(jnp.swapaxes(SigR, -1, -2)))
-    Gd = jnp.linalg.solve(wI - Hd[None] - SigL - SigR,
-                          jnp.broadcast_to(eye, wI.shape))
-    T = jnp.einsum("eab,ebc,ecd,eda->e", GamL, Gd, GamR,
-                   jnp.conj(jnp.swapaxes(Gd, -1, -2)), precision=hp)
+    # block-tridiagonal device: nlay diagonal blocks chained by H01,
+    # assembled dense (fine for nlay * S up to a few thousand)
+    N = nlay * S
+    nE = energies.shape[0]
+    Hbig = jnp.zeros((N, N), dtype=ctype)
+    for l in range(nlay):
+        Hbig = Hbig.at[l * S:(l + 1) * S, l * S:(l + 1) * S].set(Hd[l])
+        if l + 1 < nlay:
+            Hbig = Hbig.at[l * S:(l + 1) * S,
+                           (l + 1) * S:(l + 2) * S].set(H01)
+            Hbig = Hbig.at[(l + 1) * S:(l + 2) * S,
+                           l * S:(l + 1) * S].set(H01d)
+    Sig = jnp.zeros((nE, N, N), dtype=ctype)
+    Sig = Sig.at[:, :S, :S].add(SigL)
+    Sig = Sig.at[:, N - S:, N - S:].add(SigR)
+    eyeN = jnp.eye(N, dtype=ctype)
+    A = (w[:, None, None] * eyeN - Hbig[None] - Sig)
+    # only the (first-block x last-block) corner of G enters T
+    rhs = jnp.broadcast_to(eyeN[:, N - S:], (nE, N, S))
+    Gcol = jnp.linalg.solve(A, rhs)  # (nE, N, S) = G[:, :, last block]
+    G1n = Gcol[:, :S, :]             # (nE, S, S) = G_{1, nlay}
+    T = jnp.einsum("eab,ebc,ecd,eda->e", GamL, G1n, GamR,
+                   jnp.conj(jnp.swapaxes(G1n, -1, -2)), precision=hp)
     return jnp.real(T)
 
 
@@ -139,9 +160,11 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
     :param lead_model: 1-D periodic lead (e.g. a ribbon from
       ``cut_piece``); both leads are copies of it
     :param energies: (nE,) energies
-    :param device: Hermitian (S, S) scattering-region matrix in the
-      principal-layer basis (default: one pristine layer H00).  Build
-      it from :func:`lead_blocks` -- e.g. ``H00 + np.diag(disorder)``
+    :param device: scattering region in the principal-layer basis
+      (default: one pristine layer H00): a Hermitian (S, S) matrix or
+      a LIST of them -- consecutive layers chained by the lead's H01
+      (barriers of any length, Anderson wires).  Build blocks from
+      :func:`lead_blocks`, e.g. ``[H00 + np.diag(d) for d in ...]``
     :param eta: positive infinitesimal
     :param iters: decimation depth (coupling decays doubly
       exponentially; 60 covers eta down to ~1e-8)
@@ -150,21 +173,27 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
     H00, H01 = lead_blocks(lead_model)
     S = H00.shape[0]
     if device is None:
-        Hd = H00
+        layers = [H00]
+    elif isinstance(device, (list, tuple)):
+        layers = [np.asarray(d, dtype=np.complex128) for d in device]
     else:
-        Hd = np.asarray(device, dtype=np.complex128)
-        if Hd.shape != (S, S):
+        layers = [np.asarray(device, dtype=np.complex128)]
+    if len(layers) == 0:
+        raise PythtbError("device needs at least one layer")
+    for d in layers:
+        if d.shape != (S, S):
             raise PythtbError(
-                "device must be (%d, %d) in the principal-layer basis "
-                "(see lead_blocks)" % (S, S))
-        if np.abs(Hd - Hd.conj().T).max() > 1e-12:
-            raise PythtbError("device must be Hermitian")
+                "device layers must be (%d, %d) in the principal-layer "
+                "basis (see lead_blocks)" % (S, S))
+        if np.abs(d - d.conj().T).max() > 1e-12:
+            raise PythtbError("device layers must be Hermitian")
+    Hd = np.stack(layers)
     energies = np.atleast_1d(np.asarray(energies, dtype=np.float64))
     ftype = config.float_dtype()
     T = jax.device_get(_landauer_jit(
         host_pack(H00), host_pack(H01), host_pack(Hd),
         jnp.asarray(energies, ftype), jnp.asarray(float(eta), ftype),
-        int(iters),
+        int(iters), len(layers),
     ))
     return np.asarray(T, dtype=np.float64)
 

@@ -93,3 +93,28 @@ def test_guards():
     bad[0, 1] += 1.0  # non-Hermitian
     with pytest.raises(PythtbError):
         negf.landauer_transmission(rib, [0.0], device=bad)
+
+
+def test_multilayer_pristine_and_tunneling():
+    """A device of n PRISTINE layers transmits exactly like one (the
+    multi-layer chain assembly is seamless); an in-gap barrier region
+    decays exponentially with length at a constant slope (evanescent
+    complex-band tunneling)."""
+    g = ptt.models.graphene(t=-1.0)
+    rib = g.cut_piece(5, 1, glue_edgs=False)
+    H00, _ = negf.lead_blocks(rib)
+    E1 = np.array([1.25])
+    T1 = negf.landauer_transmission(rib, E1, eta=1e-7)[0]
+    for n in (3, 7):
+        Tn = negf.landauer_transmission(rib, E1, device=[H00] * n,
+                                        eta=1e-7)[0]
+        assert abs(Tn - T1) < 1e-4
+    Ts = [negf.landauer_transmission(
+        rib, E1, device=[H00 + 6.0 * np.eye(len(H00))] * n,
+        eta=1e-9)[0] for n in (2, 4, 6, 8)]
+    slopes = np.diff(np.log(Ts)) / 2.0
+    assert slopes.max() < -3.0  # strongly evanescent
+    assert np.abs(slopes - slopes.mean()).max() < 0.1  # constant slope
+    # guards
+    with pytest.raises(PythtbError):
+        negf.landauer_transmission(rib, E1, device=[])
