@@ -75,17 +75,57 @@ def _lead_blocks_jit(s00, s01, d00, d01):
             pack_cplx(_one_sided(s01, d01, kpar)[0]))
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def _landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters, nlay):
-    """T(E) for the whole energy batch: two decimations (left/right
-    surface GFs) + self-energies + one dense solve per energy.  The
-    device is ``nlay`` layers (diagonal blocks stacked in Hd_ri's
-    leading axis) chained by H01."""
+def _sancho_scan(H00, a0, wI, iters):
+    """Shared Sancho-Rubio decimation (same recursion as
+    surface._spectral_jit, incl. its convergence diagnostics): returns
+    (surface G, residual, peak coupling) -- residual is the final
+    effective coupling over the bare scale; a huge peak marks eta -> 0
+    overflow where the residual spuriously reads 0."""
     hp = jax.lax.Precision.HIGHEST
     mm = partial(jnp.matmul, precision=hp)
-    H00 = unpack_cplx(H00_ri)
-    H01 = unpack_cplx(H01_ri)
+    eye = jnp.eye(H00.shape[-1], dtype=H00.dtype)
+    es = jnp.broadcast_to(H00, wI.shape)
+    e = es
+    a = jnp.broadcast_to(a0, wI.shape)
+    b = jnp.conj(jnp.swapaxes(a, -1, -2))
+
+    def step(carry, _):
+        es, e, a, b, peak = carry
+        g = jnp.linalg.solve(wI - e, jnp.broadcast_to(eye, e.shape))
+        agb = mm(a, mm(g, b))
+        bga = mm(b, mm(g, a))
+        a_n = mm(a, mm(g, a))
+        peak = jnp.maximum(peak, jnp.max(jnp.abs(a_n)))
+        return (es + agb, e + agb + bga, a_n, mm(b, mm(g, b)), peak), None
+
+    peak0 = jnp.max(jnp.abs(a))
+    (es, _, a_f, _, peak), _ = jax.lax.scan(
+        step, (es, e, a, b, peak0), None, length=iters)
+    Gs = jnp.linalg.solve(wI - es, jnp.broadcast_to(eye, es.shape))
+    scale = jnp.maximum(jnp.max(jnp.abs(a0)), 1e-30)
+    res = jnp.max(jnp.abs(a_f)) / scale
+    blow = (1e30 if jnp.real(jnp.zeros(0, H00.dtype)).dtype
+            == jnp.float32 else 1e50)
+    res = jnp.where(peak / scale > blow, jnp.inf, res)
+    return Gs, res
+
+
+@partial(jax.jit, static_argnums=(0, 1, 7))
+def _landauer_jit(s00, s01, d00, d01, Hd_ri, energies, eta, iters):
+    """T(E) for the whole energy batch in ONE program: lead blocks
+    assembled in-jit, BOTH lead orientations decimated in one stacked
+    scan, and the multi-layer device solved by the recursive Green's
+    function sweep (O(nlay S^3) per energy, only G_{N1} formed)."""
+    from .ops.hamiltonian import assemble
+    from .surface import _one_sided
+
+    hp = jax.lax.Precision.HIGHEST
+    mm = partial(jnp.matmul, precision=hp)
+    kpar = jnp.zeros((1, 0), config.float_dtype())
+    H00 = assemble(s00, d00, kpar)[0]
+    H01 = _one_sided(s01, d01, kpar)[0]
     Hd = unpack_cplx(Hd_ri)  # (nlay, S, S)
+    nlay = Hd.shape[0]
     S = H00.shape[-1]
     ctype = H00.dtype
     eye = jnp.eye(S, dtype=ctype)
@@ -93,69 +133,57 @@ def _landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters, nlay):
          + 1j * jnp.asarray(eta, ctype))
     wI = w[:, None, None] * eye  # (E, S, S)
 
-    def surface_g(a0):
-        """Sancho-Rubio surface GF with inter-layer block a0."""
-        es = jnp.broadcast_to(H00[None], wI.shape)
-        e = es
-        a = jnp.broadcast_to(a0[None], wI.shape)
-        b = jnp.conj(jnp.swapaxes(a, -1, -2))
-
-        def step(carry, _):
-            es, e, a, b = carry
-            g = jnp.linalg.solve(wI - e, jnp.broadcast_to(eye, e.shape))
-            agb = mm(a, mm(g, b))
-            bga = mm(b, mm(g, a))
-            return (es + agb, e + agb + bga, mm(a, mm(g, a)),
-                    mm(b, mm(g, b))), None
-
-        (es, _, _, _), _ = jax.lax.scan(step, (es, e, a, b), None,
-                                        length=iters)
-        return jnp.linalg.solve(wI - es, jnp.broadcast_to(eye, es.shape))
-
-    # left lead extends to -inf: its exposed face couples via H01 into
-    # the device, and its surface GF is the H01^dag-oriented one; the
-    # right lead is the mirror.  (Orientation is pinned by the
-    # pristine-wire == mode-count oracle.)
+    # both lead orientations in one stacked decimation scan
     H01d = jnp.conj(H01.T)
-    gL = surface_g(H01d)
-    gR = surface_g(H01)
+    a0 = jnp.stack([H01d, H01])[:, None]  # (2, 1, S, S)
+    wI2 = jnp.broadcast_to(wI[None], (2,) + wI.shape)
+    G2, res = _sancho_scan(H00[None, None], a0, wI2, iters)
+    gL, gR = G2[0], G2[1]
     SigL = mm(jnp.broadcast_to(H01d[None], wI.shape),
               mm(gL, jnp.broadcast_to(H01[None], wI.shape)))
     SigR = mm(jnp.broadcast_to(H01[None], wI.shape),
               mm(gR, jnp.broadcast_to(H01d[None], wI.shape)))
     GamL = 1j * (SigL - jnp.conj(jnp.swapaxes(SigL, -1, -2)))
     GamR = 1j * (SigR - jnp.conj(jnp.swapaxes(SigR, -1, -2)))
-    # block-tridiagonal device: nlay diagonal blocks chained by H01,
-    # assembled dense (fine for nlay * S up to a few thousand)
-    N = nlay * S
-    nE = energies.shape[0]
-    Hbig = jnp.zeros((N, N), dtype=ctype)
-    for l in range(nlay):
-        Hbig = Hbig.at[l * S:(l + 1) * S, l * S:(l + 1) * S].set(Hd[l])
-        if l + 1 < nlay:
-            Hbig = Hbig.at[l * S:(l + 1) * S,
-                           (l + 1) * S:(l + 2) * S].set(H01)
-            Hbig = Hbig.at[(l + 1) * S:(l + 2) * S,
-                           l * S:(l + 1) * S].set(H01d)
-    Sig = jnp.zeros((nE, N, N), dtype=ctype)
-    Sig = Sig.at[:, :S, :S].add(SigL)
-    Sig = Sig.at[:, N - S:, N - S:].add(SigR)
-    eyeN = jnp.eye(N, dtype=ctype)
-    A = (w[:, None, None] * eyeN - Hbig[None] - Sig)
-    # only the (first-block x last-block) corner of G enters T
-    rhs = jnp.broadcast_to(eyeN[:, N - S:], (nE, N, S))
-    Gcol = jnp.linalg.solve(A, rhs)  # (nE, N, S) = G[:, :, last block]
-    G1n = Gcol[:, :S, :]             # (nE, S, S) = G_{1, nlay}
-    T = jnp.einsum("eab,ebc,ecd,eda->e", GamL, G1n, GamR,
-                   jnp.conj(jnp.swapaxes(G1n, -1, -2)), precision=hp)
-    return jnp.real(T)
+
+    # left-connected RGF sweep along the device chain; the last layer
+    # absorbs Sigma_R.  P_l = G_{l,1} (retarded), so T = Tr[Gamma_R
+    # G_{N1} Gamma_L G_{N1}^dag] (Caroli).
+    def a_ll(l_H, extra):
+        return wI - l_H[None] - extra
+
+    g1 = jnp.linalg.solve(
+        a_ll(Hd[0], SigL + (SigR if nlay == 1 else 0.0)),
+        jnp.broadcast_to(eye, wI.shape))
+    if nlay == 1:
+        GN1 = g1
+    else:
+        def layer_step(carry, l_Hd):
+            gprev, P = carry
+            hop = mm(jnp.broadcast_to(H01d[None], wI.shape),
+                     mm(gprev, jnp.broadcast_to(H01[None], wI.shape)))
+            g = jnp.linalg.solve(a_ll(l_Hd, hop),
+                                 jnp.broadcast_to(eye, wI.shape))
+            P = mm(g, mm(jnp.broadcast_to(H01d[None], wI.shape), P))
+            return (g, P), None
+
+        (gprev, P), _ = jax.lax.scan(layer_step, (g1, g1), Hd[1:-1])             if nlay > 2 else ((g1, g1), None)
+        # final layer with Sigma_R
+        hop = mm(jnp.broadcast_to(H01d[None], wI.shape),
+                 mm(gprev, jnp.broadcast_to(H01[None], wI.shape)))
+        gN = jnp.linalg.solve(a_ll(Hd[-1], hop + SigR),
+                              jnp.broadcast_to(eye, wI.shape))
+        GN1 = mm(gN, mm(jnp.broadcast_to(H01d[None], wI.shape), P))
+    T = jnp.einsum("eab,ebc,ecd,eda->e", GamR, GN1, GamL,
+                   jnp.conj(jnp.swapaxes(GN1, -1, -2)), precision=hp)
+    return jnp.real(T), res
 
 
 def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
                           iters=60):
     """Two-terminal Landauer transmission ``T(E)`` (conductance in
-    units of ``2 e^2 / h`` per spin convention of the model), one
-    device program for the whole energy batch.
+    units of ``2 e^2 / h`` per spin convention of the model), the
+    whole energy batch in ONE device program.
 
     :param lead_model: 1-D periodic lead (e.g. a ribbon from
       ``cut_piece``); both leads are copies of it
@@ -163,16 +191,28 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
     :param device: scattering region in the principal-layer basis
       (default: one pristine layer H00): a Hermitian (S, S) matrix or
       a LIST of them -- consecutive layers chained by the lead's H01
-      (barriers of any length, Anderson wires).  Build blocks from
-      :func:`lead_blocks`, e.g. ``[H00 + np.diag(d) for d in ...]``
+      (barriers of any length, Anderson wires; solved by the
+      recursive Green's function sweep, O(nlay S^3) per energy).
+      Build blocks from :func:`lead_blocks`, e.g.
+      ``[H00 + np.diag(d) for d in ...]``
     :param eta: positive infinitesimal
-    :param iters: decimation depth (coupling decays doubly
-      exponentially; 60 covers eta down to ~1e-8)
+    :param iters: decimation depth; warns (like
+      :func:`pythtb_tpu.surface.spectral_function`) when the effective
+      lead coupling has not collapsed -- incl. the eta -> 0 overflow
+      mode where the residual alone would spuriously read 0
     :returns: (nE,) float transmission
     """
-    H00, H01 = lead_blocks(lead_model)
-    S = H00.shape[0]
+    from .surface import _layer_blocks
+
+    if lead_model._dim_k != 1:
+        raise PythtbError(
+            "landauer_transmission needs a 1-D periodic lead "
+            "(cut_piece a ribbon from a higher-dimensional model first)"
+        )
+    surf_dir = int(lead_model._per[0])
+    s00, s01, d00, d01, _m = _layer_blocks(lead_model, surf_dir)
     if device is None:
+        H00, _H01 = lead_blocks(lead_model)
         layers = [H00]
     elif isinstance(device, (list, tuple)):
         layers = [np.asarray(d, dtype=np.complex128) for d in device]
@@ -180,6 +220,7 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
         layers = [np.asarray(device, dtype=np.complex128)]
     if len(layers) == 0:
         raise PythtbError("device needs at least one layer")
+    S = s00.nsta
     for d in layers:
         if d.shape != (S, S):
             raise PythtbError(
@@ -190,27 +231,52 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
     Hd = np.stack(layers)
     energies = np.atleast_1d(np.asarray(energies, dtype=np.float64))
     ftype = config.float_dtype()
-    T = jax.device_get(_landauer_jit(
-        host_pack(H00), host_pack(H01), host_pack(Hd),
+    T, res = jax.device_get(_landauer_jit(
+        s00, s01, d00, d01, host_pack(Hd),
         jnp.asarray(energies, ftype), jnp.asarray(float(eta), ftype),
-        int(iters), len(layers),
+        int(iters),
     ))
+    if not float(res) < np.sqrt(float(np.finfo(np.asarray(T).dtype).eps)):
+        import warnings
+
+        warnings.warn(
+            "landauer_transmission: the lead decimation has not "
+            "converged (residual coupling %.1e) -- increase iters or "
+            "eta; at very small eta the recursion can overflow and "
+            "the result is garbage." % float(res),
+            UserWarning, stacklevel=2,
+        )
     return np.asarray(T, dtype=np.float64)
 
 
-def mode_count(lead_model, energies, nk=512):
+def mode_count(lead_model, energies, nk=512, stability_h=None):
     """Independent mode counter: the number of propagating channels at
     each energy from the lead dispersion (band crossings around the
-    closed k-loop, counted with multiplicity) -- the exact value of
-    the pristine-wire transmission."""
+    closed k-loop, counted with multiplicity) -- the value of the
+    pristine-wire transmission AWAY from band edges.
+
+    CAVEATS (crossing counting): a band extremum tangent to E
+    undercounts by its multiplicity, and an exactly sampled ev == E
+    point (flat bands) miscounts.  Pass ``stability_h`` to mark
+    energies where the count changes under a +-h shift: those entries
+    come back as -1 instead of a wrong integer."""
     if lead_model._dim_k != 1:
         raise PythtbError("mode_count needs a 1-D lead")
     ks = (np.arange(nk) / nk)[:, None]
     ev = np.asarray(lead_model.solve_all(ks))  # (nsta, nk)
     energies = np.atleast_1d(np.asarray(energies, dtype=np.float64))
-    out = np.zeros(len(energies), dtype=int)
-    for ie, E in enumerate(energies):
-        s = np.sign(ev - E)  # (nsta, nk)
-        crossings = np.sum(s != np.roll(s, 1, axis=1), axis=1)
-        out[ie] = int(np.sum(crossings) // 2)
+    def count(Es):
+        out = np.zeros(len(Es), dtype=int)
+        for ie, E in enumerate(Es):
+            sg = np.sign(ev - E)  # (nsta, nk)
+            crossings = np.sum(sg != np.roll(sg, 1, axis=1), axis=1)
+            out[ie] = int(np.sum(crossings) // 2)
+        return out
+
+    out = count(energies)
+    if stability_h is not None:
+        h = float(stability_h)
+        lo = count(energies - h)
+        hi = count(energies + h)
+        out = np.where((out == lo) & (out == hi), out, -1)
     return out

@@ -118,3 +118,70 @@ def test_multilayer_pristine_and_tunneling():
     # guards
     with pytest.raises(PythtbError):
         negf.landauer_transmission(rib, E1, device=[])
+
+
+def test_rgf_matches_dense_assembly():
+    """The recursive Green's function sweep equals an explicit dense
+    block-tridiagonal inversion (test-side numpy, shares nothing with
+    the scan) on a disordered 4-layer device."""
+    g = ptt.models.graphene(t=-1.0)
+    rib = g.cut_piece(4, 1, glue_edgs=False)
+    H00, H01 = negf.lead_blocks(rib)
+    S = len(H00)
+    rng = np.random.default_rng(7)
+    layers = [H00 + np.diag(rng.uniform(-0.5, 0.5, S)) for _ in range(4)]
+    Es = np.array([-1.3, 0.7, 1.6])
+    eta = 1e-6
+    T = negf.landauer_transmission(rib, Es, device=layers, eta=eta)
+
+    # dense reference: lead surface g by plain host iteration
+    def surf(E, a0):
+        es = H00.copy()
+        e = H00.copy()
+        a = a0.copy()
+        b = a0.conj().T.copy()
+        w = (E + 1j * eta) * np.eye(S)
+        for _ in range(60):
+            gg = np.linalg.inv(w - e)
+            es = es + a @ gg @ b
+            e = e + a @ gg @ b + b @ gg @ a
+            a, b = a @ gg @ a, b @ gg @ b
+        return np.linalg.inv(w - es)
+
+    for iE, E in enumerate(Es):
+        gL = surf(E, H01.conj().T)
+        gR = surf(E, H01)
+        SigL = H01.conj().T @ gL @ H01
+        SigR = H01 @ gR @ H01.conj().T
+        GamL = 1j * (SigL - SigL.conj().T)
+        GamR = 1j * (SigR - SigR.conj().T)
+        N = 4 * S
+        Hbig = np.zeros((N, N), complex)
+        for l in range(4):
+            Hbig[l * S:(l + 1) * S, l * S:(l + 1) * S] = layers[l]
+            if l < 3:
+                Hbig[l * S:(l + 1) * S, (l + 1) * S:(l + 2) * S] = H01
+                Hbig[(l + 1) * S:(l + 2) * S, l * S:(l + 1) * S] = \
+                    H01.conj().T
+        Sig = np.zeros((N, N), complex)
+        Sig[:S, :S] = SigL
+        Sig[N - S:, N - S:] = SigR
+        G = np.linalg.inv((E + 1j * eta) * np.eye(N) - Hbig - Sig)
+        G1n = G[:S, N - S:]
+        Tref = np.real(np.trace(GamL @ G1n @ GamR @ G1n.conj().T))
+        assert abs(T[iE] - Tref) < 1e-8
+
+
+def test_decimation_warning_and_stability_mask():
+    """Regressions (review): an eta too small for the decimation depth
+    must WARN instead of returning silent garbage, and mode_count's
+    stability mask flags band-edge tangencies as -1."""
+    g = ptt.models.graphene(t=-1.0)
+    rib = g.cut_piece(5, 1, glue_edgs=False)
+    Es = np.linspace(-2.6, 2.6, 53)
+    with pytest.warns(UserWarning, match="not converged"):
+        T = negf.landauer_transmission(rib, Es, eta=1e-14)
+    assert np.isnan(T).any()  # the warning marks real garbage
+    M = negf.mode_count(rib, np.array([1.0, 1.25]), stability_h=0.02)
+    assert M[0] == -1   # exact band-edge tangency flagged
+    assert M[1] == 4    # stable energy keeps its count
