@@ -180,7 +180,7 @@ def _landauer_jit(s00, s01, d00, d01, Hd_ri, energies, eta, iters):
 
 
 def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
-                          iters=60):
+                          iters=60, spin_resolved=False):
     """Two-terminal Landauer transmission ``T(E)`` (conductance in
     units of ``2 e^2 / h`` per spin convention of the model), the
     whole energy batch in ONE device program.
@@ -200,7 +200,11 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
       :func:`pythtb_tpu.surface.spectral_function`) when the effective
       lead coupling has not collapsed -- incl. the eta -> 0 overflow
       mode where the residual alone would spuriously read 0
-    :returns: (nE,) float transmission
+    :param spin_resolved: for an Sz-CONSERVING spinful lead+device
+      (verified numerically: all spin-off-diagonal blocks must vanish,
+      else raises), return the per-spin pair ``(nE, 2)`` -- the QSH
+      helical channels split as 1 + 1 (tested)
+    :returns: (nE,) float transmission, or (nE, 2) spin-resolved
     """
     from .surface import _layer_blocks
 
@@ -231,6 +235,26 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
     Hd = np.stack(layers)
     energies = np.atleast_1d(np.asarray(energies, dtype=np.float64))
     ftype = config.float_dtype()
+    if spin_resolved:
+        if s00.nspin != 2:
+            raise PythtbError("spin_resolved needs a spinful lead")
+        H00, H01 = lead_blocks(lead_model)
+        Ts = []
+        for sp in (0, 1):
+            idx = np.arange(sp, S, 2)
+            off = max(
+                np.abs(M[np.ix_(idx, np.arange(1 - sp, S, 2))]).max()
+                for M in [H00, H01] + layers
+            )
+            if off > 1e-10:
+                raise PythtbError(
+                    "spin_resolved requires Sz conservation (largest "
+                    "spin-off-diagonal element %.1e)" % off)
+            Ts.append(_dense_transmission(
+                H00[np.ix_(idx, idx)], H01[np.ix_(idx, idx)],
+                np.stack([d[np.ix_(idx, idx)] for d in layers]),
+                energies, eta, iters))
+        return np.stack(Ts, axis=-1)
     T, res = jax.device_get(_landauer_jit(
         s00, s01, d00, d01, host_pack(Hd),
         jnp.asarray(energies, ftype), jnp.asarray(float(eta), ftype),
@@ -245,6 +269,77 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
             "eta; at very small eta the recursion can overflow and "
             "the result is garbage." % float(res),
             UserWarning, stacklevel=2,
+        )
+    return np.asarray(T, dtype=np.float64)
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _dense_landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters):
+    """Transmission from explicit dense lead blocks (the spin-split
+    path): the same stacked decimation + RGF sweep as _landauer_jit."""
+    hp = jax.lax.Precision.HIGHEST
+    mm = partial(jnp.matmul, precision=hp)
+    H00 = unpack_cplx(H00_ri)
+    H01 = unpack_cplx(H01_ri)
+    Hd = unpack_cplx(Hd_ri)
+    nlay = Hd.shape[0]
+    S = H00.shape[-1]
+    ctype = H00.dtype
+    eye = jnp.eye(S, dtype=ctype)
+    w = (energies.astype(jnp.real(jnp.zeros(0, ctype)).dtype)
+         + 1j * jnp.asarray(eta, ctype))
+    wI = w[:, None, None] * eye
+    H01d = jnp.conj(H01.T)
+    a0 = jnp.stack([H01d, H01])[:, None]
+    wI2 = jnp.broadcast_to(wI[None], (2,) + wI.shape)
+    G2, res = _sancho_scan(H00[None, None], a0, wI2, iters)
+    gL, gR = G2[0], G2[1]
+    SigL = mm(jnp.broadcast_to(H01d[None], wI.shape),
+              mm(gL, jnp.broadcast_to(H01[None], wI.shape)))
+    SigR = mm(jnp.broadcast_to(H01[None], wI.shape),
+              mm(gR, jnp.broadcast_to(H01d[None], wI.shape)))
+    GamL = 1j * (SigL - jnp.conj(jnp.swapaxes(SigL, -1, -2)))
+    GamR = 1j * (SigR - jnp.conj(jnp.swapaxes(SigR, -1, -2)))
+    g1 = jnp.linalg.solve(
+        wI - Hd[0][None] - SigL - (SigR if nlay == 1 else 0.0),
+        jnp.broadcast_to(eye, wI.shape))
+    if nlay == 1:
+        GN1 = g1
+    else:
+        def layer_step(carry, l_Hd):
+            gprev, P = carry
+            hop = mm(jnp.broadcast_to(H01d[None], wI.shape),
+                     mm(gprev, jnp.broadcast_to(H01[None], wI.shape)))
+            g = jnp.linalg.solve(wI - l_Hd[None] - hop,
+                                 jnp.broadcast_to(eye, wI.shape))
+            P = mm(g, mm(jnp.broadcast_to(H01d[None], wI.shape), P))
+            return (g, P), None
+
+        (gprev, P), _ = jax.lax.scan(layer_step, (g1, g1), Hd[1:-1]) \
+            if nlay > 2 else ((g1, g1), None)
+        hop = mm(jnp.broadcast_to(H01d[None], wI.shape),
+                 mm(gprev, jnp.broadcast_to(H01[None], wI.shape)))
+        gN = jnp.linalg.solve(wI - Hd[-1][None] - hop - SigR,
+                              jnp.broadcast_to(eye, wI.shape))
+        GN1 = mm(gN, mm(jnp.broadcast_to(H01d[None], wI.shape), P))
+    T = jnp.einsum("eab,ebc,ecd,eda->e", GamR, GN1, GamL,
+                   jnp.conj(jnp.swapaxes(GN1, -1, -2)), precision=hp)
+    return jnp.real(T), res
+
+
+def _dense_transmission(H00, H01, Hd, energies, eta, iters):
+    ftype = config.float_dtype()
+    T, res = jax.device_get(_dense_landauer_jit(
+        host_pack(np.asarray(H00)), host_pack(np.asarray(H01)),
+        host_pack(np.asarray(Hd)), jnp.asarray(energies, ftype),
+        jnp.asarray(float(eta), ftype), int(iters)))
+    if not float(res) < np.sqrt(float(np.finfo(np.asarray(T).dtype).eps)):
+        import warnings
+
+        warnings.warn(
+            "landauer_transmission: the lead decimation has not "
+            "converged (residual coupling %.1e)." % float(res),
+            UserWarning, stacklevel=3,
         )
     return np.asarray(T, dtype=np.float64)
 

@@ -185,3 +185,26 @@ def test_decimation_warning_and_stability_mask():
     M = negf.mode_count(rib, np.array([1.0, 1.25]), stability_h=0.02)
     assert M[0] == -1   # exact band-edge tangency flagged
     assert M[1] == 4    # stable energy keeps its count
+
+
+def test_spin_resolved_helical_split():
+    """Sz-conserving QSH ribbon: the T = 2 plateau splits as exactly
+    1 + 1 per spin; the per-spin sum equals the total; a Rashba lead
+    (Sz broken) raises instead of returning a fake split."""
+    km = ptt.models.kane_mele(esite=1.0, rashba=0.0)
+    rib = km.cut_piece(6, 1, glue_edgs=False)
+    Es = np.array([-0.3, 0.3])
+    Ts = negf.landauer_transmission(rib, Es, eta=1e-7,
+                                    spin_resolved=True)
+    assert Ts.shape == (2, 2)
+    np.testing.assert_allclose(Ts, 1.0, atol=1e-6)
+    Tt = negf.landauer_transmission(rib, Es, eta=1e-7)
+    np.testing.assert_allclose(Ts.sum(axis=1), Tt, atol=1e-6)
+    bad = ptt.models.kane_mele(esite=1.0, rashba=0.3).cut_piece(
+        4, 1, glue_edgs=False)
+    with pytest.raises(PythtbError, match="Sz conservation"):
+        negf.landauer_transmission(bad, Es, spin_resolved=True)
+    with pytest.raises(PythtbError, match="spinful"):
+        negf.landauer_transmission(
+            ptt.models.graphene().cut_piece(3, 1, glue_edgs=False), Es,
+            spin_resolved=True)
