@@ -22,7 +22,7 @@ import matplotlib.pyplot as plt
 import pythtb_tpu as ptt
 from pythtb_tpu import negf
 
-fig, axs = plt.subplots(1, 2, figsize=(9.6, 3.6))
+fig, axs = plt.subplots(1, 3, figsize=(13.6, 3.6))
 
 # ---- staircase --------------------------------------------------------
 rib = ptt.models.graphene(t=-1.0).cut_piece(5, 1, glue_edgs=False)
@@ -55,6 +55,29 @@ axs[1].legend(frameon=False, fontsize=8)
 ig = np.abs(Ek) > 0.15
 print("in-gap plateau: clean %.4f, disordered %.4f (protected)"
       % (Tc[ig].mean(), Td[ig].mean()))
+
+# ---- Anderson localization --------------------------------------------
+H00g, _ = negf.lead_blocks(rib)
+Sg = len(H00g)
+E1 = np.array([1.25])
+Ls = [4, 8, 16, 32]
+means, sems = [], []
+for L in Ls:
+    lnT = []
+    for s_ in range(8):
+        rr = np.random.default_rng(100 * s_ + L)
+        layers = [H00g + np.diag(rr.uniform(-1.5, 1.5, Sg))
+                  for _ in range(L)]
+        Tl = negf.landauer_transmission(rib, E1, device=layers,
+                                        eta=1e-7)
+        lnT.append(np.log(max(Tl[0], 1e-300)))
+    means.append(np.mean(lnT))
+    sems.append(np.std(lnT) / np.sqrt(len(lnT)))
+axs[2].errorbar(Ls, means, yerr=sems, fmt="ko-", ms=4, capsize=3)
+axs[2].set_xlabel("device length L (layers)")
+axs[2].set_ylabel(r"$\langle \ln T \rangle$")
+axs[2].set_title("Anderson localization: self-averaging decay")
+print("Anderson <ln T> vs L:", [round(m, 2) for m in means])
 
 fig.tight_layout()
 fig.savefig("quantum_transport.png", dpi=150)

@@ -208,3 +208,26 @@ def test_spin_resolved_helical_split():
         negf.landauer_transmission(
             ptt.models.graphene().cut_piece(3, 1, glue_edgs=False), Es,
             spin_resolved=True)
+
+
+def test_anderson_localization_monotone():
+    """Disorder-averaged <ln T> decreases monotonically with device
+    length (localization; fixed seeds, deterministic)."""
+    g = ptt.models.graphene(t=-1.0)
+    rib = g.cut_piece(4, 1, glue_edgs=False)
+    H00, _ = negf.lead_blocks(rib)
+    S = len(H00)
+    E1 = np.array([1.25])
+    means = []
+    for L in (4, 8, 32):
+        lnT = []
+        for s_ in range(6):
+            rr = np.random.default_rng(100 * s_ + L)
+            layers = [H00 + np.diag(rr.uniform(-1.5, 1.5, S))
+                      for _ in range(L)]
+            T = negf.landauer_transmission(rib, E1, device=layers,
+                                           eta=1e-7)
+            lnT.append(np.log(max(T[0], 1e-300)))
+        means.append(np.mean(lnT))
+    assert means[0] > means[1] > means[2]
+    assert means[2] < -6.0  # strongly localized by L = 32
