@@ -43,7 +43,7 @@ from . import config
 from .model import PythtbError
 from .utils.xfer import host_pack, host_unpack, pack_cplx, unpack_cplx
 
-__all__ = ["landauer_transmission", "lead_blocks", "mode_count"]
+__all__ = ["landauer_transmission", "thermoelectrics", "lead_blocks", "mode_count"]
 
 
 def lead_blocks(lead_model):
@@ -375,3 +375,52 @@ def mode_count(lead_model, energies, nk=512, stability_h=None):
         hi = count(energies + h)
         out = np.where((out == lo) & (out == hi), out, -1)
     return out
+
+
+def thermoelectrics(lead_model, mu, temperature, device=None,
+                    e_window=None, n_energies=801, eta=1e-6, iters=60):
+    """Linear-response thermoelectric coefficients from the Landauer
+    integrals ``L_n = int dE (-df/dE) (E - mu)^n T(E)``:
+
+    * ``G = L_0`` -- conductance (2 e^2/h units, matching
+      :func:`landauer_transmission`);
+    * ``S = -(k_B/e) L_1 / (k_B T L_0)`` -- Seebeck coefficient in
+      k_B/e units;
+    * ``kappa_e = (L_2 - L_1^2 / L_0) / T`` -- electronic thermal
+      conductance in k_B^2 T/h-style units.
+
+    Committed oracles: the Mott relation ``S ~ -(pi^2/3) k_B T
+    d ln T(E)/dE`` at low temperature (independent numerical E
+    derivative) and Wiedemann-Franz ``kappa_e / (G T) -> pi^2/3``.
+
+    :param mu: chemical potential (scalar or (nmu,))
+    :param temperature: k_B T > 0
+    :param e_window: (lo, hi) integration window (default: mu +-
+      12 k_B T around the extreme mus)
+    :returns: dict with ``"G"``, ``"S"``, ``"kappa_e"`` (each (nmu,)
+      or scalar to match mu)
+    """
+    if float(temperature) <= 0.0:
+        raise PythtbError("thermoelectrics requires temperature > 0")
+    mus = np.atleast_1d(np.asarray(mu, dtype=np.float64))
+    kt = float(temperature)
+    if e_window is None:
+        e_window = (mus.min() - 12.0 * kt, mus.max() + 12.0 * kt)
+    Es = np.linspace(float(e_window[0]), float(e_window[1]),
+                     int(n_energies))
+    T = landauer_transmission(lead_model, Es, device=device, eta=eta,
+                              iters=iters)
+    dE = Es[1] - Es[0]
+    out = {"G": [], "S": [], "kappa_e": []}
+    for m in mus:
+        x = (Es - m) / kt
+        mdf = 0.25 / (kt * np.cosh(np.clip(x / 2.0, -40.0, 40.0)) ** 2)
+        L0 = np.sum(mdf * T) * dE
+        L1 = np.sum(mdf * (Es - m) * T) * dE
+        L2 = np.sum(mdf * (Es - m) ** 2 * T) * dE
+        out["G"].append(L0)
+        out["S"].append(-L1 / (kt * max(L0, 1e-300)))
+        out["kappa_e"].append((L2 - L1**2 / max(L0, 1e-300)) / kt)
+    if np.ndim(mu) == 0:
+        return {k: float(v[0]) for k, v in out.items()}
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -231,3 +231,35 @@ def test_anderson_localization_monotone():
         means.append(np.mean(lnT))
     assert means[0] > means[1] > means[2]
     assert means[2] < -6.0  # strongly localized by L = 32
+
+
+def test_thermoelectrics_mott_and_wiedemann_franz():
+    """Landauer thermoelectrics: the Seebeck coefficient obeys the
+    Mott relation against an independent finite-difference d ln G/dmu,
+    and kappa_e/(G T) converges to the Lorenz number pi^2/3 at O(T^2)
+    (disordered device so T(E) is smooth, not a staircase)."""
+    rib = ptt.models.graphene(t=-1.0).cut_piece(5, 1, glue_edgs=False)
+    H00, _ = negf.lead_blocks(rib)
+    rng = np.random.default_rng(3)
+    dev = [H00 + np.diag(rng.uniform(-1.0, 1.0, len(H00)))
+           for _ in range(3)]
+    kt = 0.02
+    r = negf.thermoelectrics(rib, 1.25, kt, device=dev)
+    h = 0.01
+    Gp = negf.thermoelectrics(rib, 1.25 + h, kt, device=dev)["G"]
+    Gm = negf.thermoelectrics(rib, 1.25 - h, kt, device=dev)["G"]
+    mott = -(np.pi**2 / 3.0) * kt * (np.log(Gp) - np.log(Gm)) / (2 * h)
+    assert abs(r["S"] - mott) < 0.03 * max(abs(mott), 1e-3)
+    wf = []
+    for ktv in (0.01, 0.0025):
+        rv = negf.thermoelectrics(rib, 1.25, ktv, device=dev,
+                                  n_energies=1601)
+        wf.append(rv["kappa_e"] / (rv["G"] * ktv))
+    L0 = np.pi**2 / 3.0
+    assert abs(wf[1] - L0) < 1e-3 * L0
+    assert abs(wf[1] - L0) < 0.2 * abs(wf[0] - L0)  # O(T^2)
+    # batch shape + guard
+    rb = negf.thermoelectrics(rib, [1.2, 1.3], kt, device=dev)
+    assert rb["G"].shape == (2,)
+    with pytest.raises(PythtbError):
+        negf.thermoelectrics(rib, 1.0, 0.0)
