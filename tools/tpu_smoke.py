@@ -573,11 +573,18 @@ def main():
     ribk41 = zoo_models.kane_mele(esite=1.0, rashba=0.0).cut_piece(
         6, 1, glue_edgs=False)
     Tq41 = negf.landauer_transmission(ribk41, np.array([0.3]), eta=1e-5)
+    Ts41 = negf.landauer_transmission(ribk41, np.array([0.3]),
+                                      eta=1e-5, spin_resolved=True)
+    te41 = negf.thermoelectrics(rib41, 1.25, 0.0025, n_energies=1601)
+    wf41 = te41["kappa_e"] / (te41["G"] * 0.0025)
     check("landauer transport f32",
           abs(T41[0] - 4.0) < 5e-3 and abs(T41[1] - 2.0) < 5e-3
-          and abs(Tq41[0] - 2.0) < 5e-3,
-          "T=%.4f,%.4f QSH=%.4f (x64: 4, 2, 2)"
-          % (T41[0], T41[1], Tq41[0]))
+          and abs(Tq41[0] - 2.0) < 5e-3
+          and np.abs(Ts41 - 1.0).max() < 5e-3
+          and abs(wf41 - np.pi**2 / 3.0) < 0.05,
+          "T=%.4f,%.4f QSH=%.4f spin=%.3f/%.3f WF=%.4f "
+          "(x64: 4, 2, 2, 1, 1, 3.29)"
+          % (T41[0], T41[1], Tq41[0], Ts41[0, 0], Ts41[0, 1], wf41))
 
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
