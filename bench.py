@@ -25,23 +25,64 @@ import numpy as np
 BASELINE_SECONDS = 12.74  # reference north star (BASELINE.md)
 GRID = 301
 CHILD_TIMEOUT_S = 520  # remote TPU compiles are flaky (3 s - 300 s observed)
+PROBE_TIMEOUT_S = 45  # device enumeration is instant when the tunnel is up
+
+
+def probe_tunnel():
+    """Fast liveness probe for the remote TPU tunnel, in a subprocess.
+
+    ``jax.devices()`` blocks FOREVER in-process when the axon tunnel is
+    down (round 3 burned 2x520 s of watchdog budget learning nothing);
+    enumerating devices takes <5 s when it is up.  Returns the backend
+    name ('tpu'/'axon'/'cpu'/...) or None if the probe hung/failed --
+    which distinguishes "tunnel dead" from the watchdog's "remote
+    compiler stall" diagnosis.
+    """
+    code = "import jax; jax.devices(); print('BACKEND=' + jax.default_backend())"
+    try:
+        result = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=PROBE_TIMEOUT_S, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in result.stdout.splitlines():
+        if line.startswith("BACKEND="):
+            return line.split("=", 1)[1]
+    return None
 
 
 def main():
     """Watchdog wrapper: the measurement runs in a child process because
     the remote TPU compiler occasionally stalls for minutes; a fresh
-    process retry typically compiles in seconds."""
+    process retry typically compiles in seconds.  A fast dead-tunnel
+    probe runs first; if the tunnel is down, the benchmark falls back to
+    an honestly-labeled CPU measurement instead of failing after 17 min."""
     if "--child" in sys.argv:
-        run_benchmark()
+        run_benchmark(force_cpu="--cpu" in sys.argv)
         return
+    backend = probe_tunnel()
+    cpu_fallback = backend is None
+    if cpu_fallback:
+        print(
+            "TPU tunnel DEAD (device enumeration hung %ds); falling back to "
+            "the CPU backend -- the reported number is a CPU wall time, not "
+            "the TPU headline" % PROBE_TIMEOUT_S,
+            file=sys.stderr,
+        )
+    else:
+        print("tunnel probe ok (backend=%s)" % backend, file=sys.stderr)
+    child_cmd = [sys.executable, os.path.abspath(__file__), "--child"]
+    if cpu_fallback:
+        child_cmd.append("--cpu")
     for attempt in (1, 2):
         try:
             result = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                timeout=CHILD_TIMEOUT_S, capture_output=True, text=True,
+                child_cmd, timeout=CHILD_TIMEOUT_S, capture_output=True, text=True,
             )
         except subprocess.TimeoutExpired:
-            print("attempt %d timed out after %ds (remote compiler stall); %s"
+            print("attempt %d timed out after %ds (tunnel was alive at probe "
+                  "time => remote compiler stall); %s"
                   % (attempt, CHILD_TIMEOUT_S,
                      "retrying in a fresh process" if attempt == 1 else "giving up"),
                   file=sys.stderr)
@@ -55,8 +96,11 @@ def main():
     sys.exit(1)
 
 
-def run_benchmark():
+def run_benchmark(force_cpu=False):
     import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import pythtb_tpu as ptt
     from pythtb_tpu import flows
@@ -115,16 +159,16 @@ def run_benchmark():
     if err > 1e-3:
         print("WARNING: Chern number off (%.6f)" % chern, file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "haldane_chern_301x301_wall",
-                "value": round(wall, 6),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_SECONDS / wall, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "haldane_chern_301x301_wall",
+        "value": round(wall, 6),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / wall, 2),
+    }
+    if force_cpu:
+        # honest labeling: the TPU tunnel was dead, this is a CPU number
+        record["backend"] = "cpu-fallback-tunnel-dead"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -20,6 +20,38 @@ import pathlib
 
 import pytest
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _bound_compile_state(request):
+    """Drop XLA compile caches after every test module.
+
+    The full 54-file suite compiles thousands of XLA:CPU executables in
+    one process; round 3 ended with a reproducible SIGSEGV inside
+    ``backend_compile`` at ~97% of the suite (test_wilson_device, via
+    ops/berry.unitary_eig) that never fires in isolation -- i.e. a
+    compile-state-accumulation crash, not a code bug.  Clearing the
+    caches per module bounds the resident executable count (and the
+    process memory-map count, which is capped at vm.max_map_count =
+    65530 in this container).  Set PYTHTB_TEST_DIAG=1 to log per-module
+    map/cache growth to /tmp/pythtb_test_diag.log.
+    """
+    yield
+    if os.environ.get("PYTHTB_TEST_DIAG"):
+        try:
+            with open("/proc/self/maps") as fh:
+                nmaps = sum(1 for _ in fh)
+            import resource
+
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            with open("/tmp/pythtb_test_diag.log", "a") as fh:
+                fh.write(
+                    "%s maps=%d maxrss=%dMB\n"
+                    % (request.module.__name__, nmaps, rss)
+                )
+        except OSError:
+            pass
+    jax.clear_caches()
+
 REFERENCE_PATH = os.environ.get("PYTHTB_REFERENCE", "/root/reference/pythtb.py")
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden" / "data"
 
