@@ -70,7 +70,10 @@ for L in Ls:
                   for _ in range(L)]
         Tl = negf.landauer_transmission(rib, E1, device=layers,
                                         eta=1e-7)
-        lnT.append(np.log(max(Tl[0], 1e-300)))
+        # floor at the numerical noise level of the NEGF trace: a draw
+        # that rounds to <= 0 would map to ln(1e-300) = -691 and wreck
+        # the <ln T> average at large L
+        lnT.append(np.log(max(Tl[0], 1e-16)))
     means.append(np.mean(lnT))
     sems.append(np.std(lnT) / np.sqrt(len(lnT)))
 axs[2].errorbar(Ls, means, yerr=sems, fmt="ko-", ms=4, capsize=3)

@@ -397,21 +397,49 @@ def thermoelectrics(lead_model, mu, temperature, device=None,
     :param temperature: k_B T > 0
     :param e_window: (lo, hi) integration window (default: mu +-
       12 k_B T around the extreme mus)
+    :param n_energies: MINIMUM number of integration energies; the grid
+      is automatically refined so the Fermi window stays resolved
+      (dE <= k_B T / 4), capped at 50001 points with a warning
     :returns: dict with ``"G"``, ``"S"``, ``"kappa_e"`` (each (nmu,)
-      or scalar to match mu)
+      or scalar to match mu).  When mu sits in a transport gap
+      (``G`` below the numerical noise floor of the integration) the
+      ratios ``S`` and ``kappa_e`` are ill-conditioned 0/0 forms and
+      are returned as NaN with a ``UserWarning`` (mirroring the
+      decimation-convergence diagnostics).
     """
+    import warnings
+
     if float(temperature) <= 0.0:
         raise PythtbError("thermoelectrics requires temperature > 0")
     mus = np.atleast_1d(np.asarray(mu, dtype=np.float64))
     kt = float(temperature)
     if e_window is None:
         e_window = (mus.min() - 12.0 * kt, mus.max() + 12.0 * kt)
-    Es = np.linspace(float(e_window[0]), float(e_window[1]),
-                     int(n_energies))
+    window = float(e_window[1]) - float(e_window[0])
+    # a wide mu sweep must not under-resolve the ~kT Fermi window: keep
+    # dE <= kT/4 (ADVICE r3), capped so a pathological window cannot
+    # explode the device batch
+    n_resolve = int(np.ceil(window / (0.25 * kt))) + 1
+    n_use = max(int(n_energies), n_resolve)
+    if n_use > 50001:
+        warnings.warn(
+            "thermoelectrics: resolving the Fermi window over this "
+            "e_window needs %d energies; capping at 50001 (dE = %.3g kT "
+            "> kT/4) -- narrow e_window or raise temperature"
+            % (n_use, window / 50000.0 / kt),
+            UserWarning, stacklevel=2,
+        )
+        n_use = 50001
+    Es = np.linspace(float(e_window[0]), float(e_window[1]), n_use)
     T = landauer_transmission(lead_model, Es, device=device, eta=eta,
                               iters=iters)
     dE = Es[1] - Es[0]
+    # numerical noise floor for L0: a gap's true L0 is exponentially
+    # small; anything below max(T)*1e-12 is indistinguishable from
+    # integration noise and makes S = L1/L0 astronomical garbage
+    l0_floor = max(float(np.max(T)), 1.0) * 1e-12
     out = {"G": [], "S": [], "kappa_e": []}
+    gapped_mus = []
     for m in mus:
         x = (Es - m) / kt
         mdf = 0.25 / (kt * np.cosh(np.clip(x / 2.0, -40.0, 40.0)) ** 2)
@@ -419,8 +447,21 @@ def thermoelectrics(lead_model, mu, temperature, device=None,
         L1 = np.sum(mdf * (Es - m) * T) * dE
         L2 = np.sum(mdf * (Es - m) ** 2 * T) * dE
         out["G"].append(L0)
-        out["S"].append(-L1 / (kt * max(L0, 1e-300)))
-        out["kappa_e"].append((L2 - L1**2 / max(L0, 1e-300)) / kt)
+        if L0 < l0_floor:
+            gapped_mus.append(float(m))
+            out["S"].append(np.nan)
+            out["kappa_e"].append(np.nan)
+        else:
+            out["S"].append(-L1 / (kt * L0))
+            out["kappa_e"].append((L2 - L1**2 / L0) / kt)
+    if gapped_mus:
+        warnings.warn(
+            "thermoelectrics: G below the numerical noise floor (%.1e) "
+            "at mu=%s -- mu lies in a transport gap; S and kappa_e are "
+            "ill-conditioned there and returned as NaN"
+            % (l0_floor, np.round(gapped_mus, 6).tolist()),
+            UserWarning, stacklevel=2,
+        )
     if np.ndim(mu) == 0:
         return {k: float(v[0]) for k, v in out.items()}
     return {k: np.asarray(v) for k, v in out.items()}

@@ -263,3 +263,38 @@ def test_thermoelectrics_mott_and_wiedemann_franz():
     assert rb["G"].shape == (2,)
     with pytest.raises(PythtbError):
         negf.thermoelectrics(rib, 1.0, 0.0)
+
+
+def test_thermoelectrics_gap_returns_nan_with_warning():
+    """mu inside a transport gap: G is numerical noise and S = L1/L0 is
+    an ill-conditioned 0/0 -- the API must warn and return NaN instead
+    of astronomically large finite garbage (ADVICE r3)."""
+    ssh = ptt.models.ssh(t=1.0, delta=0.5)  # bands +-[1, 2], gap (-1, 1)
+    with pytest.warns(UserWarning, match="transport gap"):
+        r = negf.thermoelectrics(ssh, 0.0, 0.01)
+    assert np.isnan(r["S"]) and np.isnan(r["kappa_e"])
+    assert 0.0 <= r["G"] < 1e-10
+    # mixed batch: NaN only where gapped, finite physics elsewhere
+    with pytest.warns(UserWarning, match="transport gap"):
+        rb = negf.thermoelectrics(ssh, [0.0, 1.5], 0.01)
+    assert np.isnan(rb["S"][0]) and np.isfinite(rb["S"][1])
+    assert abs(rb["G"][1] - 1.0) < 1e-2  # one propagating mode
+
+
+def test_thermoelectrics_resolution_autoscale():
+    """A wide mu sweep must not under-resolve the kT-wide Fermi window:
+    n_energies is a minimum and the grid is refined to dE <= kT/4
+    (ADVICE r3).  A deliberately tiny n_energies therefore agrees with
+    an explicitly fine grid."""
+    ssh = ptt.models.ssh(t=1.0, delta=0.5)
+    kt = 0.005
+    mus = [-1.8, 1.5]  # window span ~3.4 >> 801 * kT/4
+    coarse = negf.thermoelectrics(ssh, mus, kt, n_energies=11)
+    fine = negf.thermoelectrics(ssh, mus, kt, n_energies=8001)
+    np.testing.assert_allclose(coarse["G"], fine["G"], rtol=1e-3)
+    np.testing.assert_allclose(coarse["S"], fine["S"],
+                               rtol=1e-2, atol=1e-3)
+    # the cap warns rather than silently exploding the batch
+    with pytest.warns(UserWarning, match="capping at 50001"):
+        negf.thermoelectrics(ssh, [-1.8, 1.5], 1e-5,
+                             e_window=(-2.5, 2.5), n_energies=11)

@@ -575,7 +575,8 @@ def main():
     Tq41 = negf.landauer_transmission(ribk41, np.array([0.3]), eta=1e-5)
     Ts41 = negf.landauer_transmission(ribk41, np.array([0.3]),
                                       eta=1e-5, spin_resolved=True)
-    te41 = negf.thermoelectrics(rib41, 1.25, 0.0025, n_energies=1601)
+    te41 = negf.thermoelectrics(rib41, 1.25, 0.0025, n_energies=1601,
+                                eta=1e-5)
     wf41 = te41["kappa_e"] / (te41["G"] * 0.0025)
     check("landauer transport f32",
           abs(T41[0] - 4.0) < 5e-3 and abs(T41[1] - 2.0) < 5e-3
