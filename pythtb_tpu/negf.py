@@ -110,12 +110,16 @@ def _sancho_scan(H00, a0, wI, iters):
     return Gs, res
 
 
-@partial(jax.jit, static_argnums=(0, 1, 7))
-def _landauer_jit(s00, s01, d00, d01, Hd_ri, energies, eta, iters):
+@partial(jax.jit, static_argnums=(0, 1, 7, 8))
+def _landauer_jit(s00, s01, d00, d01, Hd_ri, energies, eta, iters,
+                  mesh=None):
     """T(E) for the whole energy batch in ONE program: lead blocks
     assembled in-jit, BOTH lead orientations decimated in one stacked
     scan, and the multi-layer device solved by the recursive Green's
-    function sweep (O(nlay S^3) per energy, only G_{N1} formed)."""
+    function sweep (O(nlay S^3) per energy, only G_{N1} formed).  With
+    a (static) ``mesh``, the energy batch is GSPMD-sharded over the
+    devices -- every downstream solve/matmul is data-parallel in E, so
+    the only collective is the final gather."""
     from .ops.hamiltonian import assemble
     from .surface import _one_sided
 
@@ -132,6 +136,10 @@ def _landauer_jit(s00, s01, d00, d01, Hd_ri, energies, eta, iters):
     w = (energies.astype(jnp.real(jnp.zeros(0, ctype)).dtype)
          + 1j * jnp.asarray(eta, ctype))
     wI = w[:, None, None] * eye  # (E, S, S)
+    if mesh is not None:
+        from .ops.solver import shard_grid_axis0
+
+        wI = shard_grid_axis0(wI, mesh)
 
     # both lead orientations in one stacked decimation scan
     H01d = jnp.conj(H01.T)
@@ -255,10 +263,12 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
                 np.stack([d[np.ix_(idx, idx)] for d in layers]),
                 energies, eta, iters))
         return np.stack(Ts, axis=-1)
+    from .parallel import mesh as pmesh
+
     T, res = jax.device_get(_landauer_jit(
         s00, s01, d00, d01, host_pack(Hd),
         jnp.asarray(energies, ftype), jnp.asarray(float(eta), ftype),
-        int(iters),
+        int(iters), pmesh.current_mesh(),
     ))
     if not float(res) < np.sqrt(float(np.finfo(np.asarray(T).dtype).eps)):
         import warnings
@@ -273,10 +283,12 @@ def landauer_transmission(lead_model, energies, device=None, eta=1e-6,
     return np.asarray(T, dtype=np.float64)
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _dense_landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters):
+@partial(jax.jit, static_argnums=(5, 6))
+def _dense_landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters,
+                        mesh=None):
     """Transmission from explicit dense lead blocks (the spin-split
-    path): the same stacked decimation + RGF sweep as _landauer_jit."""
+    path): the same stacked decimation + RGF sweep as _landauer_jit,
+    energy batch mesh-sharded alike."""
     hp = jax.lax.Precision.HIGHEST
     mm = partial(jnp.matmul, precision=hp)
     H00 = unpack_cplx(H00_ri)
@@ -289,6 +301,10 @@ def _dense_landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters):
     w = (energies.astype(jnp.real(jnp.zeros(0, ctype)).dtype)
          + 1j * jnp.asarray(eta, ctype))
     wI = w[:, None, None] * eye
+    if mesh is not None:
+        from .ops.solver import shard_grid_axis0
+
+        wI = shard_grid_axis0(wI, mesh)
     H01d = jnp.conj(H01.T)
     a0 = jnp.stack([H01d, H01])[:, None]
     wI2 = jnp.broadcast_to(wI[None], (2,) + wI.shape)
@@ -328,11 +344,14 @@ def _dense_landauer_jit(H00_ri, H01_ri, Hd_ri, energies, eta, iters):
 
 
 def _dense_transmission(H00, H01, Hd, energies, eta, iters):
+    from .parallel import mesh as pmesh
+
     ftype = config.float_dtype()
     T, res = jax.device_get(_dense_landauer_jit(
         host_pack(np.asarray(H00)), host_pack(np.asarray(H01)),
         host_pack(np.asarray(Hd)), jnp.asarray(energies, ftype),
-        jnp.asarray(float(eta), ftype), int(iters)))
+        jnp.asarray(float(eta), ftype), int(iters),
+        pmesh.current_mesh()))
     if not float(res) < np.sqrt(float(np.finfo(np.asarray(T).dtype).eps)):
         import warnings
 

@@ -151,18 +151,24 @@ def extend_pbc_seq(w, phases):
     return w
 
 
-def shard_grid_axis0(x, mesh):
+def shard_axis(x, mesh, axis):
     """Constrain a device value to be sharded over ``mesh``'s first axis
-    along its leading (grid/batch) axis, replicated elsewhere.  In-jit
-    GSPMD annotation: no host data moves; XLA inserts the resharding
-    (and any later halo exchanges) on ICI."""
+    along dimension ``axis``, replicated elsewhere.  In-jit GSPMD
+    annotation: no host data moves; XLA inserts the resharding (and any
+    later halo exchanges) on ICI."""
     from jax.sharding import NamedSharding, PartitionSpec
 
     spec = [None] * x.ndim
-    spec[0] = mesh.axis_names[0]
+    spec[axis] = mesh.axis_names[0]
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, PartitionSpec(*spec))
     )
+
+
+def shard_grid_axis0(x, mesh):
+    """Shard the leading (grid/batch) axis over the mesh; see
+    :func:`shard_axis`."""
+    return shard_axis(x, mesh, 0)
 
 
 def _solve_grid_core(static: ModelStatic, data: BlochData, interior, start, phases_ri, mesh=None):

@@ -135,8 +135,9 @@ def _one_sided(static, data, kpts):
     return Hblk.transpose(0, 1, 3, 2, 4).reshape(B, nsta, nsta)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 7))
-def _spectral_jit(static00, static01, data00, data01, kpar, energies, eta, iters):
+@partial(jax.jit, static_argnums=(0, 1, 7, 8))
+def _spectral_jit(static00, static01, data00, data01, kpar, energies, eta,
+                  iters, mesh=None):
     H00 = assemble(static00, data00, kpar)  # (K, S, S) Hermitian
     H01 = _one_sided(static01, data01, kpar)  # (K, S, S)
     S = H00.shape[-1]
@@ -150,6 +151,14 @@ def _spectral_jit(static00, static01, data00, data01, kpar, energies, eta, iters
     mm = partial(jnp.matmul, precision=hp)
 
     es = jnp.broadcast_to(H00[None], (w.shape[0],) + H00.shape)
+    if mesh is not None:
+        # data-parallel over the larger of the two batch axes (a Fermi-
+        # arc map has E=1, K~10^4; a surface DOS has E~10^2, K=1); the
+        # axis choice is static at trace time, the scan carry keeps the
+        # sharding, and the only collective is the final gather
+        from .ops.solver import shard_axis
+
+        es = shard_axis(es, mesh, 0 if es.shape[0] >= es.shape[1] else 1)
     e = es
     a = jnp.broadcast_to(H01[None], es.shape)
     b = jnp.conj(jnp.swapaxes(a, -1, -2))
@@ -260,12 +269,15 @@ def spectral_function(model, surf_dir, k_par=None, energies=None, eta=0.05,
     elif side != "bottom":
         raise PythtbError('side must be "bottom" or "top"')
 
+    from .parallel import mesh as pmesh
+
     it = int(iters)
     while True:
         A_s, A_b, res = jax.device_get(
             _spectral_jit(
                 static00, static01, data00, data01, jnp.asarray(kpar),
                 jnp.asarray(energies), float(eta), it,
+                pmesh.current_mesh(),
             )
         )
         if float(res) <= conv_tol or it >= int(max_iters):

@@ -236,3 +236,54 @@ def test_harmonic_spectrum_sharded_matches(mesh8):
                                atol=1e-8)
     np.testing.assert_allclose(base["sigma2"], sharded["sigma2"],
                                atol=1e-8)
+
+
+def test_landauer_sharded_matches(mesh8):
+    """negf.landauer_transmission under a mesh shards the energy batch
+    (wI is GSPMD-annotated on axis 0); transmission unchanged, including
+    the multi-layer RGF device path and the spin-resolved dense path."""
+    from pythtb_tpu import negf
+
+    rib = zoo.haldane(ptt).cut_piece(3, 1, glue_edgs=False)
+    Es = np.linspace(-1.0, 1.0, 13)  # 13: not divisible by 8
+    base = negf.landauer_transmission(rib, Es, eta=1e-5)
+    with use_mesh(mesh8):
+        sharded = negf.landauer_transmission(rib, Es, eta=1e-5)
+    np.testing.assert_allclose(base, sharded, atol=1e-12)
+
+    H00, _ = negf.lead_blocks(rib)
+    rng = np.random.default_rng(7)
+    dev = [H00 + np.diag(rng.uniform(-0.5, 0.5, len(H00)))
+           for _ in range(3)]
+    base_d = negf.landauer_transmission(rib, Es, device=dev, eta=1e-5)
+    with use_mesh(mesh8):
+        shard_d = negf.landauer_transmission(rib, Es, device=dev, eta=1e-5)
+    np.testing.assert_allclose(base_d, shard_d, atol=1e-12)
+
+
+def test_spectral_function_sharded_matches(mesh8):
+    """surface.spectral_function under a mesh shards the larger of the
+    (E, K) batch axes; the spectral map is unchanged on both branches."""
+    from pythtb_tpu import surface
+
+    m = zoo.haldane(ptt)
+    # K-heavy branch: 1 energy x 17 momenta (axis 1 sharded)
+    kpar = np.linspace(0.0, 1.0, 17)
+    A_base = surface.spectral_function(m, 1, k_par=kpar,
+                                       energies=np.array([0.3]), eta=0.05)
+    with use_mesh(mesh8):
+        A_shard = surface.spectral_function(m, 1, k_par=kpar,
+                                            energies=np.array([0.3]),
+                                            eta=0.05)
+    np.testing.assert_allclose(A_base, A_shard, atol=1e-12)
+    # E-heavy branch: 21 energies x 1 momentum (axis 0 sharded)
+    Es = np.linspace(-1.5, 1.5, 21)
+    B_base = surface.spectral_function(m, 1, k_par=np.array([0.25]),
+                                       energies=Es, eta=0.05,
+                                       return_bulk=True)
+    with use_mesh(mesh8):
+        B_shard = surface.spectral_function(m, 1, k_par=np.array([0.25]),
+                                            energies=Es, eta=0.05,
+                                            return_bulk=True)
+    np.testing.assert_allclose(B_base[0], B_shard[0], atol=1e-12)
+    np.testing.assert_allclose(B_base[1], B_shard[1], atol=1e-12)
