@@ -16,6 +16,7 @@ def _blocks():
     return re.findall(r"```python\n(.*?)```", text, flags=re.DOTALL)
 
 
+@pytest.mark.slow
 def test_api_doc_snippets_run(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # snippets may write files (model.pdf)
     blocks = _blocks()

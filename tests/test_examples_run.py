@@ -44,6 +44,7 @@ def test_example_fast(name, tmp_path, monkeypatch):
     _run(name, tmp_path, monkeypatch)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", SLOW)
 def test_example_slow(name, tmp_path, monkeypatch):
     _run(name, tmp_path, monkeypatch)

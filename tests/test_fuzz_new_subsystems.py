@@ -27,6 +27,10 @@ from .test_floquet import _assert_circle_close, _zone_copy
 from .test_shift_current import _band_data, _fd_gen_derivative_1d
 from .test_unfold import _pristine_check
 
+# committed-seed burn-in tier: redundant-by-design coverage, excluded
+# from the default (<15 min) driver gate; run with -m '' for the full tier
+pytestmark = pytest.mark.slow
+
 
 def _random_1d(seed, norb=None):
     rng = np.random.default_rng(seed)

@@ -16,6 +16,10 @@ import pytest
 
 import pythtb_tpu as ptt
 
+# committed-seed burn-in tier: redundant-by-design coverage, excluded
+# from the default (<15 min) driver gate; run with -m '' for the full tier
+pytestmark = pytest.mark.slow
+
 
 def _build_random(mod, rng_seed, force_2d=False, frac_R=False):
     """Build one random model; returns (model, log) where log records

@@ -151,6 +151,7 @@ class TestKpmDos:
         assert np.corrcoef(dos, dense_dos)[0, 1] > 0.97
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(8))
 def test_fuzz_random_finite_models(seed):
     """Random finite models (random graphs, complex hops, random onsite,
