@@ -1,0 +1,178 @@
+"""Self-consistent mean-field oracles.
+
+Tiers:
+* INDEPENDENT dense NumPy Hartree-Fock (plain ``np.linalg.eigh`` loop,
+  no shared code beyond the model's hopping list) vs the one-program
+  device fixed point, 1e-8.
+* Physics pins: honeycomb Hubbard AFM (staggered magnetization, the
+  mean-field identity gap == U m at half filling), paramagnetic
+  collapse below the transition, variational bound vs the exact
+  2-site Hubbard ground state.
+* BCS: the converged gap solves the classic gap equation (independent
+  NumPy bisection) on the square lattice; normal-state collapse at
+  weak coupling; qp_gap == Delta on the Fermi surface.
+"""
+
+import numpy as np
+import pytest
+
+import pythtb_tpu as ptt
+from pythtb_tpu import PythtbError, meanfield
+
+
+def _dense_h0(model):
+    """Dense H of a finite model straight from the hopping list --
+    independent of every package assembly path."""
+    n = model._norb
+    H = np.zeros((n, n), dtype=complex)
+    H[np.arange(n), np.arange(n)] = np.asarray(model._site_energies)
+    for amp, i, j, _R in [(h[0], h[1], h[2], h[3] if len(h) > 3 else None)
+                          for h in model._hoppings]:
+        H[i, j] += amp
+        H[j, i] += np.conj(amp)
+    return H
+
+
+def _numpy_hf(H0, U, n_elec, kt, n0, mix=0.5, iters=4000, tol=1e-13):
+    """Plain-NumPy collinear HF fixed point (the oracle)."""
+    n = H0.shape[0]
+    n_ud = np.array(n0, dtype=float)
+    for _ in range(iters):
+        w_list, v_list = [], []
+        for s in (0, 1):
+            Hs = H0 + np.diag(U * n_ud[1 - s])
+            w, v = np.linalg.eigh(Hs)
+            w_list.append(w)
+            v_list.append(v)
+        w_all = np.concatenate(w_list)
+        lo, hi = w_all.min() - 30 * kt, w_all.max() + 30 * kt
+        for _b in range(200):
+            mu = 0.5 * (lo + hi)
+            cnt = np.sum(1.0 / (np.exp((w_all - mu) / kt) + 1.0))
+            if cnt < n_elec:
+                lo = mu
+            else:
+                hi = mu
+        mu = 0.5 * (lo + hi)
+        new = np.stack([
+            np.einsum("n,in->i", 1.0 / (np.exp((w_list[s] - mu) / kt) + 1.0),
+                      np.abs(v_list[s]) ** 2)
+            for s in (0, 1)
+        ])
+        mixed = (1 - mix) * n_ud + mix * new
+        if np.abs(mixed - n_ud).max() < tol:
+            n_ud = mixed
+            break
+        n_ud = mixed
+    return n_ud, mu
+
+
+def test_hf_matches_independent_numpy_fixed_point():
+    rng = np.random.default_rng(11)
+    flake = ptt.models.haldane().cut_piece(2, 0, glue_edgs=False).cut_piece(
+        2, 1, glue_edgs=False)
+    U, n_elec, kt = 3.0, 8.0, 0.01
+    n0 = np.stack([0.5 + 0.1 * (rng.random(8) - 0.5)] * 2)
+    n0[1] = 1.0 - n0[1]  # seeded asymmetry, identical for both paths
+    r = meanfield.hartree_fock(flake, U, n_elec, temperature=kt,
+                               init=n0, tol=1e-13, max_iters=4000)
+    H0 = _dense_h0(flake)
+    n_ref, mu_ref = _numpy_hf(H0, U, n_elec, kt, n0)
+    np.testing.assert_allclose(
+        np.stack([r["n_up"], r["n_dn"]]), n_ref, atol=1e-8)
+    # mu is only pinned to within the spectral gap it sits in (any
+    # value there gives the same filling); compare at the kt scale
+    assert abs(r["mu"] - mu_ref) < kt
+
+
+def test_hf_honeycomb_afm_and_paramagnet():
+    g = ptt.models.graphene(t=-1.0)
+    r = meanfield.hartree_fock(g, 4.0, 2.0, nk=(24, 24), seed=3)
+    assert r["converged"]
+    m = r["magnetization"]
+    # staggered (Neel) order with equal magnitude on the two sublattices
+    assert abs(m[0] + m[1]) < 1e-8 and abs(m[0]) > 0.5
+    # bipartite half-filling mean-field identity: gap = U |m|
+    assert abs(r["gap"] - 4.0 * abs(m[0])) < 1e-3
+    # total filling conserved
+    assert abs((r["n_up"] + r["n_dn"]).sum() - 2.0) < 1e-8
+    # weak U: the seeded stagger collapses to the paramagnet
+    r2 = meanfield.hartree_fock(g, 1.0, 2.0, nk=(24, 24), seed=3)
+    assert np.abs(r2["magnetization"]).max() < 1e-6
+    # effective models reproduce the converged gap at K
+    evu = np.asarray(r["model_up"].solve_all(np.array([[1 / 3, 2 / 3]])))
+    assert abs((evu[1] - evu[0])[0] - r["gap"]) < 5e-2
+
+
+def test_hf_variational_vs_exact_two_site():
+    """HF energy bounds the exact 2-site Hubbard ground energy from
+    above; at U = 0 it is exact."""
+    lat = [[1.0]]
+    orb = [[0.0], [0.5]]
+    t = -1.0
+    for U, atol in ((0.0, 1e-9), (2.0, None), (6.0, None)):
+        m = ptt.tb_model(0, 1, lat, orb)
+        m.set_hop(t, 0, 1, mode="set")
+        r = meanfield.hartree_fock(m, U, 2.0, temperature=2e-3,
+                                   stagger=0.4, seed=1, max_iters=2000)
+        # exact singlet ground state of the 2-site Hubbard dimer
+        e_exact = 0.5 * (U - np.sqrt(U**2 + 16.0 * t**2))
+        if atol is not None:
+            assert abs(r["energy"] - e_exact) < 1e-6
+        else:
+            assert r["energy"] >= e_exact - 1e-9
+            assert r["energy"] - e_exact < 0.6  # sane correlation energy
+
+
+def test_hf_guards():
+    km = ptt.models.kane_mele()
+    with pytest.raises(PythtbError):
+        meanfield.hartree_fock(km, 1.0, 2.0, nk=(4, 4))
+    g = ptt.models.graphene()
+    with pytest.raises(PythtbError):
+        meanfield.hartree_fock(g, 1.0, 5.0, nk=(4, 4))  # n_elec > 2 norb
+    with pytest.raises(PythtbError):
+        meanfield.hartree_fock(g, 1.0, 2.0)  # periodic without nk
+
+
+def _gap_equation_delta(eps, mu, g, kt):
+    """Independent NumPy bisection of 1/g = <tanh(E/2T) / 2E>."""
+
+    def rhs(d):
+        E = np.sqrt((eps - mu) ** 2 + d**2)
+        return np.mean(np.tanh(E / (2 * kt)) / (2 * E)) - 1.0 / g
+
+    lo, hi = 1e-9, 10.0
+    assert rhs(lo) > 0 > rhs(hi)
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if rhs(mid) > 0:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def test_bcs_square_lattice_gap_equation():
+    sq = ptt.models.square(t=-1.0)
+    gcpl, mu, kt, nk = 2.0, -0.4, 0.01, 48
+    r = meanfield.bcs_gap(sq, gcpl, mu, nk=(nk, nk), temperature=kt)
+    assert r["converged"]
+    ks = np.arange(nk) / nk
+    KX, KY = np.meshgrid(ks, ks, indexing="ij")
+    eps = np.asarray(sq.solve_all(np.stack([KX.ravel(), KY.ravel()], -1)))[0]
+    d_ref = _gap_equation_delta(eps, mu, gcpl, kt)
+    assert abs(r["delta"][0] - d_ref) < 1e-9
+    # on-grid Fermi surface => qp_gap == Delta to the grid resolution
+    assert abs(r["qp_gap"] - r["delta"][0]) < 5e-3
+
+
+def test_bcs_weak_coupling_normal_state_and_guards():
+    sq = ptt.models.square(t=-1.0)
+    r = meanfield.bcs_gap(sq, 0.2, -0.4, nk=(24, 24), temperature=0.05,
+                          max_iters=2000)
+    assert np.abs(r["delta"]).max() < 1e-8  # above T_c: normal state
+    with pytest.raises(PythtbError):
+        meanfield.bcs_gap(sq, -1.0, 0.0, nk=(4, 4))
+    with pytest.raises(PythtbError):
+        meanfield.bcs_gap(ptt.models.kane_mele(), 1.0, 0.0, nk=(4, 4))

@@ -32,6 +32,7 @@ SECTIONS = [
     ("pythtb_tpu.geometry — quantum geometric tensor", "pythtb_tpu.geometry", None),
     ("pythtb_tpu.dynamics — real-time evolution", "pythtb_tpu.dynamics", None),
     ("pythtb_tpu.impurity — defect embedding / T-matrix", "pythtb_tpu.impurity", None),
+    ("pythtb_tpu.meanfield — self-consistent mean field", "pythtb_tpu.meanfield", None),
     ("pythtb_tpu.negf — Landauer transport", "pythtb_tpu.negf", None),
     ("pythtb_tpu.floquet — time-periodic driving", "pythtb_tpu.floquet", None),
     ("pythtb_tpu.unfold — band unfolding", "pythtb_tpu.unfold", None),
