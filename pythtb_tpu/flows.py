@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "solve_window", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -655,6 +655,246 @@ def _solve_lowest_post_jit(V, h, k):
     if h.nspin == 2:
         vecs = vecs.reshape(k, h.norb, 2)
     return w, pack_cplx(vecs)
+
+
+@jax.jit
+def _window_round_jit(h, X_ri, coef, a, b):
+    """One Chebyshev-filter + Rayleigh-Ritz round of the interior
+    (spectrum-slice) solver; see :func:`solve_window`.
+
+    Everything is gathers, dense contractions, and small eigh calls --
+    the primitive set already validated on the TPU backend (no QR, no
+    complex host<->device transfer: the block crosses ri-packed).  The
+    filter is a single ``lax.scan`` over the three-term recurrence of
+    the rescaled operator; the whitening uses an eigh-based inverse
+    square root of the Gram matrix (rank-deficient columns are dropped
+    and flagged, not orthonormalized against).
+
+    Returns (theta, Z_ri, res, valid): Ritz values, ri-packed Ritz
+    block (N, nb), per-column residual norms ||H z - theta z||, and a
+    bool mask of numerically independent columns.
+    """
+    from .ops.matvec import matvec
+    from .utils.xfer import pack_cplx, unpack_cplx
+
+    hp = jax.lax.Precision.HIGHEST
+    N = h.nsta
+
+    def hmat(V):  # (N, B) complex -> H V
+        if h.nspin == 2:
+            return matvec(h, V.reshape(h.norb, 2, -1)).reshape(N, -1)
+        return matvec(h, V)
+
+    X = unpack_cplx(X_ri)  # (N, nb)
+    ct = X.dtype
+    af = jnp.asarray(a, jnp.real(jnp.zeros(0, ct)).dtype)
+    bf = jnp.asarray(b, af.dtype)
+
+    def hmap(V):  # rescaled (H - b)/a, spectrum in (-1, 1)
+        return (hmat(V) - bf * V) / af
+
+    # Chebyshev filter: acc = sum_m coef[m] T_m(Hhat) X, one scan
+    t0 = X
+    t1 = hmap(X)
+    acc = coef[0] * t0 + coef[1] * t1
+
+    def step(carry, c):
+        tm1, t, s = carry
+        tn = 2.0 * hmap(t) - tm1
+        return (t, tn, s + c * tn), None
+
+    (_, _, Y), _ = jax.lax.scan(step, (t0, t1, acc), coef[2:])
+
+    # eigh-based whitening of the filtered block
+    G = jnp.matmul(jnp.conj(Y.T), Y, precision=hp)
+    G = (G + jnp.conj(G.T)) / 2.0
+    s, V = jnp.linalg.eigh(G)  # ascending
+    smax = jnp.maximum(s[-1], 1e-300)
+    rtype = af.dtype
+    cut = 100.0 * jnp.finfo(rtype).eps * smax
+    valid = s > cut
+    inv_sqrt = jnp.where(valid, 1.0 / jnp.sqrt(jnp.where(valid, s, 1.0)), 0.0)
+    Q = jnp.matmul(Y, V * inv_sqrt[None, :], precision=hp)  # (N, nb)
+
+    # Rayleigh-Ritz on the UNmapped H (true eigenvalues)
+    HQ = hmat(Q)
+    Hk = jnp.matmul(jnp.conj(Q.T), HQ, precision=hp)
+    Hk = (Hk + jnp.conj(Hk.T)) / 2.0
+    # dropped columns are zero vectors: give them a huge diagonal so
+    # their Ritz values sort far from any physical sigma
+    big = jnp.asarray(1e30, rtype)
+    Hk = Hk + jnp.where(valid, 0.0, big)[:, None] * jnp.eye(Hk.shape[0], dtype=Hk.dtype)
+    theta, S = jnp.linalg.eigh(Hk)
+    Z = jnp.matmul(Q, S, precision=hp)
+    R = jnp.matmul(HQ, S, precision=hp) - Z * theta[None, :]
+    nrm = jnp.linalg.norm(Z, axis=0)
+    res = jnp.linalg.norm(R, axis=0) / jnp.maximum(nrm, 1e-30)
+    col_valid = nrm > 0.5  # whitened+rotated live columns have norm 1
+    theta = jnp.where(col_valid, theta, big)
+    res = jnp.where(col_valid, res, big)
+    return theta, pack_cplx(Z), res, col_valid
+
+
+def _gaussian_cheb_coef(sigma_hat, width_hat, degree):
+    """Chebyshev coefficients of the Gaussian window
+    exp(-(x - sigma_hat)^2 / (2 width_hat^2)) on [-1, 1] by
+    Gauss-Chebyshev quadrature (host float64).  The Gaussian is entire,
+    so the coefficients decay superexponentially once
+    m > ~2/width_hat -- no damping kernel is needed (unlike the sharp
+    windows in KPM)."""
+    M = int(degree)
+    nq = 2 * (M + 1)
+    theta = (np.arange(nq) + 0.5) * np.pi / nq
+    x = np.cos(theta)
+    g = np.exp(-((x - sigma_hat) ** 2) / (2.0 * width_hat**2))
+    m = np.arange(M)
+    c = (2.0 / nq) * (np.cos(m[:, None] * theta[None, :]) @ g)
+    c[0] *= 0.5
+    return c
+
+
+def solve_window(model, num_states, sigma, k_point=None, width=None,
+                 degree=None, block=None, max_rounds=10, tol=None,
+                 eig_vectors=False, seed=0):
+    """The ``num_states`` eigenpairs NEAREST ``sigma`` (an interior
+    spectrum slice), matrix-free: Chebyshev-filtered subspace iteration
+    on the hopping table.
+
+    The reference's only eigensolver is dense (pythtb.py:927-953) --
+    O(nsta^3) per k-point, which is the wall for e.g. the 11k-orbital
+    magic-angle moire cell where only the 4 flat bands at the spectrum
+    center matter.  This solver applies a Gaussian spectral filter
+    ``exp(-(H - sigma)^2 / 2 width^2)`` (expanded in Chebyshev
+    polynomials, applied as a single ``lax.scan`` of gathers + dense
+    contractions -- the ELL matvec of :mod:`pythtb_tpu.ops.matvec`) to
+    a random block, then Rayleigh-Ritz; each round multiplies the
+    filter's discrimination, so a handful of rounds converges interior
+    states without ever forming H.  Unlike shift-invert methods there
+    is NO linear solve -- on TPU a polynomial of gathers beats a
+    sparse factorization by construction.
+
+    Works for FINITE models (``dim_k == 0``) and for PERIODIC models
+    at a fixed ``k_point`` (:func:`pythtb_tpu.ops.matvec.sparse_h_k`,
+    Convention I, so eigenvectors match ``solve_all``'s gauge).
+
+    :param num_states: how many eigenpairs nearest ``sigma``
+    :param sigma: target energy (e.g. the flat-band center)
+    :param k_point: reduced k for a periodic model (None for finite)
+    :param width: Gaussian filter width in energy units.  Default is
+      ADAPTIVE: a wide probe round first (span/20), then after each
+      round the width tightens to one third of the distance from
+      ``sigma`` to the block-edge Ritz value -- the filter then passes
+      the retained subspace and suppresses everything beyond it by
+      ``~exp(-4.5)`` per round, independent of the (a priori unknown)
+      local level spacing.  Pass an explicit width to pin it.
+    :param degree: cap on the Chebyshev degree (default 6144); the
+      working degree is ``4 a / width`` with ``a`` the half-span,
+      rounded up to a multiple of 16 -- the matvec count per round per
+      block vector
+    :param block: subspace dimension (default ``num_states + max(6,
+      num_states)``); must leave room above ``num_states``
+    :param max_rounds: filter+Rayleigh-Ritz rounds before giving up
+    :param tol: relative residual target on the selected states
+      (default ``sqrt(eps)`` of the device dtype)
+    :param eig_vectors: also return eigenvectors (solve_all layout)
+    :param seed: starting-block seed
+    :returns: ``evals (num_states,)`` ascending (and ``evecs``
+      ``(num_states, norb[, 2])`` with ``eig_vectors=True``)
+
+    A ``UserWarning`` reports the worst residual if ``max_rounds`` is
+    exhausted before ``tol`` is met.
+    """
+    from .ops.matvec import gershgorin_window, sparse_h, sparse_h_k
+    from .utils.xfer import host_unpack
+
+    if k_point is None:
+        h = sparse_h(model)
+    else:
+        h = sparse_h_k(model, k_point)
+    N = h.nsta
+    kk = int(num_states)
+    if kk < 1:
+        raise ValueError("num_states must be >= 1")
+    nb = int(block) if block is not None else kk + max(6, kk)
+    if nb <= kk:
+        raise ValueError("block must exceed num_states")
+    if nb >= N:
+        raise ValueError(
+            "solve_window needs block < %d states; use solve_all for "
+            "small models" % N)
+    lo, hi = gershgorin_window(h)
+    a = 0.5 * (hi - lo) / 0.98 + 1e-12
+    b = 0.5 * (hi + lo)
+    sigma = float(sigma)
+    if not (lo <= sigma <= hi):
+        raise ValueError(
+            "sigma=%g outside the spectral window (%g, %g)" % (sigma, lo, hi))
+    adaptive = width is None
+    # a wide first filter is only a probe: its Rayleigh-Ritz values
+    # reveal the LOCAL level spacing near sigma, from which the width
+    # is tightened so that the Gaussian covers the nb-state subspace
+    # and suppresses everything beyond it (convergence factor per
+    # round ~ exp(-(d_nb / w)^2 / 2) for the excluded states)
+    w = float(width) if width is not None else (hi - lo) / 20.0
+    max_degree = int(degree) if degree is not None else 6144
+
+    def _deg(wv):
+        return int(min(max(np.ceil(4.0 * a / wv / 16.0) * 16, 32), max_degree))
+
+    rdtype = jnp.zeros(0).dtype  # f64 on CPU+x64, f32 on TPU
+    if tol is None:
+        tol = float(np.sqrt(np.finfo(np.dtype(rdtype)).eps))
+
+    rng = np.random.default_rng(seed)
+    X_ri = np.stack(
+        [rng.standard_normal((N, nb)), rng.standard_normal((N, nb))],
+        axis=-1,
+    )
+
+    coef_d = jnp.asarray(_gaussian_cheb_coef((sigma - b) / a, w / a, _deg(w)),
+                         rdtype)
+    worst = np.inf
+    for _ in range(int(max_rounds)):
+        theta, Z_ri, res, valid = _window_round_jit(
+            h, jnp.asarray(X_ri, rdtype), coef_d, a, b)
+        # ONE host round trip for the selection scalars
+        theta_h, res_h = jax.device_get((theta, res))
+        dist = np.sort(np.abs(np.asarray(theta_h, np.float64) - sigma))
+        dist = dist[dist < 1e29]  # drop rank-deficient sentinel columns
+        order = np.argsort(np.abs(np.asarray(theta_h, np.float64) - sigma),
+                           kind="stable")[:kk]
+        worst = float(np.max(res_h[order]))
+        if worst < tol * max(abs(hi), abs(lo), 1.0):
+            break
+        X_ri = Z_ri  # re-filter the Ritz block
+        if adaptive:
+            # half the distance to the (nb-1)-th Ritz value: the filter
+            # then passes the retained subspace and kills the rest
+            d_edge = float(dist[min(nb - 1, len(dist) - 1)])
+            w_new = max(d_edge / 3.0, (hi - lo) * 1e-9)
+            if abs(w_new - w) > 0.2 * w:
+                w = w_new
+                coef_d = jnp.asarray(
+                    _gaussian_cheb_coef((sigma - b) / a, w / a, _deg(w)),
+                    rdtype)
+    if not worst < tol * max(abs(hi), abs(lo), 1.0):
+        import warnings
+
+        warnings.warn(
+            "solve_window: residual %.2e after %d rounds (target %.1e) "
+            "-- increase max_rounds, degree, or width coverage"
+            % (worst, int(max_rounds), tol * max(abs(hi), abs(lo), 1.0)),
+            UserWarning, stacklevel=2,
+        )
+    sel = np.sort(order)
+    evals = np.asarray(jax.device_get(theta)[sel], dtype=np.float64)
+    if not eig_vectors:
+        return evals
+    Z = host_unpack(np.asarray(jax.device_get(Z_ri)))  # (N, nb)
+    vecs = Z[:, sel].T  # (kk, N)
+    if h.nspin == 2:
+        vecs = vecs.reshape(kk, h.norb, 2)
+    return evals, vecs
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))

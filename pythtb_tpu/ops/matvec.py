@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..utils.xfer import host_pack, unpack_cplx
 
-__all__ = ["SparseH", "sparse_h", "matvec", "gershgorin_window", "to_dense"]
+__all__ = ["SparseH", "sparse_h", "sparse_h_k", "matvec", "gershgorin_window", "to_dense"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,16 +85,12 @@ def _ell_tables(rows, cols, vals, norb):
     return tcols, tvals
 
 
-def sparse_h(model):
-    """Build :class:`SparseH` from a finite (dim_k == 0) builder model
-    without materializing anything dense."""
-    from ..model import PythtbError
-
-    if model._dim_k != 0:
-        raise PythtbError(
-            "sparse_h requires a finite model (dim_k == 0); cut_piece or "
-            "reduce_dim the model first"
-        )
+def _model_coo(model, phases=None):
+    """COO triplets (rows, cols, vals) + onsite blocks from a builder
+    model's hopping table, both hop directions included.  ``phases``
+    (nhop,) complex multiplies the forward amplitudes (Bloch factors
+    for :func:`sparse_h_k`); the reverse direction gets the conjugate,
+    keeping H exactly Hermitian."""
     norb = int(model._norb)
     nspin = int(model._nspin)
     nhop = len(model._hoppings)
@@ -103,6 +99,8 @@ def sparse_h(model):
     diag_idx = np.arange(norb, dtype=np.int64)
     if nspin == 1:
         amps = np.array([h[0] for h in model._hoppings], dtype=np.complex128).reshape(nhop)
+        if phases is not None:
+            amps = amps * phases
         ons = np.asarray(model._site_energies, dtype=np.complex128)
         rows = np.concatenate([ii, jj, diag_idx])
         cols = np.concatenate([jj, ii, diag_idx])
@@ -111,12 +109,20 @@ def sparse_h(model):
         amps = np.array(
             [np.asarray(h[0], dtype=np.complex128) for h in model._hoppings]
         ).reshape(nhop, 2, 2)
+        if phases is not None:
+            amps = amps * phases[:, None, None]
         ons = np.asarray(model._site_energies, dtype=np.complex128)  # (norb,2,2)
         rows = np.concatenate([ii, jj, diag_idx])
         cols = np.concatenate([jj, ii, diag_idx])
         vals = np.concatenate(
             [amps, np.conj(np.swapaxes(amps, -1, -2)), ons], axis=0
         )
+    return rows, cols, vals, ons, norb, nspin
+
+
+def _finish_sparse(rows, cols, vals, ons, norb, nspin):
+    """Pack COO to ELL, compute the Gershgorin window, wrap a SparseH."""
+    diag_idx = np.arange(norb, dtype=np.int64)
     tcols, tvals = _ell_tables(rows, cols, vals, norb)
 
     # Gershgorin window on host, from the same tables
@@ -140,6 +146,49 @@ def sparse_h(model):
         nspin=nspin,
         window=window,
     )
+
+
+def sparse_h(model):
+    """Build :class:`SparseH` from a finite (dim_k == 0) builder model
+    without materializing anything dense."""
+    from ..model import PythtbError
+
+    if model._dim_k != 0:
+        raise PythtbError(
+            "sparse_h requires a finite model (dim_k == 0); cut_piece or "
+            "reduce_dim the model first"
+        )
+    return _finish_sparse(*_model_coo(model))
+
+
+def sparse_h_k(model, kpt):
+    """ELL form of the Bloch Hamiltonian H(k) of a PERIODIC model at
+    one reduced k-point, Convention I (phase ``exp(2j*pi*k.rv)`` with
+    ``rv = -t_i + t_j + R`` restricted to the periodic directions --
+    exactly :func:`pythtb_tpu.ops.hamiltonian._phases`, so
+    eigenvectors match ``solve_all``'s gauge).  This is what makes
+    iterative interior solvers (:func:`pythtb_tpu.flows.solve_window`)
+    applicable to huge PERIODIC cells -- e.g. an 11k-orbital moire
+    cell at the magic angle -- where a dense (nsta, nsta) eigh is the
+    bottleneck; H(k) keeps the O(nhop) hopping-table sparsity at any
+    fixed k."""
+    from ..model import PythtbError
+
+    if model._dim_k == 0:
+        raise PythtbError("sparse_h_k needs a periodic model; use sparse_h")
+    kpt = np.asarray(kpt, dtype=np.float64).reshape(-1)
+    if kpt.shape[0] != model._dim_k:
+        raise PythtbError(
+            "kpt must have %d components" % model._dim_k)
+    nhop = len(model._hoppings)
+    per = list(model._per)
+    rv = np.array(
+        [(-model._orb[h[1], :] + model._orb[h[2], :]
+          + np.asarray(h[3], dtype=np.float64))[per]
+         for h in model._hoppings], dtype=np.float64,
+    ).reshape(nhop, model._dim_k)
+    phases = np.exp(2.0j * np.pi * (rv @ kpt))
+    return _finish_sparse(*_model_coo(model, phases))
 
 
 def matvec(h: SparseH, x):

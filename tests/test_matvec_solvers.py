@@ -200,3 +200,84 @@ def test_fuzz_random_finite_models(seed):
     # KPM normalization
     e, d = flows.kpm_dos(m, num_moments=128, num_vectors=12, seed=seed)
     assert abs(d.sum() * (e[1] - e[0]) - h.nsta) / h.nsta < 0.05
+
+
+from pythtb_tpu import PythtbError
+from pythtb_tpu.ops.matvec import sparse_h_k as _sparse_h_k, to_dense as _to_dense
+
+
+class TestSolveWindow:
+    """Interior spectrum-slice solver (Chebyshev-filtered subspace
+    iteration): differential oracles against dense eigensolvers."""
+
+    def test_finite_interior_slice_matches_dense(self):
+        m = (zoo.haldane().cut_piece(6, 0, glue_edgs=False)
+             .cut_piece(6, 1, glue_edgs=False))
+        h = sparse_h(m)
+        ev_all = np.linalg.eigvalsh(_to_dense(h))
+        sigma = 0.37
+        w, vecs = flows.solve_window(m, 6, sigma, eig_vectors=True, seed=1)
+        exact = np.sort(ev_all[np.argsort(np.abs(ev_all - sigma),
+                                          kind="stable")[:6]])
+        np.testing.assert_allclose(w, exact, atol=1e-10)
+        H = _to_dense(h)
+        r = np.abs(H @ vecs.T - vecs.T * w[None, :]).max()
+        assert r < 1e-6
+
+    def test_sparse_h_k_matches_assemble(self):
+        from pythtb_tpu.ops.hamiltonian import assemble
+
+        m = zoo.kane_mele(esite=0.7, rashba=0.3)
+        k = np.array([0.31, 0.17])
+        static, data = m._get_finalized()
+        H_ref = np.asarray(assemble(static, data, np.asarray([k])))[0]
+        H_ell = _to_dense(_sparse_h_k(m, k))
+        np.testing.assert_allclose(H_ref, H_ell, atol=1e-14)
+
+    def test_periodic_slice_matches_solve_all(self):
+        m = zoo.kane_mele(esite=0.7, rashba=0.3).make_supercell(
+            [[3, 0], [0, 3]])
+        k = np.array([0.31, 0.17])
+        ev = np.asarray(m.solve_all(np.array([k])))[:, 0]
+        sigma = 0.5
+        w, vecs = flows.solve_window(m, 4, sigma, k_point=k,
+                                     eig_vectors=True, seed=2)
+        exact = np.sort(ev[np.argsort(np.abs(ev - sigma),
+                                      kind="stable")[:4]])
+        np.testing.assert_allclose(w, exact, atol=1e-10)
+        # eigenvector subspace: slice vectors live in the dense span
+        assert vecs.shape == (4, m._norb, 2)
+        H = _to_dense(_sparse_h_k(m, k))
+        _, V = np.linalg.eigh(H)
+        idx = np.argsort(np.abs(ev - sigma), kind="stable")[:4]
+        Vd = V[:, np.sort(idx)]
+        sv = np.linalg.svd(np.conj(Vd.T) @ vecs.reshape(4, -1).T,
+                           compute_uv=False)
+        np.testing.assert_allclose(sv, 1.0, atol=1e-6)
+
+    @pytest.mark.slow
+    def test_tbg_middle_four_matches_dense(self):
+        from pythtb_tpu.models import moire
+
+        t4 = moire.tbg(4)
+        n = t4._nsta
+        K = np.array([1.0 / 3.0, 2.0 / 3.0])
+        ev4 = np.asarray(t4.solve_all(np.array([K])))[:, 0]
+        sig = 0.5 * (ev4[n // 2 - 1] + ev4[n // 2])
+        w4 = flows.solve_window(t4, 4, sig, k_point=K, seed=0)
+        exact = np.sort(ev4[np.argsort(np.abs(ev4 - sig),
+                                       kind="stable")[:4]])
+        np.testing.assert_allclose(w4, exact, atol=1e-9)
+
+    def test_guards(self):
+        m = zoo.haldane()
+        flake = m.cut_piece(3, 0, glue_edgs=False).cut_piece(
+            3, 1, glue_edgs=False)
+        with pytest.raises(PythtbError):
+            flows.solve_window(m, 2, 0.0)  # periodic without k_point
+        with pytest.raises(PythtbError):
+            _sparse_h_k(flake, [0.0])  # finite model
+        with pytest.raises(ValueError):
+            flows.solve_window(flake, 2, 99.0)  # sigma outside window
+        with pytest.raises(ValueError):
+            flows.solve_window(flake, 12, 0.0)  # block >= nsta
