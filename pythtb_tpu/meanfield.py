@@ -142,7 +142,7 @@ def _kgrid(model, nk):
 
 
 def hartree_fock(model, U, n_elec, nk=None, temperature=None, init=None,
-                 stagger=0.1, mix=0.5, tol=1e-10, max_iters=500, seed=0):
+                 stagger=0.1, mix=0.5, tol=None, max_iters=500, seed=0):
     """Self-consistent collinear Hubbard Hartree-Fock.
 
     The model must be spinless (``nspin == 1``); it is treated as two
@@ -163,7 +163,9 @@ def hartree_fock(model, U, n_elec, nk=None, temperature=None, init=None,
       random +-stagger between the spin species; set 0 to lock the
       paramagnetic sector)
     :param mix: linear mixing weight of the new densities
-    :param tol: fixed-point tolerance on max |density change|
+    :param tol: fixed-point tolerance on max |density change| (default
+      ``eps(device dtype)^(2/3)``: ~1e-10 on CPU x64, ~2e-5 on the f32
+      TPU backend -- a fixed f64 tolerance would never converge there)
     :param max_iters: iteration cap (a ``UserWarning`` reports
       non-convergence)
     :returns: dict with ``n_up``/``n_dn`` (norb,), ``magnetization``
@@ -206,6 +208,8 @@ def hartree_fock(model, U, n_elec, nk=None, temperature=None, init=None,
         n0 = np.clip(n0, 0.0, 1.0)
 
     rdtype = np.dtype(jnp.zeros(0).dtype)
+    if tol is None:
+        tol = float(np.finfo(rdtype).eps) ** (2.0 / 3.0)
     out = _hf_scf_jit(
         static, data, jnp.asarray(kpts, rdtype), jnp.asarray(Uvec, rdtype),
         jnp.asarray(n0, rdtype), jnp.asarray(kt, rdtype), int(max_iters),
@@ -304,7 +308,7 @@ def _bcs_scf_jit(static, data, kpts, gcpl, d_init, kt, max_iters, mix, tol,
 
 
 def bcs_gap(model, g, mu, nk=None, temperature=None, init=None, mix=0.5,
-            tol=1e-12, max_iters=500):
+            tol=None, max_iters=500):
     """Self-consistent s-wave BCS/BdG pairing ``Delta_i = g <c_{i dn}
     c_{i up}>`` (per-orbital, attractive ``g > 0``) at fixed chemical
     potential, the whole gap-equation fixed point as ONE device
@@ -329,7 +333,9 @@ def bcs_gap(model, g, mu, nk=None, temperature=None, init=None, mix=0.5,
     :param init: starting ``Delta`` (scalar or (norb,); default 10% of
       the span -- start LARGE: Delta = 0 is always a fixed point)
     :param mix: linear mixing weight
-    :param tol: fixed-point tolerance on max |Delta change|
+    :param tol: fixed-point tolerance on max |Delta change| (default
+      ``eps(device dtype)^(2/3)``, dtype-aware like
+      :func:`hartree_fock`)
     :param max_iters: iteration cap (``UserWarning`` on
       non-convergence)
     :returns: dict with ``delta`` (norb,), ``qp_gap`` (smallest
@@ -355,6 +361,8 @@ def bcs_gap(model, g, mu, nk=None, temperature=None, init=None, mix=0.5,
             np.asarray(init, dtype=np.float64).ravel(), (norb,)).copy()
 
     rdtype = np.dtype(jnp.zeros(0).dtype)
+    if tol is None:
+        tol = float(np.finfo(rdtype).eps) ** (2.0 / 3.0)
     delta, egap, iters, dd = jax.device_get(_bcs_scf_jit(
         static, data, jnp.asarray(kpts, rdtype), jnp.asarray(float(g), rdtype),
         jnp.asarray(d0, rdtype), jnp.asarray(kt, rdtype), int(max_iters),

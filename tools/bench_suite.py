@@ -353,13 +353,22 @@ def run_suite():
            np.abs(np.sum(ld, axis=1) * de_l - 1.0).max() < 0.05,
            "64 deterministic LDOS probes on a 5k-site flake")
 
-    # magic-angle TBG: 11,164-orbital moire cell, dense band solve of
-    # the flat manifold (middle 4 bands) at the moire Gamma/K/M points
+    # magic-angle TBG: 11,164-orbital moire cell; the 4 flat bands via
+    # the interior spectrum-slice solver (flows.solve_window) -- the
+    # dense 11k eigh that used to guard this row exceeded 90 min on
+    # CPU x64 and is unnecessary: only the states nearest the Dirac
+    # energy matter.  x64 pins (computed once on CPU, units meV rel
+    # E_D): K [11.992, 12.038, 12.038, 12.078], Gamma [-1.216, -1.185,
+    # 0.035, 0.035], M [10.754, 10.789, 13.241, 13.256] -- union
+    # flat-band spread 14.5 meV at 1.0845 deg (m=30) vs 553.5 meV for
+    # the same nearest-E_D selection at 3.89 deg (m=8).
     def _middle4(m_idx, kfs):
         t = moire.tbg(m_idx)
-        n = t._nsta // 2
-        ev = np.asarray(t.solve_all(np.asarray(kfs)))  # (nsta, nk)
-        return ev[n - 2:n + 2, :]
+        return np.stack([
+            flows.solve_window(t, 4, E_D_tbg, k_point=np.asarray(kf),
+                               block=12, seed=0)
+            for kf in kfs
+        ], axis=-1)  # (4, nk)
 
     wall, dsw = _timed(lambda: geometry.superfluid_weight(
         ptt.models.lieb(), 0.0, 0.3, nk=(48, 48)), n=2)
@@ -383,20 +392,24 @@ def run_suite():
            "90k-site wavepacket, 20 steps, matrix-free; norm drift %.1e"
            % drift)
 
+    g_mono = moire.sk_graphene()
+    eK_mono = np.asarray(g_mono.solve_all(np.array([[2 / 3, 1 / 3]])))[:, 0]
+    E_D_tbg = float(eK_mono.mean())
     kfs3 = [[0.0, 0.0], [1 / 3, 2 / 3], [0.5, 0.5]]
-    try:
-        wall, mid30 = _timed(lambda: _middle4(30, kfs3), n=1)
-        bw30 = float(mid30.max() - mid30.min())
-        mid8 = _middle4(8, kfs3)
-        bw8 = float(mid8.max() - mid8.min())
-        report("tbg_magic_angle_flatband_11k", None, wall,
-               bw30 < 0.1 and bw30 < 0.25 * bw8,
-               "middle-4 spread %.1f meV at 1.08 deg vs %.0f meV at "
-               "3.89 deg (11,164-orbital dense eigh incl. build)"
-               % (1e3 * bw30, 1e3 * bw8))
-    except Exception as exc:  # an 11k-state eigh may exhaust a device
-        report("tbg_magic_angle_flatband_11k", None, float("nan"),
-               False, "FAILED: %r" % (exc,))
+    wall, mid30 = _timed(lambda: _middle4(30, kfs3), n=1)
+    bw30 = float(mid30.max() - mid30.min())
+    mid8 = _middle4(8, kfs3)
+    bw8 = float(mid8.max() - mid8.min())
+    # f32 slice eigenvalues carry ~0.5 meV of roundoff on a 36 eV
+    # span; the 14.5 meV (x64) flat-band spread is resolvable, the
+    # sub-0.1 meV K-point splitting is not -- thresholds sized for f32
+    kdev = np.abs(1e3 * (mid30[:, 1] - E_D_tbg) - 12.04).max()
+    report("tbg_magic_angle_flatband_11k", None, wall,
+           bw30 < 0.025 and bw30 < 0.1 * bw8 and kdev < 3.0,
+           "flat-band spread %.1f meV at 1.08 deg vs %.0f meV at "
+           "3.89 deg; K-point pin dev %.2f meV (11,164 orbitals, "
+           "spectrum-slice solver, x64 spread 14.5 meV)"
+           % (1e3 * bw30, 1e3 * bw8, kdev))
 
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")

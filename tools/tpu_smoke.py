@@ -587,6 +587,30 @@ def main():
           "(x64: 4, 2, 2, 1, 1, 3.29)"
           % (T41[0], T41[1], Tq41[0], Ts41[0, 0], Ts41[0, 1], wf41))
 
+    # 42. interior spectrum slice (f32): Chebyshev-filtered subspace
+    fl42 = (ptt.models.haldane().cut_piece(6, 0, glue_edgs=False)
+            .cut_piece(6, 1, glue_edgs=False))
+    w42 = flows.solve_window(fl42, 6, 0.37, seed=1)
+    pins42 = np.array([-0.103002, 0.103002, 0.298552, 0.488511,
+                       0.686346, 0.834696])
+    check("solve_window interior slice f32",
+          np.abs(w42 - pins42).max() < 5e-3,
+          "slice=%s (x64: %s)" % (np.round(w42, 4), pins42))
+
+    # 43. self-consistent mean field (f32): Hubbard AFM + BCS gap
+    from pythtb_tpu import meanfield
+
+    r43 = meanfield.hartree_fock(ptt.models.graphene(t=-1.0), 4.0, 2.0,
+                                 nk=(24, 24), seed=3)
+    rb43 = meanfield.bcs_gap(ptt.models.square(t=-1.0), 2.0, -0.4,
+                             nk=(48, 48), temperature=0.01)
+    check("mean field HF AFM + BCS gap f32",
+          abs(r43["magnetization"][1] - 0.671690) < 2e-3
+          and abs(r43["gap"] - 2.686762) < 5e-3
+          and abs(rb43["delta"][0] - 0.3359159) < 2e-3,
+          "m=%.5f gap=%.5f delta=%.5f (x64: 0.67169, 2.68676, 0.33592)"
+          % (r43["magnetization"][1], r43["gap"], rb43["delta"][0]))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
