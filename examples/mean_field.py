@@ -38,9 +38,13 @@ axs[0].plot(Us, np.asarray(gaps) / Us, "s--", label=r"gap$/U$")
 axs[0].set_xlabel("U / |t|")
 axs[0].set_title("honeycomb Hubbard HF")
 axs[0].legend()
-print("honeycomb AFM onset between U = %.2f and %.2f"
-      % (Us[np.argmax(np.asarray(ms) > 1e-3) - 1],
-         Us[np.argmax(np.asarray(ms) > 1e-3)]))
+onset = np.asarray(ms) > 1e-3
+if onset.any() and not onset[0]:
+    i_on = int(np.argmax(onset))
+    print("honeycomb AFM onset between U = %.2f and %.2f"
+          % (Us[i_on - 1], Us[i_on]))
+else:
+    print("honeycomb AFM onset outside the sampled U range")
 
 # ---- 2. interacting Chern transition ---------------------------------
 h = ptt.models.haldane(delta=0.0)

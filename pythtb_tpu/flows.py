@@ -815,6 +815,8 @@ def solve_window(model, num_states, sigma, k_point=None, width=None,
     kk = int(num_states)
     if kk < 1:
         raise ValueError("num_states must be >= 1")
+    if int(max_rounds) < 1:
+        raise ValueError("max_rounds must be >= 1")
     nb = int(block) if block is not None else kk + max(6, kk)
     if nb <= kk:
         raise ValueError("block must exceed num_states")
@@ -887,7 +889,10 @@ def solve_window(model, num_states, sigma, k_point=None, width=None,
             UserWarning, stacklevel=2,
         )
     sel = np.sort(order)
-    evals = np.asarray(jax.device_get(theta)[sel], dtype=np.float64)
+    # theta_h is already on host from the last round -- a second
+    # device_get of theta would be a gratuitous ~25 ms tunnel round
+    # trip per call (see the d2h audit note in CLAUDE.md)
+    evals = np.asarray(theta_h, dtype=np.float64)[sel]
     if not eig_vectors:
         return evals
     Z = host_unpack(np.asarray(jax.device_get(Z_ri)))  # (N, nb)

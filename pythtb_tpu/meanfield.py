@@ -91,9 +91,12 @@ def _hf_scf_jit(static, data, kpts, Uvec, n_init, kt, max_iters, mix, tol,
         H = H0[None] + pot[:, None, :, None] * eye  # (2, B, n, n)
         return eigh_batched(H)  # (2, B, n), (2, B, n, n)
 
+    hp = jax.lax.Precision.HIGHEST
+
     def dens_of(w, v, mu):
         f = _fermi((w - mu) / kt)  # (2, B, n)
-        return jnp.einsum("sbn,sbni->si", f, jnp.abs(v) ** 2) / B
+        return jnp.einsum("sbn,sbni->si", f, jnp.abs(v) ** 2,
+                          precision=hp) / B
 
     def body(carry):
         n_ud, _, i = carry
@@ -283,7 +286,8 @@ def _bcs_scf_jit(static, data, kpts, gcpl, d_init, kt, max_iters, mix, tol,
         f = _fermi(w / kt)  # (B, 2n)
         u = v[..., :n]  # (B, 2n states, n) particle components
         h = v[..., n:]  # (B, 2n states, n) hole components
-        G12 = jnp.einsum("bai,ba,bai->i", u, (1.0 - f), jnp.conj(h)) / B
+        G12 = jnp.einsum("bai,ba,bai->i", u, (1.0 - f), jnp.conj(h),
+                         precision=jax.lax.Precision.HIGHEST) / B
         return gcpl * jnp.real(G12)
 
     def body(carry):

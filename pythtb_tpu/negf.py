@@ -454,9 +454,17 @@ def thermoelectrics(lead_model, mu, temperature, device=None,
                               iters=iters)
     dE = Es[1] - Es[0]
     # numerical noise floor for L0: a gap's true L0 is exponentially
-    # small; anything below max(T)*1e-12 is indistinguishable from
-    # integration noise and makes S = L1/L0 astronomical garbage
-    l0_floor = max(float(np.max(T)), 1.0) * 1e-12
+    # small, but eta-broadening leaks T ~ (eta/gap)^2 into the gap and
+    # f32 compute carries ~eps-scale roundoff -- anything below BOTH
+    # scales is indistinguishable from noise and makes S = L1/L0
+    # astronomical garbage.  Scale the floor with the compute dtype
+    # and with eta^2 so the NaN contract holds on the f32 backend and
+    # at transport-realistic eta (ADVICE r3 + review r4).
+    eps_t = float(np.finfo(np.asarray(T).dtype).eps)
+    l0_floor = max(
+        max(float(np.max(T)), 1.0) * max(100.0 * eps_t, 1e-12),
+        (10.0 * float(eta)) ** 2,
+    )
     out = {"G": [], "S": [], "kappa_e": []}
     gapped_mus = []
     for m in mus:

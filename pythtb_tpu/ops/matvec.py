@@ -131,10 +131,17 @@ def _finish_sparse(rows, cols, vals, ons, norb, nspin):
         center = np.real(np.sum(np.where(isdiag, tvals, 0.0), axis=1))
         radius = np.sum(np.where(isdiag, 0.0, np.abs(tvals)), axis=1)
     else:
-        ev = np.linalg.eigvalsh(ons)
+        # the row's TRUE diagonal block is the sum over ALL diagonal
+        # ELL slots -- onsite PLUS any same-orbital (i == j, R != 0)
+        # hop blocks (common in periodic cells: Kane-Mele SOC, Haldane
+        # t2; using only `ons` under-covered the spectrum and made
+        # solve_window reject or corrupt slices near the band edges)
+        isdiag = tcols == diag_idx[:, None].astype(np.int32)
+        Dsum = np.sum(np.where(isdiag[..., None, None], tvals, 0.0), axis=1)
+        Dsum = (Dsum + np.conj(np.swapaxes(Dsum, -1, -2))) / 2.0
+        ev = np.linalg.eigvalsh(Dsum)
         center = ev.mean(axis=-1)
         radius = (ev[:, 1] - ev[:, 0]) / 2.0
-        isdiag = tcols == diag_idx[:, None].astype(np.int32)
         bnorm = np.linalg.norm(tvals, ord=2, axis=(-2, -1))
         radius = radius + np.sum(np.where(isdiag, 0.0, bnorm), axis=1)
     window = (float((center - radius).min()), float((center + radius).max()))

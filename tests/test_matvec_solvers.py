@@ -281,3 +281,21 @@ class TestSolveWindow:
             flows.solve_window(flake, 2, 99.0)  # sigma outside window
         with pytest.raises(ValueError):
             flows.solve_window(flake, 12, 0.0)  # block >= nsta
+
+
+def test_gershgorin_window_contains_spectrum_spinful_selfhops():
+    """Review r4 regression: the nspin=2 Gershgorin window must fold
+    same-orbital (i == j, R != 0) hop blocks into the diagonal --
+    dropping them left the Kane-Mele spectrum outside the window and
+    corrupted pinned-width slices."""
+    m = zoo.kane_mele(esite=0.7, spin_orb=1.5, rashba=0.3).make_supercell(
+        [[2, 0], [0, 2]])
+    k = np.array([0.31, 0.17])
+    h = _sparse_h_k(m, k)
+    ev = np.linalg.eigvalsh(_to_dense(h))
+    assert h.window[0] <= ev.min() and h.window[1] >= ev.max()
+    w = flows.solve_window(m, 4, 0.5, k_point=k, seed=2)
+    exact = np.sort(ev[np.argsort(np.abs(ev - 0.5), kind="stable")[:4]])
+    np.testing.assert_allclose(w, exact, atol=1e-10)
+    with pytest.raises(ValueError):
+        flows.solve_window(m, 4, 0.5, k_point=k, max_rounds=0)

@@ -298,3 +298,12 @@ def test_thermoelectrics_resolution_autoscale():
     with pytest.warns(UserWarning, match="capping at 50001"):
         negf.thermoelectrics(ssh, [-1.8, 1.5], 1e-5,
                              e_window=(-2.5, 2.5), n_energies=11)
+
+
+def test_thermoelectrics_gap_nan_at_transport_eta():
+    """Review r4 regression: the transport-gap NaN guard must also fire
+    at realistic eta (the eta^2 leakage floor), not only at eta=1e-6."""
+    ssh = ptt.models.ssh(t=1.0, delta=0.5)
+    with pytest.warns(UserWarning, match="transport gap"):
+        r = negf.thermoelectrics(ssh, 0.0, 0.01, eta=1e-4)
+    assert np.isnan(r["S"]) and np.isnan(r["kappa_e"])

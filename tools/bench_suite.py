@@ -396,20 +396,24 @@ def run_suite():
     eK_mono = np.asarray(g_mono.solve_all(np.array([[2 / 3, 1 / 3]])))[:, 0]
     E_D_tbg = float(eK_mono.mean())
     kfs3 = [[0.0, 0.0], [1 / 3, 2 / 3], [0.5, 0.5]]
-    wall, mid30 = _timed(lambda: _middle4(30, kfs3), n=1)
-    bw30 = float(mid30.max() - mid30.min())
-    mid8 = _middle4(8, kfs3)
-    bw8 = float(mid8.max() - mid8.min())
-    # f32 slice eigenvalues carry ~0.5 meV of roundoff on a 36 eV
-    # span; the 14.5 meV (x64) flat-band spread is resolvable, the
-    # sub-0.1 meV K-point splitting is not -- thresholds sized for f32
-    kdev = np.abs(1e3 * (mid30[:, 1] - E_D_tbg) - 12.04).max()
-    report("tbg_magic_angle_flatband_11k", None, wall,
-           bw30 < 0.025 and bw30 < 0.1 * bw8 and kdev < 3.0,
-           "flat-band spread %.1f meV at 1.08 deg vs %.0f meV at "
-           "3.89 deg; K-point pin dev %.2f meV (11,164 orbitals, "
-           "spectrum-slice solver, x64 spread 14.5 meV)"
-           % (1e3 * bw30, 1e3 * bw8, kdev))
+    try:  # a device failure in the 11k row must not kill the suite
+        wall, mid30 = _timed(lambda: _middle4(30, kfs3), n=1)
+        bw30 = float(mid30.max() - mid30.min())
+        mid8 = _middle4(8, kfs3)
+        bw8 = float(mid8.max() - mid8.min())
+        # f32 slice eigenvalues carry ~0.5 meV of roundoff on a 36 eV
+        # span; the 14.5 meV (x64) flat-band spread is resolvable, the
+        # sub-0.1 meV K-point splitting is not -- f32-sized thresholds
+        kdev = np.abs(1e3 * (mid30[:, 1] - E_D_tbg) - 12.04).max()
+        report("tbg_magic_angle_flatband_11k", None, wall,
+               bw30 < 0.025 and bw30 < 0.1 * bw8 and kdev < 3.0,
+               "flat-band spread %.1f meV at 1.08 deg vs %.0f meV at "
+               "3.89 deg; K-point pin dev %.2f meV (11,164 orbitals, "
+               "spectrum-slice solver, x64 spread 14.5 meV)"
+               % (1e3 * bw30, 1e3 * bw8, kdev))
+    except Exception as exc:
+        report("tbg_magic_angle_flatband_11k", None, float("nan"),
+               False, "FAILED: %r" % (exc,))
 
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
