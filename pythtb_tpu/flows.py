@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "solve_window", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "solve_window", "wilson_window", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -900,6 +900,88 @@ def solve_window(model, num_states, sigma, k_point=None, width=None,
     if h.nspin == 2:
         vecs = vecs.reshape(kk, h.norb, 2)
     return evals, vecs
+
+
+def wilson_window(model, sigma, num_states, k_loop, berry_evals=False,
+                  **solve_kwargs):
+    """Berry phase (or Wilson-loop eigenphases) of the ``num_states``
+    manifold nearest ``sigma`` around an explicit k-loop, with the
+    states at every loop point produced by the matrix-free
+    :func:`solve_window` -- topology of interior manifolds in cells
+    far beyond dense diagonalization (e.g. the 4 flat bands of the
+    11k-orbital magic-angle moire cell).
+
+    The loop is a (L, dim_k) array whose last point equals the first
+    plus an INTEGER reciprocal offset G (zero for a contractible loop,
+    a lattice vector for a BZ-crossing Zak loop).  The closing overlap
+    uses the periodic-gauge factors ``exp(-2j pi G . t_orb)`` (the
+    single-home convention of :func:`gauge_phases` /
+    ``wf_array.impose_pbc``), and the sign convention matches
+    ``wf_array.berry_phase`` (committed equality test on the Haldane
+    Zak loop).
+
+    Like the wf_array Berry methods, a near-singular link (the
+    selected manifold changing character between adjacent loop points
+    -- e.g. a band crossing through the selection window) is reported
+    with a ``UserWarning`` keyed on |det O| of the offending link.
+
+    :param sigma: target energy selecting the manifold at every point
+    :param num_states: manifold dimension
+    :param k_loop: (L, dim_k) reduced k-points; closed as above
+    :param berry_evals: return the individual Wilson eigenphases
+      (polar-unitarized product) instead of the total phase
+    :param solve_kwargs: forwarded to :func:`solve_window` (width,
+      degree, block, tol, seed, ...)
+    :returns: total Berry phase in (-pi, pi] (or (num_states,)
+      eigenphases with ``berry_evals``)
+    """
+    from .model import PythtbError
+
+    k_loop = np.asarray(k_loop, dtype=np.float64)
+    if k_loop.ndim != 2 or k_loop.shape[0] < 3:
+        raise PythtbError("k_loop must be (L >= 3, dim_k)")
+    G = k_loop[-1] - k_loop[0]
+    if np.abs(G - np.round(G)).max() > 1e-8:
+        raise PythtbError(
+            "k_loop must close on itself modulo integer reciprocal "
+            "vectors (last - first = %s)" % (G,))
+    G = np.round(G).astype(int)
+
+    vecs = []
+    for kpt in k_loop[:-1]:
+        _, v = solve_window(model, num_states, sigma, k_point=kpt,
+                            eig_vectors=True, **solve_kwargs)
+        vecs.append(np.asarray(v).reshape(num_states, -1))
+    lam = np.ones(vecs[0].shape[1], dtype=complex)
+    phs = gauge_phases(model, range(model._dim_k))
+    for d in range(model._dim_k):
+        if G[d]:
+            lam = lam * np.asarray(phs[d]) ** G[d]
+    vecs.append(vecs[0] * lam[None, :])
+
+    W = np.eye(num_states, dtype=complex)
+    min_det = np.inf
+    for j in range(len(vecs) - 1):
+        O = np.conj(vecs[j]) @ vecs[j + 1].T
+        dmag = abs(np.linalg.det(O))
+        min_det = min(min_det, dmag)
+        W = W @ O
+    if min_det < 0.5:
+        import warnings
+
+        warnings.warn(
+            "wilson_window: near-singular link (|det O| = %.3f) -- the "
+            "selected manifold changes character along the loop (a "
+            "band crosses the selection window); the phase is not "
+            "trustworthy there" % min_det,
+            UserWarning, stacklevel=2,
+        )
+    if not berry_evals:
+        return float(-np.angle(np.linalg.det(W)))
+    # polar-unitarize the product, then eigenphases
+    U_, _s, Vh_ = np.linalg.svd(W)
+    evs = np.linalg.eigvals(U_ @ Vh_)
+    return np.sort(-np.angle(evs))
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))

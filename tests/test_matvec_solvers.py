@@ -299,3 +299,50 @@ def test_gershgorin_window_contains_spectrum_spinful_selfhops():
     np.testing.assert_allclose(w, exact, atol=1e-10)
     with pytest.raises(ValueError):
         flows.solve_window(m, 4, 0.5, k_point=k, max_rounds=0)
+
+
+class TestWilsonWindow:
+    """Windowed-manifold Wilson loops on solve_window states."""
+
+    def test_matches_wf_array_on_folded_ssh(self):
+        m = zoo.ssh(t=1.0, delta=0.4).make_supercell([[6]])
+        L = 13
+        loop = np.linspace(0, 1, L)[:, None]
+        import pythtb_tpu as ptt
+
+        wf = ptt.wf_array(m, [L])
+        for j in range(L - 1):
+            _ev, vec = m.solve_one(loop[j], eig_vectors=True)
+            wf[j] = vec
+        wf.impose_pbc(0, 0)
+        ref = wf.berry_phase(list(range(6)), dir=0)
+        evk = np.asarray(m.solve_all(loop[:1]))[:, 0]
+        sigma = float(evk[:6].mean())
+        w = flows.wilson_window(m, sigma, 6, loop, block=8, seed=3)
+        assert abs(w - ref) < 1e-9
+        # eigenphases of the folded chain: the equally spaced Zak
+        # ladder (folding by 6 splits the Zak phase into 2 pi / 6 steps)
+        we = flows.wilson_window(m, sigma, 6, loop, block=8,
+                                 berry_evals=True, seed=3)
+        assert abs(we.sum() - ref) < 1e-9
+        steps = np.diff(we)
+        np.testing.assert_allclose(steps, 2 * np.pi / 6, atol=1e-9)
+
+    def test_singular_link_warning_and_guards(self):
+        import pythtb_tpu as ptt
+
+        # two DECOUPLED crossing bands: tracking the single state
+        # nearest sigma swaps orbital character at the crossing, so a
+        # link determinant is exactly 0 -- the warning must fire
+        m = ptt.tb_model(1, 1, [[1.0]], [[0.0], [0.25], [0.5], [0.75]])
+        m.set_onsite([0.0, 0.1, 3.0, -3.0])
+        m.set_hop(1.0, 0, 0, [1])   # e = 2 cos(2 pi k)
+        m.set_hop(-1.0, 1, 1, [1])  # e = 0.1 - 2 cos: crosses band 0
+        loop = np.linspace(0, 1, 13)[:, None]
+        with pytest.warns(UserWarning, match="near-singular link"):
+            flows.wilson_window(m, 1.0, 1, loop, block=3, seed=3)
+        with pytest.raises(PythtbError):
+            flows.wilson_window(m, 0.0, 2, loop[:2], block=3)  # L < 3
+        with pytest.raises(PythtbError):
+            bad = np.concatenate([loop[:-1], [[0.37]]], axis=0)
+            flows.wilson_window(m, 0.0, 2, bad, block=3)  # not closed
