@@ -224,3 +224,107 @@ def test_fuzz_superfluid_k_vs_torus(seed):
     Dk = geometry.superfluid_weight(m, mu, delta, nk=(5, 5))
     Dt = _ds_torus_dense(m, mu, delta, (5, 5))
     np.testing.assert_allclose(Dk, Dt, atol=1e-7)
+
+
+# ---- round-4 subsystems: spectrum slices + mean field -----------------
+
+@pytest.mark.parametrize("seed", [41, 42, 43, 44])
+def test_fuzz_sparse_h_k_matches_assemble(seed):
+    """Random periodic models: the Bloch ELL table equals the dense
+    assembly path exactly at a random k."""
+    from pythtb_tpu.ops.hamiltonian import assemble
+    from pythtb_tpu.ops.matvec import sparse_h_k, to_dense
+
+    rng = np.random.default_rng(seed)
+    m = _random_2d(seed) if seed % 2 else _random_1d(seed)
+    k = rng.uniform(-1.0, 1.0, m._dim_k)
+    static, data = m._get_finalized()
+    H_ref = np.asarray(assemble(static, data, np.asarray([k])))[0]
+    h = sparse_h_k(m, k)
+    np.testing.assert_allclose(to_dense(h), H_ref, atol=1e-13)
+    ev = np.linalg.eigvalsh(H_ref)
+    assert h.window[0] <= ev.min() + 1e-12
+    assert h.window[1] >= ev.max() - 1e-12
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_fuzz_solve_window_random_flakes(seed):
+    """Random supercell flakes, random interior sigma: the slice equals
+    the dense nearest-to-sigma eigenvalues (skipping draws where the
+    selection boundary is quasi-degenerate, where 'nearest' itself is
+    ill-posed)."""
+    from pythtb_tpu.ops.matvec import sparse_h, to_dense
+
+    rng = np.random.default_rng(seed)
+    m = _random_2d(seed).cut_piece(4, 0, glue_edgs=False).cut_piece(
+        4, 1, glue_edgs=False)
+    h = sparse_h(m)
+    ev = np.linalg.eigvalsh(to_dense(h))
+    lo, hi = ev.min(), ev.max()
+    sigma = float(rng.uniform(lo + 0.25 * (hi - lo), hi - 0.25 * (hi - lo)))
+    kk = 5
+    d = np.sort(np.abs(ev - sigma))
+    if d[kk] - d[kk - 1] < 1e-3:
+        pytest.skip("selection boundary quasi-degenerate for this draw")
+    w = flows.solve_window(m, kk, sigma, seed=seed)
+    exact = np.sort(ev[np.argsort(np.abs(ev - sigma), kind="stable")[:kk]])
+    np.testing.assert_allclose(w, exact, atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [61, 62, 63])
+def test_fuzz_hartree_fock_vs_numpy(seed):
+    """Random finite models through the device HF fixed point vs the
+    plain-NumPy oracle loop of test_meanfield."""
+    from pythtb_tpu import meanfield
+
+    from .test_meanfield import _dense_h0, _numpy_hf
+
+    rng = np.random.default_rng(seed)
+    m = _random_2d(seed).cut_piece(3, 0, glue_edgs=False).cut_piece(
+        2, 1, glue_edgs=False)
+    norb = m._norb
+    U = float(rng.uniform(0.5, 4.0))
+    n_elec = float(rng.integers(2, 2 * norb - 2))
+    kt = 0.05  # generous smearing keeps both fixed points unique
+    n0 = np.clip(np.stack([
+        n_elec / (2 * norb) + 0.2 * (rng.random(norb) - 0.5),
+        n_elec / (2 * norb) - 0.2 * (rng.random(norb) - 0.5),
+    ]), 0.0, 1.0)
+    r = meanfield.hartree_fock(m, U, n_elec, temperature=kt, init=n0,
+                               tol=1e-13, max_iters=6000, mix=0.4)
+    n_ref, _mu = _numpy_hf(_dense_h0(m), U, n_elec, kt, n0, mix=0.4,
+                           iters=6000)
+    np.testing.assert_allclose(
+        np.stack([r["n_up"], r["n_dn"]]), n_ref, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", [71, 72, 73])
+def test_fuzz_bcs_gap_equation_single_orbital(seed):
+    """Random single-orbital dispersions: the converged BdG gap solves
+    the analytic gap equation (exact for one orbital)."""
+    from pythtb_tpu import meanfield
+
+    rng = np.random.default_rng(seed)
+    m = ptt.tb_model(2, 2, lat=np.eye(2), orb=[[0.0, 0.0]])
+    m.set_onsite([float(rng.uniform(-0.5, 0.5))])
+    m.set_hop(float(rng.uniform(-1.5, -0.5)), 0, 0, [1, 0])
+    m.set_hop(float(rng.uniform(-1.5, -0.5)), 0, 0, [0, 1])
+    if rng.random() < 0.5:
+        m.set_hop(float(rng.uniform(-0.4, 0.4)), 0, 0, [1, 1])
+    g = float(rng.uniform(1.5, 3.0))
+    mu = float(rng.uniform(-1.0, 1.0))
+    kt, nk = 0.02, 32
+    r = meanfield.bcs_gap(m, g, mu, nk=(nk, nk), temperature=kt,
+                          tol=1e-12, max_iters=4000)
+    ks = np.arange(nk) / nk
+    KX, KY = np.meshgrid(ks, ks, indexing="ij")
+    eps = np.asarray(m.solve_all(np.stack([KX.ravel(), KY.ravel()], -1)))[0]
+    lo, hi = 1e-9, 10.0
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        E = np.sqrt((eps - mu) ** 2 + mid**2)
+        if np.mean(np.tanh(E / (2 * kt)) / (2 * E)) > 1.0 / g:
+            lo = mid
+        else:
+            hi = mid
+    np.testing.assert_allclose(r["delta"][0], 0.5 * (lo + hi), atol=1e-8)
