@@ -119,3 +119,26 @@ def test_dirac_velocity_renormalization():
     assert ratios[3] < ratios[1]
     assert ratios[8] < ratios[3]
     assert 0.68 < ratios[8] < 0.82  # LDS value ~ 0.75 at 3.89 deg
+
+
+@pytest.mark.slow
+def test_folded_dirac_winding_via_wilson_window():
+    """Composition: the spectrum-slice Wilson loop resolves the Berry
+    winding of the folded Dirac cones at the moire K point.  The two
+    valence cone states there carry OPPOSITE windings (K and K' layer
+    characters fold together), so the pair's Wilson eigenphases are
+    exactly +-pi while the total phase vanishes."""
+    from pythtb_tpu import flows
+
+    g = moire.sk_graphene()
+    E_D = float(np.mean(g.solve_all(np.array([[2 / 3, 1 / 3]]))[:, 0]))
+    t2 = moire.tbg(2)
+    Km = np.array([1 / 3, 2 / 3])
+    th = np.linspace(0, 2 * np.pi, 9)
+    loop = Km[None, :] + 0.06 * np.stack([np.cos(th), np.sin(th)], -1)
+    loop[-1] = loop[0]
+    evs = flows.wilson_window(t2, E_D - 0.21, 2, loop, block=6, seed=0,
+                              berry_evals=True)
+    np.testing.assert_allclose(np.abs(evs), np.pi, atol=1e-3)
+    total = flows.wilson_window(t2, E_D - 0.21, 2, loop, block=6, seed=0)
+    assert abs(total) < 1e-3
