@@ -129,6 +129,75 @@ def _hf_scf_jit(static, data, kpts, Uvec, n_init, kt, max_iters, mix, tol,
     return n_ud, mu, energy, gap, iters, dn
 
 
+@partial(jax.jit, static_argnums=(0, 6))
+def _hf2_scf_jit(static, data, kpts, Uvec, rho_init_ri, kt, max_iters, mix,
+                 tol, n_elec):
+    """One-program FULL-MATRIX (noncollinear) Hubbard-HF fixed point
+    for explicit-spin models: the order parameter is the on-site 2x2
+    spin density matrix rho_i = <c_{i alpha}^dag c_{i beta}>, and the
+    mean field is ``V_i = U_i (Tr(rho_i) I - rho_i^T)`` (Hartree +
+    spin-flip Fock in one expression; the collinear limit reduces to
+    the two-species form).  Double counting: ``E_dc = U det(rho_i)``
+    (= <n_up><n_dn> - |<c_up^dag c_dn>|^2).  rho crosses the host
+    boundary ri-packed."""
+    from .utils.xfer import pack_cplx, unpack_cplx
+
+    H0 = assemble(static, data, kpts)  # (B, nsta, nsta), nsta = 2 norb
+    B = H0.shape[0]
+    nsta = H0.shape[-1]
+    norb = nsta // 2
+    eye_orb = jnp.eye(norb, dtype=H0.dtype)
+    hp = jax.lax.Precision.HIGHEST
+
+    def spectra(rho):
+        V = Uvec[:, None, None] * (
+            jnp.trace(rho, axis1=-2, axis2=-1)[:, None, None]
+            * jnp.eye(2, dtype=H0.dtype)
+            - jnp.swapaxes(rho, -1, -2)
+        )  # (norb, 2, 2) Hermitian
+        D = jnp.einsum("ij,iab->iajb", eye_orb, V).reshape(nsta, nsta)
+        return eigh_batched(H0 + D[None])
+
+    def rho_of(w, v, mu):
+        f = _fermi((w - mu) / kt)  # (B, nsta)
+        vb = v.reshape(B, nsta, norb, 2)  # state components per (orb, spin)
+        return jnp.einsum("kn,knia,knib->iab", f.astype(H0.dtype),
+                          jnp.conj(vb), vb, precision=hp) / B
+
+    def body(carry):
+        rho, _, i = carry
+        w, v = spectra(rho)
+        mu = _bisect_mu(w, kt, n_elec, B)
+        new = rho_of(w, v, mu)
+        mixed = (1.0 - mix) * rho + mix * new
+        # keep the iterate exactly Hermitian (mix of Hermitians is, up
+        # to roundoff; drift compounds over hundreds of iterations)
+        mixed = (mixed + jnp.conj(jnp.swapaxes(mixed, -1, -2))) / 2.0
+        dr = jnp.max(jnp.abs(mixed - rho))
+        return mixed, dr, i + 1
+
+    def cond(carry):
+        _, dr, i = carry
+        return jnp.logical_and(i < max_iters, dr > tol)
+
+    rho0 = unpack_cplx(rho_init_ri)
+    rho, dr, iters = jax.lax.while_loop(
+        cond, body,
+        (rho0, jnp.asarray(jnp.inf, jnp.real(rho0).dtype), jnp.int32(0)),
+    )
+
+    w, v = spectra(rho)
+    mu = _bisect_mu(w, kt, n_elec, B)
+    f = _fermi((w - mu) / kt)
+    e_band = jnp.sum(f * w) / B
+    dets = (rho[:, 0, 0] * rho[:, 1, 1] - rho[:, 0, 1] * rho[:, 1, 0])
+    energy = e_band - jnp.sum(Uvec * jnp.real(dets))
+    below = jnp.where(w < mu, w, -jnp.inf)
+    above = jnp.where(w > mu, w, jnp.inf)
+    gap = jnp.min(above) - jnp.max(below)
+    return pack_cplx(rho), mu, energy, gap, iters, dr
+
+
 def _kgrid(model, nk):
     """Uniform closed k-grid (B, dim_k) for the mean-field BZ sums (or
     the single empty point for finite models)."""
@@ -146,13 +215,17 @@ def _kgrid(model, nk):
 
 def hartree_fock(model, U, n_elec, nk=None, temperature=None, init=None,
                  stagger=0.1, mix=0.5, tol=None, max_iters=500, seed=0):
-    """Self-consistent collinear Hubbard Hartree-Fock.
+    """Self-consistent Hubbard Hartree-Fock.
 
-    The model must be spinless (``nspin == 1``); it is treated as two
-    degenerate spin species coupled only through the mean field
-    ``H_sigma = H_0 + U diag(<n_{-sigma}>)`` at a shared chemical
-    potential.  The full fixed-point loop (assemble + batched eigh +
-    Fermi filling + linear mixing) runs as ONE compiled device program.
+    A spinless model (``nspin == 1``) is treated as two degenerate spin
+    species coupled only through the collinear mean field ``H_sigma =
+    H_0 + U diag(<n_{-sigma}>)`` at a shared chemical potential.  An
+    explicit-spin model (``nspin == 2``) dispatches to the FULL-MATRIX
+    (noncollinear) decoupling on the on-site 2x2 spin density matrix
+    ``rho_i``, mean field ``U_i (Tr(rho_i) I - rho_i^T)`` -- see the
+    return-dict differences below.  Either way the whole fixed-point
+    loop (assemble + batched eigh + Fermi filling + linear mixing)
+    runs as ONE compiled device program.
 
     :param U: Hubbard repulsion, scalar or per-orbital (norb,)
     :param n_elec: total electrons per cell, both spins
@@ -177,13 +250,16 @@ def hartree_fock(model, U, n_elec, nk=None, temperature=None, init=None,
       ``iters``, ``converged``, and ``model_up``/``model_dn`` --
       effective single-particle ``tb_model`` copies with the converged
       mean field added to the onsite energies (every downstream
-      observable composes with them)
+      observable composes with them).  For ``nspin == 2`` the dict
+      instead carries ``rho`` (norb, 2, 2), ``magnetization``
+      (norb, 3) Pauli vectors, ``density`` (norb,), and a single
+      spinful ``model_mf``.
     """
-    if model._nspin != 1:
-        raise PythtbError(
-            "hartree_fock treats a spinless model as two spin species; "
-            "explicit nspin=2 models need a matrix decoupling (not "
-            "implemented)")
+    if model._nspin == 2:
+        return _hartree_fock_matrix(
+            model, U, n_elec, nk=nk, temperature=temperature, init=init,
+            stagger=stagger, mix=mix, tol=tol, max_iters=max_iters,
+            seed=seed)
     norb = int(model._norb)
     Uvec = np.broadcast_to(np.asarray(U, dtype=np.float64).ravel(), (norb,))
     n_elec = float(n_elec)
@@ -248,6 +324,109 @@ def hartree_fock(model, U, n_elec, nk=None, temperature=None, init=None,
         "converged": converged,
         "model_up": _effective(n_ud[1]),
         "model_dn": _effective(n_ud[0]),
+    }
+
+
+def _hartree_fock_matrix(model, U, n_elec, nk=None, temperature=None,
+                         init=None, stagger=0.1, mix=0.5, tol=None,
+                         max_iters=500, seed=0):
+    """Full-matrix (noncollinear) Hubbard HF for explicit-spin models;
+    dispatched automatically by :func:`hartree_fock` when
+    ``nspin == 2``.  The order parameter is the on-site 2x2 spin
+    density matrix, so spin-orbit-coupled interacting states with
+    ARBITRARY magnetization directions are representable -- e.g. the
+    Kane-Mele-Hubbard easy-plane antiferromagnet (committed test: at
+    large U the Neel vector lies in the xy-plane, m_z = 0, because the
+    SOC term penalizes out-of-plane order).
+
+    Returns a dict with ``rho`` (norb, 2, 2), ``magnetization``
+    (norb, 3) Pauli vectors Tr(rho sigma), ``density`` (norb,), ``mu``,
+    ``energy``, ``gap``, ``iters``, ``converged``, and ``model_mf`` --
+    ONE effective spinful ``tb_model`` with the converged 2x2 mean
+    field added on-site.
+    """
+    from .utils.xfer import host_pack, host_unpack
+
+    norb = int(model._norb)
+    Uvec = np.broadcast_to(np.asarray(U, dtype=np.float64).ravel(), (norb,))
+    n_elec = float(n_elec)
+    if not 0.0 < n_elec < 2.0 * norb:
+        raise PythtbError("n_elec must be in (0, %d)" % (2 * norb))
+    kpts = _kgrid(model, nk)
+    static, data = model._get_finalized()
+
+    span = float(np.abs(np.asarray(model._site_energies)).max() + 2.0 * sum(
+        np.abs(np.asarray(h[0])).max() for h in model._hoppings
+    ) + np.abs(Uvec).max() + 1e-9)
+    kt = float(temperature) if temperature is not None else 1e-3 * span
+    if kt <= 0.0:
+        raise PythtbError("temperature must be > 0")
+
+    if init is not None:
+        rho0 = np.asarray(init, dtype=np.complex128)
+        if rho0.shape != (norb, 2, 2):
+            raise PythtbError("init must be (norb, 2, 2) density matrices")
+        if np.abs(rho0 - np.conj(np.swapaxes(rho0, -1, -2))).max() > 1e-10:
+            raise PythtbError("init density matrices must be Hermitian")
+    else:
+        base = n_elec / (2.0 * norb)
+        rng = np.random.default_rng(seed)
+        rho0 = np.broadcast_to(
+            base * np.eye(2), (norb, 2, 2)).astype(complex).copy()
+        # random Hermitian perturbation: seeds collinear AND
+        # noncollinear order on an equal footing
+        pz = float(stagger) * (rng.random(norb) - 0.5)
+        pxy = float(stagger) * (rng.random(norb) - 0.5) + 1j * float(
+            stagger) * (rng.random(norb) - 0.5)
+        rho0[:, 0, 0] += pz
+        rho0[:, 1, 1] -= pz
+        rho0[:, 0, 1] += pxy
+        rho0[:, 1, 0] += np.conj(pxy)
+
+    rdtype = np.dtype(jnp.zeros(0).dtype)
+    if tol is None:
+        tol = float(np.finfo(rdtype).eps) ** (2.0 / 3.0)
+    out = _hf2_scf_jit(
+        static, data, jnp.asarray(kpts, rdtype), jnp.asarray(Uvec, rdtype),
+        jnp.asarray(host_pack(rho0), rdtype), jnp.asarray(kt, rdtype),
+        int(max_iters), jnp.asarray(float(mix), rdtype),
+        jnp.asarray(float(tol), rdtype), jnp.asarray(n_elec, rdtype),
+    )
+    rho_ri, mu, energy, gap, iters, dr = jax.device_get(out)
+    rho = host_unpack(np.asarray(rho_ri)).astype(np.complex128)
+    converged = bool(dr <= tol)
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            "hartree_fock: not converged after %d iterations (last "
+            "density change %.2e > tol %.1e) -- reduce mix or raise "
+            "max_iters" % (int(iters), float(dr), tol),
+            UserWarning, stacklevel=3,
+        )
+
+    sig = np.array([[[0, 1], [1, 0]], [[0, -1j], [1j, 0]],
+                    [[1, 0], [0, -1]]])
+    mag = np.real(np.einsum("iab,sba->is", rho, sig))
+
+    import copy
+
+    eff = copy.deepcopy(model)
+    V = Uvec[:, None, None] * (
+        np.trace(rho, axis1=-2, axis2=-1)[:, None, None] * np.eye(2)
+        - np.swapaxes(rho, -1, -2))
+    eff.set_onsite([V[i] for i in range(norb)], mode="add")
+
+    return {
+        "rho": rho,
+        "magnetization": mag,
+        "density": np.real(np.trace(rho, axis1=-2, axis2=-1)),
+        "mu": float(mu),
+        "energy": float(energy),
+        "gap": float(gap),
+        "iters": int(iters),
+        "converged": converged,
+        "model_mf": eff,
     }
 
 

@@ -328,3 +328,51 @@ def test_fuzz_bcs_gap_equation_single_orbital(seed):
         else:
             hi = mid
     np.testing.assert_allclose(r["delta"][0], 0.5 * (lo + hi), atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+def test_fuzz_hf_matrix_vs_numpy(seed):
+    """Random spinful flakes through the noncollinear HF fixed point vs
+    the plain-NumPy full-matrix oracle (rotation-invariant content; the
+    fixed points carry continuous spin-rotation zero modes)."""
+    from pythtb_tpu import meanfield
+
+    from .test_meanfield import _dense_h0_spinful, _numpy_hf_matrix
+
+    rng = np.random.default_rng(seed)
+    flake = ptt.models.kane_mele(
+        esite=float(rng.uniform(0.0, 0.8)),
+        spin_orb=float(rng.uniform(0.0, 0.4)),
+        rashba=float(rng.uniform(0.0, 0.3)),
+    ).cut_piece(2, 0, glue_edgs=False).cut_piece(2, 1, glue_edgs=False)
+    norb = flake._norb
+    U = float(rng.uniform(1.0, 4.0))
+    n_elec = float(norb)
+    kt = 0.05
+    rho0 = np.broadcast_to((n_elec / (2 * norb)) * np.eye(2),
+                           (norb, 2, 2)).astype(complex).copy()
+    pz = 0.2 * (rng.random(norb) - 0.5)
+    pxy = 0.2 * (rng.random(norb) - 0.5) + 0.2j * (rng.random(norb) - 0.5)
+    rho0[:, 0, 0] += pz
+    rho0[:, 1, 1] -= pz
+    rho0[:, 0, 1] += pxy
+    rho0[:, 1, 0] += np.conj(pxy)
+    r = meanfield.hartree_fock(flake, U, n_elec, temperature=kt,
+                               init=rho0, tol=1e-9, max_iters=6000,
+                               mix=0.4)
+    rho_ref, mu_ref = _numpy_hf_matrix(_dense_h0_spinful(flake), U,
+                                       n_elec, kt, rho0, mix=0.4,
+                                       tol=1e-9)
+    sig = np.array([[[0, 1], [1, 0]], [[0, -1j], [1j, 0]],
+                    [[1, 0], [0, -1]]])
+    m_dev = np.real(np.einsum("iab,sba->is", r["rho"], sig))
+    m_ref = np.real(np.einsum("iab,sba->is", rho_ref, sig))
+    # tolerance note: the fixed-point manifold has spin-rotation zero
+    # modes, so linear mixing converges sublinearly along them and the
+    # two solvers stop at slightly different points of the same valley
+    np.testing.assert_allclose(np.linalg.norm(m_dev, axis=1),
+                               np.linalg.norm(m_ref, axis=1), atol=5e-4)
+    np.testing.assert_allclose(r["density"],
+                               np.real(np.trace(rho_ref, axis1=-2,
+                                                axis2=-1)), atol=5e-4)
+    assert abs(r["mu"] - mu_ref) < kt

@@ -127,7 +127,10 @@ def test_hf_variational_vs_exact_two_site():
 def test_hf_guards():
     km = ptt.models.kane_mele()
     with pytest.raises(PythtbError):
-        meanfield.hartree_fock(km, 1.0, 2.0, nk=(4, 4))
+        meanfield.hartree_fock(km, 1.0, 2.0)  # spinful periodic, no nk
+    with pytest.raises(PythtbError):
+        meanfield.hartree_fock(km, 1.0, 2.0, nk=(4, 4),
+                               init=np.zeros((2, 2)))  # wrong init shape
     g = ptt.models.graphene()
     with pytest.raises(PythtbError):
         meanfield.hartree_fock(g, 1.0, 5.0, nk=(4, 4))  # n_elec > 2 norb
@@ -176,3 +179,128 @@ def test_bcs_weak_coupling_normal_state_and_guards():
         meanfield.bcs_gap(sq, -1.0, 0.0, nk=(4, 4))
     with pytest.raises(PythtbError):
         meanfield.bcs_gap(ptt.models.kane_mele(), 1.0, 0.0, nk=(4, 4))
+
+
+# ---- full-matrix (noncollinear) HF for explicit-spin models -----------
+
+def _dense_h0_spinful(model):
+    """Dense spinful H of a finite model straight from the hopping
+    list (independent of the package assembly)."""
+    n = model._norb
+    H = np.zeros((2 * n, 2 * n), dtype=complex)
+    for i in range(n):
+        H[2 * i:2 * i + 2, 2 * i:2 * i + 2] = np.asarray(
+            model._site_energies[i])
+    for h in model._hoppings:
+        blk = np.asarray(h[0], dtype=complex).reshape(2, 2)
+        i, j = h[1], h[2]
+        H[2 * i:2 * i + 2, 2 * j:2 * j + 2] += blk
+        H[2 * j:2 * j + 2, 2 * i:2 * i + 2] += blk.conj().T
+    return H
+
+
+def _numpy_hf_matrix(H0, U, n_elec, kt, rho0, mix=0.5, iters=4000,
+                     tol=1e-13):
+    """Plain-NumPy full-matrix HF oracle (V = U (Tr rho I - rho^T))."""
+    n = H0.shape[0] // 2
+    rho = np.array(rho0, dtype=complex)
+    for _ in range(iters):
+        V = U * (np.trace(rho, axis1=-2, axis2=-1)[:, None, None]
+                 * np.eye(2) - np.swapaxes(rho, -1, -2))
+        H = H0.copy()
+        for i in range(n):
+            H[2 * i:2 * i + 2, 2 * i:2 * i + 2] += V[i]
+        w, v = np.linalg.eigh(H)
+        lo, hi = w.min() - 30 * kt, w.max() + 30 * kt
+        for _b in range(200):
+            mu = 0.5 * (lo + hi)
+            if np.sum(1.0 / (np.exp((w - mu) / kt) + 1.0)) < n_elec:
+                lo = mu
+            else:
+                hi = mu
+        mu = 0.5 * (lo + hi)
+        f = 1.0 / (np.exp((w - mu) / kt) + 1.0)
+        vb = v.T.reshape(2 * n, n, 2)  # states x (orb, spin)
+        new = np.einsum("n,nia,nib->iab", f, np.conj(vb), vb)
+        mixed = (1 - mix) * rho + mix * new
+        mixed = (mixed + np.conj(np.swapaxes(mixed, -1, -2))) / 2
+        if np.abs(mixed - rho).max() < tol:
+            return mixed, mu
+        rho = mixed
+    return rho, mu
+
+
+def test_hf_matrix_matches_independent_numpy():
+    rng = np.random.default_rng(5)
+    flake = ptt.models.kane_mele(esite=0.4, spin_orb=0.2,
+                                 rashba=0.15).cut_piece(
+        2, 0, glue_edgs=False).cut_piece(2, 1, glue_edgs=False)
+    norb = flake._norb
+    U, n_elec, kt = 2.5, float(norb), 0.02
+    rho0 = np.broadcast_to(0.5 * np.eye(2), (norb, 2, 2)).astype(
+        complex).copy()
+    pz = 0.2 * (rng.random(norb) - 0.5)
+    pxy = 0.2 * (rng.random(norb) - 0.5) + 0.2j * (rng.random(norb) - 0.5)
+    rho0[:, 0, 0] += pz
+    rho0[:, 1, 1] -= pz
+    rho0[:, 0, 1] += pxy
+    rho0[:, 1, 0] += np.conj(pxy)
+    # NOTE tol: global spin rotations are zero modes of the fixed
+    # point, so the tail convergence along the symmetry manifold is
+    # sublinear -- 1e-9 is the practical floor for linear mixing here
+    r = meanfield.hartree_fock(flake, U, n_elec, temperature=kt,
+                               init=rho0, tol=1e-9, max_iters=6000)
+    rho_ref, mu_ref = _numpy_hf_matrix(_dense_h0_spinful(flake), U,
+                                       n_elec, kt, rho0, tol=1e-9)
+    # magnetic fixed points come in continuous symmetry families (any
+    # global spin rotation in a residual-symmetry plane is equally
+    # self-consistent), so the two solvers may land at different
+    # angles from the same seed: compare rotation-INVARIANT content.
+    sig = np.array([[[0, 1], [1, 0]], [[0, -1j], [1j, 0]],
+                    [[1, 0], [0, -1]]])
+    m_dev = np.real(np.einsum("iab,sba->is", r["rho"], sig))
+    m_ref = np.real(np.einsum("iab,sba->is", rho_ref, sig))
+    np.testing.assert_allclose(np.linalg.norm(m_dev, axis=1),
+                               np.linalg.norm(m_ref, axis=1), atol=1e-6)
+    np.testing.assert_allclose(
+        np.real(np.trace(r["rho"], axis1=-2, axis2=-1)),
+        np.real(np.trace(rho_ref, axis1=-2, axis2=-1)), atol=1e-6)
+    assert abs(r["mu"] - mu_ref) < kt
+
+
+def test_hf_matrix_zero_soc_reduces_to_collinear():
+    """With SOC off, the full-matrix fixed point is the collinear AFM
+    in an arbitrary global direction: |m| and the gap equal the
+    two-species values, and the Neel vectors cancel exactly."""
+    km0 = ptt.models.kane_mele(esite=0.0, spin_orb=0.0, rashba=0.0)
+    r = meanfield.hartree_fock(km0, 4.0, 2.0, nk=(18, 18), seed=3)
+    assert r["converged"]
+    m = r["magnetization"]
+    np.testing.assert_allclose(np.linalg.norm(m, axis=1), 0.671267,
+                               atol=2e-3)
+    np.testing.assert_allclose(m[0] + m[1], 0.0, atol=1e-6)
+    assert abs(r["gap"] - 4.0 * np.linalg.norm(m[0])) < 5e-3
+    # filling conserved and composable effective model
+    assert abs(r["density"].sum() - 2.0) < 1e-8
+    ev = np.asarray(r["model_mf"].solve_all(np.array([[1 / 3, 2 / 3]])))
+    assert abs((ev[2] - ev[1])[0] - r["gap"]) < 5e-2
+
+
+def test_hf_matrix_kane_mele_hubbard_easy_plane():
+    """The Kane-Mele-Hubbard antiferromagnet is EASY-PLANE: the SOC
+    term penalizes out-of-plane Neel order, so the converged moment
+    lies in the xy-plane (the classic KMH mean-field result) -- a
+    state only a noncollinear order parameter can represent."""
+    km = ptt.models.kane_mele(esite=0.0, spin_orb=0.3, rashba=0.0)
+    r = meanfield.hartree_fock(km, 5.0, 2.0, nk=(18, 18), seed=7)
+    assert r["converged"]
+    m = r["magnetization"]
+    assert np.linalg.norm(m[0, :2]) > 0.5  # in-plane AFM
+    assert np.abs(m[:, 2]).max() < 1e-4  # no out-of-plane component
+    np.testing.assert_allclose(m[0, :2] + m[1, :2], 0.0, atol=1e-6)
+    # weak U: paramagnet, and the effective model stays a QSH insulator
+    r2 = meanfield.hartree_fock(km, 1.0, 2.0, nk=(12, 12), seed=7)
+    assert np.abs(r2["magnetization"]).max() < 1e-6
+    from pythtb_tpu import flows
+
+    assert flows.z2_invariant(r2["model_mf"], nk=(21, 21)) == 1

@@ -611,6 +611,18 @@ def main():
           "m=%.5f gap=%.5f delta=%.5f (x64: 0.67169, 2.68676, 0.33592)"
           % (r43["magnetization"][1], r43["gap"], rb43["delta"][0]))
 
+    # 44. noncollinear HF (f32): Kane-Mele-Hubbard easy-plane AFM
+    km44 = zoo_models.kane_mele(esite=0.0, spin_orb=0.3, rashba=0.0)
+    r44 = meanfield.hartree_fock(km44, 5.0, 2.0, nk=(18, 18), seed=7)
+    m44 = r44["magnetization"]
+    mxy44 = float(np.linalg.norm(m44[0, :2]))
+    mz44 = float(np.abs(m44[:, 2]).max())
+    check("noncollinear HF easy-plane f32",
+          abs(mxy44 - 0.705954) < 3e-3 and mz44 < 1e-3
+          and abs(r44["gap"] - 4.057003) < 1e-2,
+          "|m_xy|=%.5f mz=%.1e gap=%.4f (x64: 0.70595, 0, 4.05700)"
+          % (mxy44, mz44, r44["gap"]))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
