@@ -73,14 +73,21 @@ def _bisect_mu(w, kt, n_target, norm, iters=80):
     return 0.5 * (lo + hi)
 
 
-@partial(jax.jit, static_argnums=(0, 6))
+@partial(jax.jit, static_argnums=(0, 6, 10))
 def _hf_scf_jit(static, data, kpts, Uvec, n_init, kt, max_iters, mix, tol,
-                n_elec):
+                n_elec, mesh=None):
     """One-program Hubbard-HF fixed point.  Returns per-spin densities
     (2, norb), mu, free-band total energy pieces, gap, iteration count
     and final density change -- all real (nothing complex crosses the
     boundary)."""
     H0 = assemble(static, data, kpts)  # (B, n, n) complex, n == norb
+    if mesh is not None:
+        # k-grid data parallelism: every SCF iteration's eigh/density
+        # einsum shards over the batch; XLA inserts the psum for the
+        # k-averaged densities and the mu bisection count
+        from .ops.solver import shard_grid_axis0
+
+        H0 = shard_grid_axis0(H0, mesh)
     B = H0.shape[0]
     n = H0.shape[-1]
     eye = jnp.eye(n, dtype=H0.dtype)
@@ -129,9 +136,9 @@ def _hf_scf_jit(static, data, kpts, Uvec, n_init, kt, max_iters, mix, tol,
     return n_ud, mu, energy, gap, iters, dn
 
 
-@partial(jax.jit, static_argnums=(0, 6))
+@partial(jax.jit, static_argnums=(0, 6, 10))
 def _hf2_scf_jit(static, data, kpts, Uvec, rho_init_ri, kt, max_iters, mix,
-                 tol, n_elec):
+                 tol, n_elec, mesh=None):
     """One-program FULL-MATRIX (noncollinear) Hubbard-HF fixed point
     for explicit-spin models: the order parameter is the on-site 2x2
     spin density matrix rho_i = <c_{i alpha}^dag c_{i beta}>, and the
@@ -143,6 +150,10 @@ def _hf2_scf_jit(static, data, kpts, Uvec, rho_init_ri, kt, max_iters, mix,
     from .utils.xfer import pack_cplx, unpack_cplx
 
     H0 = assemble(static, data, kpts)  # (B, nsta, nsta), nsta = 2 norb
+    if mesh is not None:
+        from .ops.solver import shard_grid_axis0
+
+        H0 = shard_grid_axis0(H0, mesh)
     B = H0.shape[0]
     nsta = H0.shape[-1]
     norb = nsta // 2
@@ -289,11 +300,13 @@ def hartree_fock(model, U, n_elec, nk=None, temperature=None, init=None,
     rdtype = np.dtype(jnp.zeros(0).dtype)
     if tol is None:
         tol = float(np.finfo(rdtype).eps) ** (2.0 / 3.0)
+    from .parallel import mesh as pmesh
+
     out = _hf_scf_jit(
         static, data, jnp.asarray(kpts, rdtype), jnp.asarray(Uvec, rdtype),
         jnp.asarray(n0, rdtype), jnp.asarray(kt, rdtype), int(max_iters),
         jnp.asarray(float(mix), rdtype), jnp.asarray(float(tol), rdtype),
-        jnp.asarray(n_elec, rdtype),
+        jnp.asarray(n_elec, rdtype), pmesh.current_mesh(),
     )
     n_ud, mu, energy, gap, iters, dn = jax.device_get(out)  # ONE round trip
     n_ud = np.asarray(n_ud, dtype=np.float64)
@@ -386,11 +399,14 @@ def _hartree_fock_matrix(model, U, n_elec, nk=None, temperature=None,
     rdtype = np.dtype(jnp.zeros(0).dtype)
     if tol is None:
         tol = float(np.finfo(rdtype).eps) ** (2.0 / 3.0)
+    from .parallel import mesh as pmesh
+
     out = _hf2_scf_jit(
         static, data, jnp.asarray(kpts, rdtype), jnp.asarray(Uvec, rdtype),
         jnp.asarray(host_pack(rho0), rdtype), jnp.asarray(kt, rdtype),
         int(max_iters), jnp.asarray(float(mix), rdtype),
         jnp.asarray(float(tol), rdtype), jnp.asarray(n_elec, rdtype),
+        pmesh.current_mesh(),
     )
     rho_ri, mu, energy, gap, iters, dr = jax.device_get(out)
     rho = host_unpack(np.asarray(rho_ri)).astype(np.complex128)
@@ -430,9 +446,9 @@ def _hartree_fock_matrix(model, U, n_elec, nk=None, temperature=None,
     }
 
 
-@partial(jax.jit, static_argnums=(0, 6))
+@partial(jax.jit, static_argnums=(0, 6, 10))
 def _bcs_scf_jit(static, data, kpts, gcpl, d_init, kt, max_iters, mix, tol,
-                 mu):
+                 mu, mesh=None):
     """One-program BCS gap fixed point.  Nambu basis (c_{k up},
     c_{-k dn}^dag): particle block H(k) - mu, hole block
     -conj(H(-k)) + mu (the convention validated against the dense
@@ -442,6 +458,11 @@ def _bcs_scf_jit(static, data, kpts, gcpl, d_init, kt, max_iters, mix, tol,
     is real for any Hermitian hopping table)."""
     Hp = assemble(static, data, kpts)  # (B, n, n) at +k
     Hm = assemble(static, data, -kpts)  # (B, n, n) at -k
+    if mesh is not None:
+        from .ops.solver import shard_grid_axis0
+
+        Hp = shard_grid_axis0(Hp, mesh)
+        Hm = shard_grid_axis0(Hm, mesh)
     B = Hp.shape[0]
     n = Hp.shape[-1]
     eye = jnp.eye(n, dtype=Hp.dtype)
@@ -546,11 +567,13 @@ def bcs_gap(model, g, mu, nk=None, temperature=None, init=None, mix=0.5,
     rdtype = np.dtype(jnp.zeros(0).dtype)
     if tol is None:
         tol = float(np.finfo(rdtype).eps) ** (2.0 / 3.0)
+    from .parallel import mesh as pmesh
+
     delta, egap, iters, dd = jax.device_get(_bcs_scf_jit(
         static, data, jnp.asarray(kpts, rdtype), jnp.asarray(float(g), rdtype),
         jnp.asarray(d0, rdtype), jnp.asarray(kt, rdtype), int(max_iters),
         jnp.asarray(float(mix), rdtype), jnp.asarray(float(tol), rdtype),
-        jnp.asarray(float(mu), rdtype),
+        jnp.asarray(float(mu), rdtype), pmesh.current_mesh(),
     ))
     converged = bool(dd <= tol)
     if not converged:

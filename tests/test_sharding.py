@@ -287,3 +287,32 @@ def test_spectral_function_sharded_matches(mesh8):
                                             return_bulk=True)
     np.testing.assert_allclose(B_base[0], B_shard[0], atol=1e-12)
     np.testing.assert_allclose(B_base[1], B_shard[1], atol=1e-12)
+
+
+def test_meanfield_sharded_matches(mesh8):
+    """meanfield SCF loops under a mesh shard the k-grid; the fixed
+    points are unchanged (collinear HF, noncollinear HF, and BCS)."""
+    from pythtb_tpu import meanfield
+
+    g = zoo.haldane(ptt)
+    base = meanfield.hartree_fock(g, 3.0, 2.0, nk=(12, 12), seed=3)
+    with use_mesh(mesh8):
+        shard = meanfield.hartree_fock(g, 3.0, 2.0, nk=(12, 12), seed=3)
+    np.testing.assert_allclose(base["n_up"], shard["n_up"], atol=1e-10)
+    np.testing.assert_allclose(base["n_dn"], shard["n_dn"], atol=1e-10)
+    assert abs(base["energy"] - shard["energy"]) < 1e-10
+
+    km = zoo.kane_mele(ptt)
+    base2 = meanfield.hartree_fock(km, 3.0, 2.0, nk=(10, 10), seed=7)
+    with use_mesh(mesh8):
+        shard2 = meanfield.hartree_fock(km, 3.0, 2.0, nk=(10, 10), seed=7)
+    np.testing.assert_allclose(
+        np.linalg.norm(base2["magnetization"], axis=1),
+        np.linalg.norm(shard2["magnetization"], axis=1), atol=1e-8)
+
+    sq = ptt.models.square(t=-1.0)
+    base3 = meanfield.bcs_gap(sq, 2.0, -0.4, nk=(16, 16), temperature=0.05)
+    with use_mesh(mesh8):
+        shard3 = meanfield.bcs_gap(sq, 2.0, -0.4, nk=(16, 16),
+                                   temperature=0.05)
+    np.testing.assert_allclose(base3["delta"], shard3["delta"], atol=1e-10)
