@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "solve_window", "wilson_window", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "solve_window", "wilson_window", "chern_window", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -982,6 +982,80 @@ def wilson_window(model, sigma, num_states, k_loop, berry_evals=False,
     U_, _s, Vh_ = np.linalg.svd(W)
     evs = np.linalg.eigvals(U_ @ Vh_)
     return np.sort(-np.angle(evs))
+
+
+def chern_window(model, sigma, num_states, nk=(12, 12), **solve_kwargs):
+    """Chern number of the ``num_states`` manifold nearest ``sigma``,
+    with every grid point solved matrix-free by :func:`solve_window` --
+    the flat-band Chern number of cells far beyond dense
+    diagonalization (the magic-angle moire cell being the target use).
+
+    Standard plaquette Berry-flux construction (the same gauge-
+    invariant link determinants as ``wf_array.berry_flux``) on an
+    (nk0, nk1) closed grid of slice states; the wrapped boundary rows
+    use the package's periodic-gauge phases.  Cost: nk0 * nk1
+    :func:`solve_window` calls -- each a few filtered-subspace rounds
+    of ELL matvecs, so the scaling is O(nk0 nk1 nhop degree block),
+    never O(nsta^3).
+
+    A ``UserWarning`` reports the weakest link when the selected
+    manifold changes character somewhere on the grid (a band crossing
+    through the window); plaquette fluxes are unreliable there.
+
+    :param nk: (nk0, nk1) grid (the loop direction resolution bounds
+      how sharp a Berry-curvature peak can be integrated)
+    :param solve_kwargs: forwarded to :func:`solve_window`
+    :returns: float Chern number (sum of plaquette fluxes / 2 pi)
+    """
+    from .model import PythtbError
+
+    if model._dim_k != 2:
+        raise PythtbError("chern_window requires dim_k == 2")
+    n0, n1 = (int(x) for x in nk)
+    if min(n0, n1) < 3:
+        raise PythtbError("nk must be >= 3 in both directions")
+    kk = int(num_states)
+    grid = np.empty((n0 + 1, n1 + 1), dtype=object)
+    for i in range(n0):
+        for j in range(n1):
+            _, v = solve_window(
+                model, kk, sigma, k_point=np.array([i / n0, j / n1]),
+                eig_vectors=True, **solve_kwargs)
+            grid[i, j] = np.asarray(v).reshape(kk, -1)
+    ph0, ph1 = (np.asarray(p) for p in
+                gauge_phases(model, range(model._dim_k)))
+    for j in range(n1):
+        grid[n0, j] = grid[0, j] * ph0[None, :]
+    for i in range(n0):
+        grid[i, n1] = grid[i, 0] * ph1[None, :]
+    grid[n0, n1] = grid[0, 0] * (ph0 * ph1)[None, :]
+
+    def link(a, b):
+        return np.linalg.det(np.conj(a) @ b.T)
+
+    total = 0.0
+    min_det = np.inf
+    for i in range(n0):
+        for j in range(n1):
+            u1 = link(grid[i, j], grid[i + 1, j])
+            u2 = link(grid[i + 1, j], grid[i + 1, j + 1])
+            u3 = link(grid[i + 1, j + 1], grid[i, j + 1])
+            u4 = link(grid[i, j + 1], grid[i, j])
+            prod = u1 * u2 * u3 * u4
+            min_det = min(min_det, abs(u1), abs(u2), abs(u3), abs(u4))
+            total += np.angle(prod)
+    if min_det < 0.5:
+        import warnings
+
+        warnings.warn(
+            "chern_window: near-singular link (|det O| = %.3f) -- a "
+            "band crosses the selection window somewhere on the grid; "
+            "the Chern number is not trustworthy" % min_det,
+            UserWarning, stacklevel=2,
+        )
+    # orientation flip: match the package-wide flux convention of
+    # ops.berry.plaquette_phases / chern_number (equality-tested)
+    return float(-total / (2.0 * np.pi))
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))

@@ -346,3 +346,22 @@ class TestWilsonWindow:
         with pytest.raises(PythtbError):
             bad = np.concatenate([loop[:-1], [[0.37]]], axis=0)
             flows.wilson_window(m, 0.0, 2, bad, block=3)  # not closed
+
+
+def test_chern_window_matches_chern_number():
+    """The windowed plaquette Chern number of the folded Haldane lower
+    manifold equals the package chern_number (same flux-orientation
+    convention), and the upper manifold carries the opposite charge."""
+    import pythtb_tpu as ptt
+
+    m = zoo.haldane().make_supercell([[2, 0], [0, 2]])
+    evk = np.asarray(m.solve_all(np.array([[0.13, 0.21]])))[:, 0]
+    lo = float(evk[:4].mean())
+    hi = float(evk[4:].mean())
+    cw = flows.chern_window(m, lo, 4, nk=(12, 12), block=6, seed=1)
+    ref = flows.chern_number(m, [0, 1, 2, 3], nk=(31, 31))
+    assert abs(cw - ref) < 1e-6
+    cw_up = flows.chern_window(m, hi, 4, nk=(12, 12), block=6, seed=1)
+    assert abs(cw_up + ref) < 1e-6
+    with pytest.raises(PythtbError):
+        flows.chern_window(zoo.ssh(), 0.0, 1, nk=(8, 8))  # dim_k != 2
