@@ -1,0 +1,725 @@
+"""Exact diagonalization of small interacting clusters.
+
+The reference framework (``/root/reference/pythtb.py``) is strictly
+single-particle; this module is a beyond-reference capability that
+turns any *finite* ``tb_model`` (``dim_k == 0``, e.g. a ``cut_piece``
+flake) into a many-body Fock-space problem with Hubbard-U and general
+density-density interactions, and diagonalizes number-conserving
+sectors exactly.  It serves double duty:
+
+* an **interacting capability** in its own right (ground states, gaps,
+  double occupancy, spin correlations, one-particle spectral
+  functions, dynamical susceptibilities), and
+* the **oracle tier** for the approximate interacting machinery
+  (``meanfield.hartree_fock`` is variationally bounded below by the ED
+  energy; the RPA/Lindhard response must equal the U = 0 ED
+  susceptibility on a matching finite cluster).
+
+Design (TPU-first where it counts):
+
+* Fock states are bit-masks (``uint64``); sector bases, fermionic
+  signs and hop maps are built host-side with vectorized NumPy bit
+  arithmetic (``np.bitwise_count``) -- this is cheap O(D * nnz) index
+  work, not FLOPs.
+* The hot op -- the dense sector eigensolve -- runs on device through
+  the package eigensolver, with everything complex crossing the
+  host<->device boundary ri-packed (see ``utils/xfer``; the axon
+  runtime cannot transfer complex buffers).
+* The omega sweeps of spectral functions / susceptibilities are one
+  jitted program batched over frequencies.
+
+Two layouts are used, and cross-checked against each other in the
+tests (``tests/test_ed.py``):
+
+* **product layout** (``hubbard``): for spinless-basis models
+  (``nspin == 1``) with Hubbard U, the Hamiltonian conserves
+  ``(N_up, N_dn)`` separately; the sector basis is the tensor product
+  of an up- and a dn-chain basis and the hopping acts per species
+  (dims multiply as D_up * D_dn but the *matrices* stay species-sized
+  until the final kron).  Mode ordering: all up modes first, then all
+  dn modes, so Jordan-Wigner strings never cross species for
+  number-conserving species-diagonal terms.
+* **general layout** (``solve``): one global mode set (for spinful
+  models, mode ``2*orb + spin`` -- the same orb-major ordering as the
+  Bloch Hamiltonian flattening in ``ops/hamiltonian.py``), a single
+  total-N sector, arbitrary Hermitian one-body matrix plus symmetric
+  density-density interactions.  This handles spin-flip hopping
+  (Rashba &c.) where Sz is not conserved.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .model import PythtbError
+from .utils.xfer import host_pack, host_unpack, pack_cplx, unpack_cplx
+
+__all__ = [
+    "dense_h",
+    "sector_basis",
+    "build_sector",
+    "solve_sector",
+    "hubbard",
+    "solve",
+    "ground_state",
+    "spectral_function",
+    "dynamic_susceptibility",
+]
+
+# dense D x D complex128 sector Hamiltonians: keep the footprint sane
+# (8192^2 * 16 B = 1 GiB).  Larger clusters belong to matvec/KPM land.
+_MAX_DIM = 8192
+
+_ONE = np.uint64(1)
+
+
+# ---------------------------------------------------------------------------
+# bit-mask basis machinery
+
+
+def _popcount(x):
+    return np.bitwise_count(x).astype(np.int64)
+
+
+def sector_basis(nmodes, nelec):
+    """All ``nmodes``-bit masks with ``nelec`` bits set, ascending.
+
+    Uses the standard "next lexicographic bit permutation" enumeration,
+    vectorized is not needed here (the basis is enumerated once and is
+    at most ``_MAX_DIM`` long).
+    """
+    if not 0 <= nelec <= nmodes:
+        raise PythtbError("sector_basis: need 0 <= nelec <= nmodes")
+    if nmodes > 63:
+        raise PythtbError("sector_basis: at most 63 modes supported")
+    from math import comb
+
+    dim = comb(nmodes, nelec)
+    if dim > _MAX_DIM:
+        raise PythtbError(
+            "ED sector dimension %d exceeds %d; use a smaller cluster "
+            "(or the single-particle matvec/KPM machinery for large "
+            "non-interacting systems)" % (dim, _MAX_DIM)
+        )
+    out = np.empty(dim, dtype=np.uint64)
+    if nelec == 0:
+        out[0] = 0
+        return out
+    v = int((1 << nelec) - 1)
+    top = 1 << nmodes
+    for i in range(dim):
+        out[i] = v
+        # Gosper's hack: next integer with the same popcount
+        c = v & -v
+        r = v + c
+        v = r | (((v ^ r) >> 2) // c)
+        if v >= top and i + 1 < dim:  # pragma: no cover - defensive
+            raise PythtbError("sector_basis enumeration overflow")
+    return out
+
+
+def _apply_cdc(basis, a, b):
+    """Vectorized ``c^dag_a c_b`` on every basis mask.
+
+    Returns ``(valid, new, sign)``: boolean mask of states where the
+    operator does not annihilate, the resulting masks, and the
+    fermionic signs (Jordan-Wigner strings in mode order).
+    """
+    if a == b:
+        occ = ((basis >> np.uint64(a)) & _ONE).astype(bool)
+        return occ, basis.copy(), np.ones(len(basis), dtype=np.int8)
+    occ_b = ((basis >> np.uint64(b)) & _ONE).astype(bool)
+    occ_a = ((basis >> np.uint64(a)) & _ONE).astype(bool)
+    valid = occ_b & ~occ_a
+    s1 = _popcount(basis & ((_ONE << np.uint64(b)) - _ONE))
+    mid = basis ^ (_ONE << np.uint64(b))
+    s2 = _popcount(mid & ((_ONE << np.uint64(a)) - _ONE))
+    new = mid | (_ONE << np.uint64(a))
+    sign = np.where(((s1 + s2) % 2).astype(bool), -1, 1).astype(np.int8)
+    return valid, new, sign
+
+
+def _apply_c(basis, m):
+    """Vectorized annihilation ``c_m``: (valid, new, sign)."""
+    occ = ((basis >> np.uint64(m)) & _ONE).astype(bool)
+    sign = np.where(
+        (_popcount(basis & ((_ONE << np.uint64(m)) - _ONE)) % 2).astype(bool),
+        -1,
+        1,
+    ).astype(np.int8)
+    return occ, basis ^ np.where(occ, _ONE << np.uint64(m), np.uint64(0)), sign
+
+
+def _apply_cdag(basis, m):
+    """Vectorized creation ``c^dag_m``: (valid, new, sign)."""
+    occ = ((basis >> np.uint64(m)) & _ONE).astype(bool)
+    valid = ~occ
+    sign = np.where(
+        (_popcount(basis & ((_ONE << np.uint64(m)) - _ONE)) % 2).astype(bool),
+        -1,
+        1,
+    ).astype(np.int8)
+    return valid, basis | np.where(valid, _ONE << np.uint64(m), np.uint64(0)), sign
+
+
+def _occupations(basis, nmodes):
+    """(D, nmodes) float occupation-number table."""
+    shifts = np.arange(nmodes, dtype=np.uint64)
+    return ((basis[:, None] >> shifts[None, :]) & _ONE).astype(np.float64)
+
+
+def build_sector(h, basis, vmat=None):
+    """Dense many-body Hamiltonian of ``H = sum h_ab c^dag_a c_b +
+    (1/2) sum_{a != b} V_ab n_a n_b`` on a sector basis.
+
+    ``h`` is the Hermitian one-body matrix (nmodes x nmodes); ``vmat``
+    a real symmetric density-density matrix with zero diagonal
+    (``n_a n_a = n_a`` belongs in ``h``'s diagonal -- a nonzero
+    diagonal raises rather than silently shifting onsite energies).
+    """
+    h = np.asarray(h, dtype=complex)
+    nmodes = h.shape[0]
+    if h.shape != (nmodes, nmodes) or not np.allclose(h, h.conj().T, atol=1e-12):
+        raise PythtbError("build_sector: h must be a Hermitian square matrix")
+    D = len(basis)
+    occ = _occupations(basis, nmodes)
+    diag = occ @ np.real(np.diag(h))
+    if vmat is not None:
+        V = np.asarray(vmat, dtype=float)
+        if V.shape != (nmodes, nmodes) or not np.allclose(V, V.T, atol=1e-12):
+            raise PythtbError("build_sector: vmat must be real symmetric")
+        if np.max(np.abs(np.diag(V))) > 1e-12:
+            raise PythtbError(
+                "build_sector: vmat diagonal must be zero (n_a n_a = n_a "
+                "is a one-body term; put it in h)"
+            )
+        diag = diag + 0.5 * np.einsum("da,ab,db->d", occ, V, occ)
+    H = np.zeros((D, D), dtype=complex)
+    H[np.diag_indices(D)] = diag
+    offd = np.array(np.nonzero(h)).T
+    for a, b in offd:
+        if a == b:
+            continue
+        valid, new, sign = _apply_cdc(basis, int(a), int(b))
+        src = np.nonzero(valid)[0]
+        if len(src) == 0:
+            continue
+        dst = np.searchsorted(basis, new[src])
+        # within one (a, b) pair the map src -> dst is injective, so
+        # fancy-indexed += cannot collide
+        H[dst, src] += sign[src] * h[a, b]
+    return H
+
+
+@jax.jit
+def _eigh_dev(h_ri):
+    """Device eigensolve of one ri-packed Hermitian matrix.
+
+    Rows of the returned (ri-packed) eigenvector matrix are states,
+    ascending eigenvalues -- the package convention (ops/eigh.py).
+    """
+    from .ops.eigh import eigh_batched
+
+    H = unpack_cplx(h_ri)
+    w, v = eigh_batched(H[None])
+    return w[0], pack_cplx(v[0])
+
+
+def solve_sector(H):
+    """Eigendecomposition of a dense sector Hamiltonian on device.
+
+    Returns host ``(evals, evecs)`` with evecs ROWS as states
+    (ascending), matching the package eigensolver convention.
+    """
+    w, v_ri = _eigh_dev(host_pack(H))
+    return np.asarray(jax.device_get(w), dtype=np.float64), host_unpack(v_ri)
+
+
+# ---------------------------------------------------------------------------
+# model -> one-body data
+
+
+def dense_h(model):
+    """Dense one-body Hamiltonian of a finite model, host-side.
+
+    For ``nspin == 2`` the flattened index is ``2*orb + spin`` --
+    exactly the orb-major flattening of ``ops/hamiltonian.assemble``
+    (verified against ``solve_all`` in the tests).
+    """
+    if model._dim_k != 0:
+        raise PythtbError(
+            "ed: model must be finite (dim_k == 0); cut_piece a "
+            "periodic model first"
+        )
+    norb = model._norb
+    if model._nspin == 1:
+        h = np.zeros((norb, norb), dtype=complex)
+        h[np.diag_indices(norb)] = model._site_energies
+        for hop in model._hoppings:
+            amp, i, j = hop[0], hop[1], hop[2]
+            h[i, j] += amp
+            h[j, i] += np.conj(amp)
+        return h
+    h = np.zeros((norb, 2, norb, 2), dtype=complex)
+    for i in range(norb):
+        h[i, :, i, :] = model._site_energies[i]
+    for hop in model._hoppings:
+        amp, i, j = np.asarray(hop[0], dtype=complex), hop[1], hop[2]
+        h[i, :, j, :] += amp
+        h[j, :, i, :] += amp.conj().T
+    return h.reshape(2 * norb, 2 * norb)
+
+
+def _uvec(U, norb):
+    Uvec = np.asarray(U, dtype=float)
+    if Uvec.ndim == 0:
+        Uvec = np.full(norb, float(Uvec))
+    if Uvec.shape != (norb,):
+        raise PythtbError("ed: U must be a scalar or a length-norb vector")
+    return Uvec
+
+
+class EDResult:
+    """Sector eigendecomposition plus enough basis machinery for
+    observables.  ``evals``/``evecs`` follow the package convention
+    (ascending, rows are states); ``energy`` / ``gap`` are the usual
+    scalars; observables act on the ground state by default."""
+
+    def __init__(self, kind, evals, evecs, norb, meta):
+        self.kind = kind
+        self.evals = evals
+        self.evecs = evecs
+        self.norb = norb
+        self._meta = meta
+
+    @property
+    def energy(self):
+        return float(self.evals[0])
+
+    @property
+    def gap(self):
+        return float(self.evals[1] - self.evals[0]) if len(self.evals) > 1 else np.inf
+
+    @property
+    def ground(self):
+        return self.evecs[0]
+
+    @property
+    def dim(self):
+        return len(self.evals)
+
+    # -- product-layout helpers -----------------------------------------
+
+    def _prod_shapes(self):
+        bu, bd = self._meta["basis_up"], self._meta["basis_dn"]
+        return bu, bd, len(bu), len(bd)
+
+    def _rdm_species(self, psi, up):
+        """(norb, norb) <c^dag_i c_j> for one species, product layout."""
+        bu, bd, Du, Dd = self._prod_shapes()
+        psi2 = psi.reshape(Du, Dd)
+        n = self.norb
+        rdm = np.zeros((n, n), dtype=complex)
+        basis = bu if up else bd
+        for i in range(n):
+            for j in range(n):
+                valid, new, sign = _apply_cdc(basis, i, j)
+                src = np.nonzero(valid)[0]
+                if len(src) == 0:
+                    continue
+                dst = np.searchsorted(basis, new[src])
+                if up:
+                    rdm[i, j] = np.sum(
+                        sign[src, None]
+                        * np.conj(psi2[dst, :])
+                        * psi2[src, :]
+                    )
+                else:
+                    rdm[i, j] = np.sum(
+                        sign[None, src]
+                        * np.conj(psi2[:, dst])
+                        * psi2[:, src]
+                    )
+        return rdm
+
+    # -- observables ----------------------------------------------------
+
+    def one_body_rdm(self, state=0):
+        """One-body reduced density matrix ``<c^dag_a c_b>``.
+
+        Product layout: returns ``(2, norb, norb)`` (up, dn).  General
+        layout: ``(nmodes, nmodes)``.
+        """
+        psi = self.evecs[state]
+        if self.kind == "product":
+            return np.stack(
+                [self._rdm_species(psi, True), self._rdm_species(psi, False)]
+            )
+        basis = self._meta["basis"]
+        M = self._meta["nmodes"]
+        rdm = np.zeros((M, M), dtype=complex)
+        for a in range(M):
+            for b in range(M):
+                valid, new, sign = _apply_cdc(basis, a, b)
+                src = np.nonzero(valid)[0]
+                if len(src) == 0:
+                    continue
+                dst = np.searchsorted(basis, new[src])
+                rdm[a, b] = np.sum(sign[src] * np.conj(psi[dst]) * psi[src])
+        return rdm
+
+    def densities(self, state=0):
+        """Per-orbital per-spin densities.  Product layout and spinful
+        general layout: (2, norb) [up, dn]; spinless general: (norb,)."""
+        psi = np.abs(self.evecs[state]) ** 2
+        if self.kind == "product":
+            bu, bd, Du, Dd = self._prod_shapes()
+            p2 = psi.reshape(Du, Dd)
+            nu = _occupations(bu, self.norb)
+            nd = _occupations(bd, self.norb)
+            return np.stack(
+                [p2.sum(axis=1) @ nu, p2.sum(axis=0) @ nd]
+            )
+        occ = _occupations(self._meta["basis"], self._meta["nmodes"])
+        dens = psi @ occ
+        if self._meta.get("spinful"):
+            return np.stack([dens[0::2], dens[1::2]])
+        return dens
+
+    def double_occupancy(self, state=0):
+        """Per-site ``<n_up n_dn>`` (interaction-basis pairing)."""
+        psi = np.abs(self.evecs[state]) ** 2
+        if self.kind == "product":
+            bu, bd, Du, Dd = self._prod_shapes()
+            p2 = psi.reshape(Du, Dd)
+            nu = _occupations(bu, self.norb)
+            nd = _occupations(bd, self.norb)
+            return np.einsum("ud,ui,di->i", p2, nu, nd)
+        if not self._meta.get("spinful"):
+            raise PythtbError("double_occupancy needs a spinful layout")
+        occ = _occupations(self._meta["basis"], self._meta["nmodes"])
+        return psi @ (occ[:, 0::2] * occ[:, 1::2])
+
+    def szsz(self, state=0):
+        """(norb, norb) matrix of ``<S^z_i S^z_j>``."""
+        psi = np.abs(self.evecs[state]) ** 2
+        if self.kind == "product":
+            bu, bd, Du, Dd = self._prod_shapes()
+            p2 = psi.reshape(Du, Dd)
+            nu = _occupations(bu, self.norb)  # (Du, n)
+            nd = _occupations(bd, self.norb)
+            # S^z_i = (n_iu - n_id) / 2; the up/dn parts live on
+            # different tensor factors so the expectation splits
+            uu = np.einsum("ud,ui,uj->ij", p2, nu, nu)
+            dd = np.einsum("ud,di,dj->ij", p2, nd, nd)
+            ud = np.einsum("ud,ui,dj->ij", p2, nu, nd)
+            return 0.25 * (uu + dd - ud - ud.T)
+        if not self._meta.get("spinful"):
+            raise PythtbError("szsz needs a spinful layout")
+        occ = _occupations(self._meta["basis"], self._meta["nmodes"])
+        sz = 0.5 * (occ[:, 0::2] - occ[:, 1::2])  # (D, norb)
+        return np.einsum("d,di,dj->ij", psi, sz, sz)
+
+    def total_spin(self, state=0):
+        """Total-spin quantum number s with <S^2> = s (s + 1).
+
+        Product layout only (uses ``S^2 = S^- S^+ + S^z (S^z + 1)``:
+        apply ``S^+`` into the (nup+1, ndn-1) sector and take the
+        norm)."""
+        if self.kind != "product":
+            raise PythtbError("total_spin: product layout only")
+        bu, bd, Du, Dd = self._prod_shapes()
+        nup, ndn = self._meta["nup"], self._meta["ndn"]
+        psi = self.evecs[state].reshape(Du, Dd)
+        sz = 0.5 * (nup - ndn)
+        if ndn == 0 or nup == self.norb:
+            s2 = sz * (sz + 1.0)
+        else:
+            bu2 = sector_basis(self.norb, nup + 1)
+            bd2 = sector_basis(self.norb, ndn - 1)
+            out = np.zeros((len(bu2), len(bd2)), dtype=complex)
+            for i in range(self.norb):
+                # S^+ = sum_i c^dag_iu c_id ; the dn annihilation sees
+                # the full up block earlier in mode order -> (-1)^nup
+                vd, newd, sd = _apply_c(bd, i)
+                vu, newu, su = _apply_cdag(bu, i)
+                if not (vd.any() and vu.any()):
+                    continue
+                srcd = np.nonzero(vd)[0]
+                srcu = np.nonzero(vu)[0]
+                dstd = np.searchsorted(bd2, newd[srcd])
+                dstu = np.searchsorted(bu2, newu[srcu])
+                amp = (
+                    (su[srcu, None] * sd[None, srcd])
+                    * psi[np.ix_(srcu, srcd)]
+                )
+                np.add.at(out, np.ix_(dstu, dstd), amp)
+            if nup % 2:
+                out = -out
+            s2 = float(np.sum(np.abs(out) ** 2)) + sz * (sz + 1.0)
+        return 0.5 * (-1.0 + np.sqrt(1.0 + 4.0 * s2))
+
+
+def hubbard(model, U, nup, ndn):
+    """ED of a finite ``nspin == 1`` model with Hubbard U in the
+    ``(N_up, N_dn)`` sector (product layout).
+
+    Returns an :class:`EDResult`.  The tests pin this against the
+    general layout (:func:`solve`), the analytic Hubbard dimer, and
+    the U = 0 free-fermion filling identity.
+    """
+    if model._nspin != 1:
+        raise PythtbError(
+            "ed.hubbard: product layout needs an nspin == 1 model; "
+            "use ed.solve for explicit-spin models"
+        )
+    h = dense_h(model)
+    norb = h.shape[0]
+    Uvec = _uvec(U, norb)
+    bu = sector_basis(norb, nup)
+    bd = sector_basis(norb, ndn)
+    Du, Dd = len(bu), len(bd)
+    if Du * Dd > _MAX_DIM:
+        raise PythtbError(
+            "ED sector dimension %d exceeds %d" % (Du * Dd, _MAX_DIM)
+        )
+    Tu = build_sector(h, bu)
+    Td = build_sector(h, bd)
+    H = np.kron(Tu, np.eye(Dd)) + np.kron(np.eye(Du), Td)
+    nu = _occupations(bu, norb)
+    nd = _occupations(bd, norb)
+    H[np.diag_indices(Du * Dd)] += np.einsum(
+        "ui,i,di->ud", nu, Uvec, nd
+    ).reshape(-1)
+    evals, evecs = solve_sector(H)
+    return EDResult(
+        "product",
+        evals,
+        evecs,
+        norb,
+        {"basis_up": bu, "basis_dn": bd, "nup": nup, "ndn": ndn, "h": h,
+         "Uvec": Uvec},
+    )
+
+
+def _general_setup(model, U, interactions, spinful):
+    """(h_modes, vmat, nmodes, spinful_flag) for the general layout."""
+    h = dense_h(model)
+    norb = model._norb
+    if model._nspin == 2:
+        spinful = True
+        nmodes = 2 * norb
+        hm = h
+    elif spinful or (np.max(np.abs(np.asarray(U))) > 0):
+        spinful = True
+        nmodes = 2 * norb
+        hm = np.zeros((nmodes, nmodes), dtype=complex)
+        hm[0::2, 0::2] = h
+        hm[1::2, 1::2] = h
+    else:
+        nmodes = norb
+        hm = h
+    vmat = np.zeros((nmodes, nmodes))
+    if np.max(np.abs(np.asarray(U))) > 0:
+        Uvec = _uvec(U, norb)
+        for i in range(norb):
+            vmat[2 * i, 2 * i + 1] += Uvec[i]
+            vmat[2 * i + 1, 2 * i] += Uvec[i]
+    if interactions is not None:
+        for V, i, j in interactions:
+            if i == j:
+                raise PythtbError(
+                    "ed: diagonal density-density terms are one-body "
+                    "(n^2 = n); use set_onsite"
+                )
+            if spinful:
+                # orbital densities n_i = n_iu + n_id
+                for si in (0, 1):
+                    for sj in (0, 1):
+                        vmat[2 * i + si, 2 * j + sj] += V
+                        vmat[2 * j + sj, 2 * i + si] += V
+            else:
+                vmat[i, j] += V
+                vmat[j, i] += V
+    return hm, vmat, nmodes, spinful
+
+
+def solve(model, nelec, U=0.0, interactions=None, spinful=False):
+    """ED of a finite model in the total-``nelec`` sector (general
+    layout: one global mode set, arbitrary spin structure).
+
+    ``interactions``: iterable of ``(V, i, j)`` density-density terms
+    between *orbital* densities (summed over spin when spinful).
+    ``spinful=True`` forces the spin-doubled mode set for nspin == 1
+    models even at U = 0 (for cross-sector consistency).
+    """
+    hm, vmat, nmodes, spinful = _general_setup(model, U, interactions, spinful)
+    basis = sector_basis(nmodes, nelec)
+    H = build_sector(hm, basis, vmat if np.any(vmat) else None)
+    evals, evecs = solve_sector(H)
+    return EDResult(
+        "general",
+        evals,
+        evecs,
+        model._norb,
+        {"basis": basis, "nmodes": nmodes, "spinful": spinful, "h": hm,
+         "vmat": vmat, "nelec": nelec},
+    )
+
+
+def ground_state(model, nelec, U=0.0, interactions=None):
+    """Lowest state over all sectors with ``nelec`` electrons.
+
+    For nspin == 1 models this scans the ``(nup, ndn)`` splits in the
+    product layout (using the h_up == h_dn symmetry to skip mirrored
+    splits); for nspin == 2 models the general total-N sector already
+    contains every split.  Returns the winning :class:`EDResult`.
+    """
+    if model._nspin == 2:
+        return solve(model, nelec, U=U, interactions=interactions)
+    if interactions is not None:
+        raise PythtbError(
+            "ground_state: density-density interactions need the "
+            "general layout; call ed.solve per sector"
+        )
+    norb = model._norb
+    best = None
+    for nup in range((nelec + 1) // 2, min(nelec, norb) + 1):
+        ndn = nelec - nup
+        if ndn < 0 or ndn > norb or nup > norb:
+            continue
+        r = hubbard(model, U, nup, ndn)
+        if best is None or r.energy < best.energy - 1e-12:
+            best = r
+    if best is None:
+        raise PythtbError("ground_state: no valid (nup, ndn) split")
+    return best
+
+
+# ---------------------------------------------------------------------------
+# dynamical responses (general layout)
+
+
+@jax.jit
+def _lorentz_sum_dev(amps_ri, poles, omegas, eta):
+    """sum_n amps_n / (omega - poles_n + i eta), batched over omega.
+
+    Everything crossing the boundary is real (amps ri-packed); the
+    result comes back ri-packed."""
+    amps = unpack_cplx(amps_ri)
+    d = omegas[:, None] - poles[None, :]
+    den = jax.lax.complex(d, jnp.broadcast_to(eta, d.shape))
+    return pack_cplx(jnp.sum(amps[None, :] / den, axis=1))
+
+
+def _lorentz_sum(amps, poles, omegas, eta):
+    ftype = config.float_dtype()
+    out = _lorentz_sum_dev(
+        host_pack(amps),
+        jnp.asarray(np.asarray(poles, dtype=np.float64), ftype),
+        jnp.asarray(np.asarray(omegas, dtype=np.float64), ftype),
+        jnp.asarray(float(eta), ftype),
+    )
+    return host_unpack(out)
+
+
+def _apply_one_body(psi, basis_from, basis_to, A):
+    """(A psi) for a one-body operator matrix A on the general layout;
+    ``basis_to`` may differ (it must equal ``basis_from`` here -- the
+    split argument exists for clarity at call sites)."""
+    out = np.zeros(len(basis_to), dtype=complex)
+    for a, b in np.array(np.nonzero(A)).T:
+        valid, new, sign = _apply_cdc(basis_from, int(a), int(b))
+        src = np.nonzero(valid)[0]
+        if len(src) == 0:
+            continue
+        dst = np.searchsorted(basis_to, new[src])
+        np.add.at(out, dst, A[a, b] * sign[src] * psi[src])
+    return out
+
+
+def spectral_function(model, nelec, omegas, U=0.0, eta=0.05,
+                      interactions=None, modes=None):
+    """Local one-particle spectral functions ``A_m(omega)`` of the
+    interacting ground state (Lehmann representation over the N +- 1
+    sectors; general layout).
+
+    Returns ``(A, info)`` with ``A`` of shape (nmodes_kept, nomega);
+    ``modes`` selects which fermionic modes to compute (default: all).
+    Energies are measured from the N-particle ground state, i.e. the
+    particle poles sit at ``E_n(N+1) - E_0(N)`` and the hole poles at
+    ``E_0(N) - E_n(N-1)`` (no chemical-potential shift is applied).
+    """
+    base = solve(model, nelec, U=U, interactions=interactions, spinful=True)
+    basis = base._meta["basis"]
+    M = base._meta["nmodes"]
+    hm, vmat = base._meta["h"], base._meta["vmat"]
+    vuse = vmat if np.any(vmat) else None
+    psi0 = base.ground
+    e0 = base.energy
+    if modes is None:
+        modes = list(range(M))
+    omegas = np.asarray(omegas, dtype=float)
+    A = np.zeros((len(modes), len(omegas)))
+
+    for side in (+1, -1):
+        n2 = nelec + side
+        if n2 < 0 or n2 > M:
+            continue
+        b2 = sector_basis(M, n2)
+        w2, v2 = solve_sector(build_sector(hm, b2, vuse))
+        for mi, m in enumerate(modes):
+            if side == +1:
+                valid, new, sign = _apply_cdag(basis, m)
+            else:
+                valid, new, sign = _apply_c(basis, m)
+            src = np.nonzero(valid)[0]
+            phi = np.zeros(len(b2), dtype=complex)
+            if len(src):
+                dst = np.searchsorted(b2, new[src])
+                phi[dst] = sign[src] * psi0[src]
+            amps = np.abs(v2.conj() @ phi) ** 2  # |<n|c(dag)_m|0>|^2
+            poles = side * (w2 - e0)
+            g = _lorentz_sum(amps.astype(complex), poles, omegas, eta)
+            A[mi] += -np.imag(g) / np.pi
+    return A, {"e0": e0, "nelec": nelec}
+
+
+def dynamic_susceptibility(model, nelec, A, B, omegas, U=0.0, eta=0.05,
+                           interactions=None, spinful=True):
+    """Retarded correlation function ``chi_AB(omega) =
+    <<A; B>>_omega`` of one-body operators in the interacting ground
+    state (general layout, full Lehmann sum):
+
+    ``chi(omega) = sum_n [ <0|A|n><n|B|0> / (omega - w_n + i eta)
+                         - <0|B|n><n|A|0> / (omega + w_n + i eta) ]``
+
+    with ``w_n = E_n - E_0``.  ``A`` and ``B`` are nmodes x nmodes
+    one-body matrices (mode ordering ``2*orb + spin`` when spinful).
+
+    The U = 0 case is the package's finite-cluster Lindhard oracle --
+    see ``tests/test_response.py``.
+    """
+    base = solve(model, nelec, U=U, interactions=interactions,
+                 spinful=spinful)
+    basis = base._meta["basis"]
+    psi0 = base.ground
+    wn = base.evals - base.energy
+    V = base.evecs  # rows are states
+    A = np.asarray(A, dtype=complex)
+    B = np.asarray(B, dtype=complex)
+    an = V.conj() @ _apply_one_body(psi0, basis, basis, A)   # <n|A|0>
+    bn = V.conj() @ _apply_one_body(psi0, basis, basis, B)   # <n|B|0>
+    adn = V.conj() @ _apply_one_body(psi0, basis, basis, A.conj().T)
+    bdn = V.conj() @ _apply_one_body(psi0, basis, basis, B.conj().T)
+    omegas = np.asarray(omegas, dtype=float)
+    # <0|A|n> = conj(<n|A^dag|0>)
+    chi = _lorentz_sum(np.conj(adn) * bn, wn, omegas, eta)
+    chi -= _lorentz_sum(np.conj(bdn) * an, -wn, omegas, eta)
+    return chi

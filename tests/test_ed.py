@@ -1,0 +1,363 @@
+"""Exact-diagonalization oracle tier.
+
+Independent oracles, none sharing machinery with ``pythtb_tpu.ed``:
+
+* a Jordan-Wigner transcription to Pauli-kron spin chains (no
+  fermionic sign bookkeeping at all -- signs come out of the Z
+  strings), compared on FULL many-body spectra across all sectors;
+* the analytic 2-site Hubbard spectrum;
+* free-fermion filling identities at U = 0 (subset sums of the
+  single-particle spectrum solved by the package eigensolver);
+* the finite-cluster Lindhard function (hand-written band sum) vs the
+  ED dynamical susceptibility at U = 0;
+* particle-hole symmetry on bipartite clusters at finite U;
+* the Hartree-Fock variational bound (``meanfield`` must sit above ED).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import pythtb_tpu as ptt
+from pythtb_tpu import PythtbError, ed, meanfield
+
+
+def _chain(L, t=-1.0, glue=False, onsite=None):
+    m = ptt.tb_model(1, 1, lat=[[1.0]], orb=[[0.0]])
+    m.set_hop(t, 0, 0, [1])
+    fin = m.cut_piece(L, 0, glue_edgs=glue)
+    if onsite is not None:
+        fin.set_onsite(list(onsite), mode="reset")
+    return fin
+
+
+def _random_finite(rng, norb, nspin=1):
+    """Random dense finite model with all hermitian-pair hops."""
+    m = ptt.tb_model(0, 1, lat=[[1.0]], orb=[[float(i)] for i in range(norb)],
+                     nspin=nspin)
+    if nspin == 1:
+        m.set_onsite(list(rng.normal(size=norb)), mode="reset")
+        for i in range(norb):
+            for j in range(i + 1, norb):
+                amp = rng.normal() + 1j * rng.normal()
+                m.set_hop(amp, i, j, mode="set")
+    else:
+        for i in range(norb):
+            blk = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+            m.set_onsite(blk + blk.conj().T, ind_i=i, mode="reset")
+        for i in range(norb):
+            for j in range(i + 1, norb):
+                amp = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+                m.set_hop(amp, i, j, mode="set")
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Jordan-Wigner Pauli-kron oracle (independent sign bookkeeping)
+
+_X = np.array([[0, 1], [1, 0]], dtype=complex)
+_Y = np.array([[0, -1j], [1j, 0]], dtype=complex)
+_Z = np.array([[1, 0], [0, -1]], dtype=complex)
+_I2 = np.eye(2, dtype=complex)
+
+
+def _kron_chain(ops):
+    out = np.array([[1.0 + 0j]])
+    for o in ops:
+        out = np.kron(out, o)
+    return out
+
+
+def _jw_hamiltonian(h, vmat=None):
+    """Full 2^M Fock Hamiltonian via Jordan-Wigner Pauli strings.
+
+    c^dag_a c_b + h.c. (a < b) = (1/2)(X_a Z..Z X_b + Y_a Z..Z Y_b) for
+    real amplitude; the general complex case is assembled from
+    sigma^+/sigma^- strings: c^dag_a = prod_{m<a} Z_m sigma^+_a with
+    sigma^+ = (X + iY)/2.
+    """
+    M = h.shape[0]
+    dim = 2 ** M
+    H = np.zeros((dim, dim), dtype=complex)
+    # basis per mode: e0 = unoccupied, e1 = occupied; creation maps
+    # e0 -> e1, i.e. (X - iY)/2, and Z = (1 - 2n) supplies the string
+    sp = 0.5 * (_X - 1j * _Y)
+    sm = sp.conj().T
+
+    def cdag(a):
+        return _kron_chain([_Z] * a + [sp] + [_I2] * (M - a - 1))
+
+    def cop(a):
+        return _kron_chain([_Z] * a + [sm] + [_I2] * (M - a - 1))
+
+    for a in range(M):
+        for b in range(M):
+            if h[a, b] != 0:
+                H += h[a, b] * (cdag(a) @ cop(b))
+    if vmat is not None:
+        nops = [cdag(a) @ cop(a) for a in range(M)]
+        for a in range(M):
+            for b in range(M):
+                if a != b and vmat[a, b] != 0:
+                    H += 0.5 * vmat[a, b] * (nops[a] @ nops[b])
+    return H
+
+
+def _union_sector_spectrum(hm, vmat):
+    M = hm.shape[0]
+    evs = []
+    for n in range(M + 1):
+        basis = ed.sector_basis(M, n)
+        Hn = ed.build_sector(hm, basis, vmat)
+        evs.append(np.linalg.eigvalsh(Hn))
+    return np.sort(np.concatenate(evs))
+
+
+def test_jw_full_spectrum_spinless():
+    rng = np.random.default_rng(7)
+    M = 5
+    h = rng.normal(size=(M, M)) + 1j * rng.normal(size=(M, M))
+    h = h + h.conj().T
+    V = np.zeros((M, M))
+    for _ in range(4):
+        i, j = rng.integers(0, M, size=2)
+        if i != j:
+            v = rng.normal()
+            V[i, j] += v
+            V[j, i] += v
+    ours = _union_sector_spectrum(h, V)
+    jw = np.sort(np.linalg.eigvalsh(_jw_hamiltonian(h, V)))
+    np.testing.assert_allclose(ours, jw, atol=1e-10)
+
+
+def test_jw_full_spectrum_spinful_model():
+    """A random nspin=2 model (spin-flip hops included) through the
+    general layout vs the JW oracle on the same mode set."""
+    rng = np.random.default_rng(11)
+    m = _random_finite(rng, 3, nspin=2)
+    hm = ed.dense_h(m)
+    U = 1.7
+    M = hm.shape[0]
+    V = np.zeros((M, M))
+    for i in range(3):
+        V[2 * i, 2 * i + 1] = V[2 * i + 1, 2 * i] = U
+    ours = _union_sector_spectrum(hm, V)
+    jw = np.sort(np.linalg.eigvalsh(_jw_hamiltonian(hm, V)))
+    np.testing.assert_allclose(ours, jw, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# free-fermion identities
+
+def test_dense_h_matches_package_solver():
+    rng = np.random.default_rng(3)
+    for nspin in (1, 2):
+        m = _random_finite(rng, 4, nspin=nspin)
+        w_pkg = np.asarray(m.solve_all())
+        w_dense = np.linalg.eigvalsh(ed.dense_h(m))
+        np.testing.assert_allclose(np.sort(w_pkg), w_dense, atol=1e-10)
+
+
+def test_u0_filling_energy_and_rdm():
+    rng = np.random.default_rng(5)
+    m = _random_finite(rng, 5)
+    w = np.linalg.eigvalsh(ed.dense_h(m))
+    r = ed.hubbard(m, 0.0, 3, 2)
+    assert abs(r.energy - (np.sum(w[:3]) + np.sum(w[:2]))) < 1e-10
+    # one-body RDM is the projector onto the lowest orbitals, per spin
+    _, v = np.linalg.eigh(ed.dense_h(m))
+    rdm = r.one_body_rdm()
+    for s, nocc in ((0, 3), (1, 2)):
+        proj = v[:, :nocc] @ v[:, :nocc].conj().T
+        # rdm convention <c^dag_i c_j>; projector P_ij = <c^dag_j c_i>
+        np.testing.assert_allclose(rdm[s], proj.T, atol=1e-10)
+
+
+def test_u0_full_sector_spectrum_subset_sums():
+    rng = np.random.default_rng(9)
+    m = _random_finite(rng, 4)
+    w = np.linalg.eigvalsh(ed.dense_h(m))
+    r = ed.hubbard(m, 0.0, 2, 1)
+    sums = sorted(
+        sum(w[list(c_up)]) + w[i_dn]
+        for c_up in itertools.combinations(range(4), 2)
+        for i_dn in range(4)
+    )
+    np.testing.assert_allclose(r.evals, sums, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# interacting anchors
+
+def test_hubbard_dimer_full_spectrum():
+    t, U = 1.0, 3.0
+    d = _chain(2, t=-t)
+    r = ed.hubbard(d, U, 1, 1)
+    root = np.sqrt(U * U + 16 * t * t)
+    exact = np.sort([0.0, U, 0.5 * (U - root), 0.5 * (U + root)])
+    np.testing.assert_allclose(r.evals, exact, atol=1e-10)
+    assert abs(r.total_spin()) < 1e-6
+    # triplet sector
+    rt = ed.hubbard(d, U, 2, 0)
+    assert abs(rt.energy) < 1e-10
+    assert abs(rt.total_spin() - 1.0) < 1e-6
+
+
+def test_product_vs_general_layout():
+    """Union of (nup, ndn) product sectors == the general total-N
+    sector, exactly (the strongest internal differential check)."""
+    rng = np.random.default_rng(13)
+    m = _random_finite(rng, 3)
+    Uvec = rng.uniform(0.5, 3.0, size=3)
+    nelec = 3
+    evs = []
+    for nup in range(nelec + 1):
+        ndn = nelec - nup
+        if nup <= 3 and 0 <= ndn <= 3:
+            evs.append(ed.hubbard(m, Uvec, nup, ndn).evals)
+    union = np.sort(np.concatenate(evs))
+    gen = ed.solve(m, nelec, U=Uvec)
+    np.testing.assert_allclose(union, gen.evals, atol=1e-9)
+
+
+def test_particle_hole_identity():
+    """Bipartite chain with Hubbard U: under the PH transform
+    c_{i sigma} -> (-1)^i c^dag_{i sigma}, the (nup, ndn) sector maps
+    to (L - nup, L - ndn) with E -> E + U (L - nup - ndn)."""
+    L, U = 4, 2.3
+    c = _chain(L)
+    for (nup, ndn) in ((1, 1), (2, 1), (1, 0)):
+        e1 = ed.hubbard(c, U, nup, ndn).evals
+        e2 = ed.hubbard(c, U, L - nup, L - ndn).evals
+        np.testing.assert_allclose(
+            np.sort(e1 + U * (L - nup - ndn)), np.sort(e2), atol=1e-9
+        )
+
+
+def test_hf_variational_bound():
+    """meanfield HF energy >= ED ground energy; equal at U = 0."""
+    rng = np.random.default_rng(17)
+    lat = [[1.0]]
+    m = ptt.tb_model(0, 1, lat, [[0.0], [0.4], [0.8]])
+    m.set_onsite(list(rng.normal(scale=0.3, size=3)), mode="reset")
+    m.set_hop(-1.0, 0, 1, mode="set")
+    m.set_hop(-0.8, 1, 2, mode="set")
+    for U in (0.0, 2.0, 5.0):
+        r_ed = ed.ground_state(m, 3, U=U)
+        r_hf = meanfield.hartree_fock(m, U, 3.0, temperature=2e-3,
+                                      stagger=0.4, seed=1, max_iters=3000)
+        if U == 0.0:
+            assert abs(r_hf["energy"] - r_ed.energy) < 1e-5
+        else:
+            assert r_hf["energy"] >= r_ed.energy - 1e-7
+            assert r_hf["energy"] - r_ed.energy < 1.0
+
+
+def test_ground_state_scan_matches_general():
+    rng = np.random.default_rng(19)
+    m = _random_finite(rng, 3)
+    e_prod = ed.ground_state(m, 2, U=1.5).energy
+    e_gen = ed.solve(m, 2, U=1.5).energy
+    assert abs(e_prod - e_gen) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# dynamical responses
+
+def test_lindhard_oracle_u0():
+    """ED density-density response at U = 0 == the finite-cluster
+    Lindhard band sum on the matching discrete k set."""
+    L = 6
+    ring = _chain(L, glue=True)
+    qi = 2
+    q = 2 * np.pi * qi / L
+    M = 2 * L
+    Aop = np.zeros((M, M), complex)
+    for j in range(L):
+        Aop[2 * j, 2 * j] = Aop[2 * j + 1, 2 * j + 1] = np.exp(-1j * q * j)
+    om = np.linspace(-1.0, 5.0, 9)
+    eta = 0.08
+    chi = ed.dynamic_susceptibility(ring, L, Aop, Aop.conj().T, om,
+                                    U=0.0, eta=eta)
+    ks = 2 * np.pi * np.arange(L) / L
+    eps = -2 * np.cos(ks)
+    f = np.zeros(L)
+    f[np.argsort(eps)[: L // 2]] = 1.0
+    chi0 = np.zeros(len(om), complex)
+    for ki in range(L):
+        kf = (ki + qi) % L
+        de = eps[kf] - eps[ki]
+        chi0 += 2 * f[ki] * (1 - f[kf]) * (
+            1 / (om - de + 1j * eta) - 1 / (om + de + 1j * eta)
+        )
+    np.testing.assert_allclose(chi, chi0, atol=1e-9)
+
+
+def test_spectral_function_u0():
+    """U = 0 spectral function: poles at the single-particle levels,
+    unit sum rule per mode."""
+    fin = _chain(3, onsite=[0.3, -0.1, 0.2])
+    om = np.linspace(-4, 4, 1601)
+    A, info = ed.spectral_function(fin, 2, om, U=0.0, eta=0.04)
+    w = np.linalg.eigvalsh(ed.dense_h(fin))
+    integ = np.trapezoid(A, om, axis=1)
+    np.testing.assert_allclose(integ, np.ones(6), atol=0.05)
+    # total DOS peaks at every single-particle level
+    dos = A.sum(axis=0)
+    for wi in w:
+        i = np.argmin(np.abs(om - wi))
+        assert dos[i] > 0.3 * dos.max()
+
+
+def test_spectral_function_hubbard_atom():
+    """Single site with U: Hubbard-atom poles at eps and eps + U."""
+    m = ptt.tb_model(0, 1, [[1.0]], [[0.0]])
+    eps = -0.4
+    m.set_onsite([eps], mode="reset")
+    om = np.linspace(-3, 3, 1201)
+    A, _ = ed.spectral_function(m, 1, om, U=2.0, eta=0.03)
+    dos = A.sum(axis=0)
+    peaks = om[np.argsort(dos)[-2:]]
+    assert min(abs(peaks - eps)) < 0.02
+    assert min(abs(peaks - (eps + 2.0))) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# guards
+
+def test_guards():
+    per = ptt.models.haldane()
+    with pytest.raises(PythtbError):
+        ed.dense_h(per)  # periodic model
+    m = _chain(3)
+    with pytest.raises(PythtbError):
+        ed.hubbard(_random_finite(np.random.default_rng(0), 2, nspin=2),
+                   1.0, 1, 1)  # spinful product layout
+    with pytest.raises(PythtbError):
+        ed.sector_basis(4, 5)
+    with pytest.raises(PythtbError):
+        ed.solve(m, 2, interactions=[(1.0, 1, 1)])  # diagonal V
+    basis = ed.sector_basis(3, 1)
+    with pytest.raises(PythtbError):
+        V = np.eye(3)
+        ed.build_sector(np.eye(3, dtype=complex), basis, V)
+
+
+def test_entanglement_cross_check():
+    """U = 0 ED entanglement spectrum (eigenvalues of the region-
+    restricted one-body RDM) matches the entanglement module."""
+    from pythtb_tpu import entanglement
+
+    L = 6
+    ring = _chain(L, glue=True)
+    # half filling: per-spin filling 3 is gapped (-2, -1, -1 | 1, 1, 2)
+    r = ed.hubbard(ring, 0.0, 3, 3)
+    rdm = r.one_body_rdm()
+    region = [0, 1, 2]
+    # <c^dag_i c_j> restricted; Peschel C_ij = <c^dag_j c_i> = rdm.T
+    xi_ed = np.sort(np.linalg.eigvalsh(rdm[0].T[np.ix_(region, region)]))
+    xi_pkg = np.sort(
+        np.asarray(entanglement.correlation_spectrum(ring, 3, region))
+    ).reshape(-1)
+    np.testing.assert_allclose(xi_ed, xi_pkg, atol=1e-8)
