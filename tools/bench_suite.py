@@ -415,6 +415,65 @@ def run_suite():
         report("tbg_magic_angle_flatband_11k", None, float("nan"),
                False, "FAILED: %r" % (exc,))
 
+    # -- row 26: ED 4,900-dim Hubbard sector (dense device eigh) ------
+    from pythtb_tpu import ed
+
+    chain26 = ptt.tb_model(1, 1, [[1.0]], [[0.0]])
+    chain26.set_hop(-1.0, 0, 0, [1])
+    ring26 = chain26.cut_piece(8, 0, glue_edgs=True)
+    wall, r26 = _timed(lambda: ed.hubbard(ring26, 4.0, 4, 4), n=1)
+    # half-filled 8-ring U=4 x64 pins (CPU x64 takes 470 s; the row
+    # exists to time the 4,900-dim dense device eigh)
+    report("ed_hubbard_8site_4900dim", None, wall,
+           abs(r26.energy - (-4.603526)) < 0.02
+           and abs(r26.double_occupancy().mean() - 0.094926) < 2e-3,
+           "E0=%.4f docc=%.4f (x64: -4.60353, 0.09493); C(8,4)^2 dense "
+           "sector eigh on device" % (r26.energy,
+                                      r26.double_occupancy().mean()))
+
+    # -- row 27: Lindhard q-sweep (64 q x 576 k x 16 omega) -----------
+    from pythtb_tpu import response
+
+    qs27 = [[i / 8, j / 8] for i in range(8) for j in range(8)]
+    om27 = np.linspace(0.0, 6.0, 16)
+    g27 = ptt.models.graphene()
+
+    def _chi():
+        return response.lindhard(g27, qs27, om27, nk=24, mu=0.0,
+                                 temperature=2e-3, eta=0.05)
+
+    wall, chi27 = _timed(_chi, n=2)
+    pin27 = chi27[18, 1]  # q=(0.25,0.25), omega=0.4
+    report("lindhard_qsweep_64q", None, wall,
+           abs(pin27[0, 0] - (0.189441 + 0.001618j)) < 3e-3
+           and bool(np.all(np.isfinite(chi27))),
+           "64 q x 576 k x 16 omega orbital-resolved chi0; pin dev "
+           "%.1e" % abs(pin27[0, 0] - (0.189441 + 0.001618j)))
+
+    # -- row 28: magnon thermal Hall map (Colpa on 41^2 grid) ---------
+    from pythtb_tpu import magnon
+
+    sm28 = magnon.spin_model([[1.0, 0.0], [0.5, np.sqrt(3) / 2]],
+                             [[1 / 3, 1 / 3], [2 / 3, 2 / 3]], spin=0.5)
+    sm28.set_coupling(-1.0, 0, 1, [0, 0])
+    sm28.set_coupling(-1.0, 1, 0, [1, 0])
+    sm28.set_coupling(-1.0, 1, 0, [0, 1])
+    for dR in ((1, 0), (-1, 1), (0, -1)):
+        sm28.set_coupling(np.zeros((3, 3)), 0, 0, dR, dm=[0, 0, 0.2])
+        sm28.set_coupling(np.zeros((3, 3)), 1, 1, dR, dm=[0, 0, -0.2])
+    sm28.set_field([0, 0, 0.05])
+    Ts28 = np.linspace(0.05, 1.0, 20)
+
+    def _kxy():
+        return magnon.thermal_hall(sm28, Ts28, nk=41)
+
+    wall, k28 = _timed(_kxy, n=2)
+    report("magnon_thermal_hall_map", None, wall,
+           abs(magnon.chern(sm28, 0, nk=31) + 1.0) < 1e-6
+           and abs(np.interp(0.5, Ts28, k28) - 0.0914) < 5e-3,
+           "20-T kappa_xy sweep on 41^2 Colpa grid; kxy(0.5)=%.4f "
+           "(x64 0.0914), magnon Chern -1" % np.interp(0.5, Ts28, k28))
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

@@ -623,6 +623,60 @@ def main():
           "|m_xy|=%.5f mz=%.1e gap=%.4f (x64: 0.70595, 0, 4.05700)"
           % (mxy44, mz44, r44["gap"]))
 
+    # 45. exact diagonalization (f32): 6-site Hubbard ring, U = 4,
+    # half filling (400-dim product sector eigh on device)
+    from pythtb_tpu import ed
+
+    m45 = ptt.tb_model(1, 1, [[1.0]], [[0.0]])
+    m45.set_hop(-1.0, 0, 0, [1])
+    ring45 = m45.cut_piece(6, 0, glue_edgs=True)
+    r45 = ed.hubbard(ring45, 4.0, 3, 3)
+    check("ED Hubbard ring f32",
+          abs(r45.energy - (-3.668706)) < 5e-3
+          and abs(r45.gap - 0.770325) < 5e-3
+          and abs(r45.double_occupancy().mean() - 0.111066) < 1e-3,
+          "E0=%.5f gap=%.5f docc=%.5f (x64: -3.66871, 0.77033, 0.11107)"
+          % (r45.energy, r45.gap, r45.double_occupancy().mean()))
+
+    # 46. Lindhard/RPA (f32): graphene chi0 pin + Stoner U_c
+    from pythtb_tpu import response
+
+    chi46 = response.lindhard(ptt.models.graphene(), [[0.25, 0.0]],
+                              [0.3], nk=24, mu=0.0, temperature=2e-3,
+                              eta=0.05)[0, 0]
+    st46 = response.stoner_analysis(ptt.models.graphene(),
+                                    [[0.0, 0.0]], nk=25, mu=0.0,
+                                    temperature=2e-3)
+    check("Lindhard chi0 + Stoner U_c f32",
+          abs(chi46[0, 0] - (0.186679 + 0.001162j)) < 2e-3
+          and abs(chi46[0, 1] - (-0.084936 + 0.013664j)) < 2e-3
+          and abs(st46["U_c_min"] - 2.283428) < 2e-2,
+          "chi00=%.5f%+.5fj Uc=%.4f (x64: 0.18668+0.00116j, 2.28343)"
+          % (chi46[0, 0].real, chi46[0, 0].imag, st46["U_c_min"]))
+
+    # 47. magnon LSWT (f32): honeycomb FM + DM -- bands at K, Chern,
+    # thermal Hall (complex Cholesky + triangular solve on device)
+    from pythtb_tpu import magnon
+
+    lat47 = [[1.0, 0.0], [0.5, np.sqrt(3) / 2]]
+    sm47 = magnon.spin_model(lat47, [[1 / 3, 1 / 3], [2 / 3, 2 / 3]],
+                             spin=0.5)
+    sm47.set_coupling(-1.0, 0, 1, [0, 0])
+    sm47.set_coupling(-1.0, 1, 0, [1, 0])
+    sm47.set_coupling(-1.0, 1, 0, [0, 1])
+    for dR in ((1, 0), (-1, 1), (0, -1)):
+        sm47.set_coupling(np.zeros((3, 3)), 0, 0, dR, dm=[0, 0, 0.2])
+        sm47.set_coupling(np.zeros((3, 3)), 1, 1, dR, dm=[0, 0, -0.2])
+    sm47.set_field([0, 0, 0.05])
+    w47 = magnon.bands(sm47, [[1 / 3, 2 / 3]])[0]
+    c47 = magnon.chern(sm47, 0, nk=31)
+    k47 = magnon.thermal_hall(sm47, 0.5, nk=31)
+    check("magnon LSWT bands/Chern/kappa_xy f32",
+          np.abs(w47 - [1.030385, 2.069615]).max() < 5e-3
+          and c47 == -1.0 and abs(k47 - 0.091425) < 3e-3,
+          "wK=%s C=%.0f kxy=%.5f (x64: [1.03038, 2.06962], -1, 0.09142)"
+          % (np.round(w47, 4), c47, k47))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
