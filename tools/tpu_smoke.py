@@ -677,6 +677,20 @@ def main():
           "wK=%s C=%.0f kxy=%.5f (x64: [1.03038, 2.06962], -1, 0.09142)"
           % (np.round(w47, 4), c47, k47))
 
+    # 48. BdG superconductivity (f32): Kitaev Majorana number via the
+    # host Pfaffian on device-free assembly + p+ip BdG Chern on device
+    from pythtb_tpu import bdg
+
+    m48a = bdg.majorana_number(bdg.kitaev_chain(1.0, 0.4, 1.5))
+    m48b = bdg.majorana_number(bdg.kitaev_chain(1.0, 0.4, 2.5))
+    pip48 = bdg.bdg_model(ptt.models.square(t=-1.0), mu=-2.0,
+                          delta=[(0.3, 0, 0, [1, 0]),
+                                 (0.3j, 0, 0, [0, 1])])
+    c48 = flows.chern_number(pip48, occ=[0], nk=(41, 41))
+    check("BdG Kitaev + p+ip Chern f32",
+          m48a == -1.0 and m48b == 1.0 and abs(abs(c48) - 1.0) < 1e-3,
+          "M(1.5)=%+.0f M(2.5)=%+.0f C=%.4f" % (m48a, m48b, c48))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
