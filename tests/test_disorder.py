@@ -1,0 +1,183 @@
+"""CPA oracle tier.
+
+Precision anchor: the Lloyd model (Cauchy onsite disorder) where the
+exact disorder-averaged Green's function is the clean one at
+``w + i gamma`` -- CPA must land on ``Sigma = -i gamma`` to machine
+precision.  The binary alloy is pinned against brute-force ensemble
+enumeration on small rings (all 2^L configurations, exact dense
+inverses -- CPA captures scattering to third order in the strength,
+so its error must collapse superquadratically as the disorder
+weakens), against disorder-averaged KPM DOS on supercells at moderate
+strength, and against the classic split-band limit.
+"""
+
+import numpy as np
+import pytest
+
+import pythtb_tpu as ptt
+from pythtb_tpu import PythtbError, disorder
+from pythtb_tpu.parallel import mesh as pmesh
+
+
+def _chain():
+    m = ptt.tb_model(1, 1, [[1.0]], [[0.0]])
+    m.set_hop(-1.0, 0, 0, [1])
+    return m
+
+
+def test_lloyd_exact():
+    ch = _chain()
+    om = np.linspace(-3.0, 3.0, 13)
+    g = 0.3
+    r = disorder.cpa(ch, om, 256, ("lorentzian", g), eta=1e-4)
+    assert r["converged"]
+    np.testing.assert_allclose(r["sigma"], -1j * g, atol=1e-10)
+    ks = np.arange(256) / 256
+    eps = -2 * np.cos(2 * np.pi * ks)
+    Gc = np.mean(1.0 / (om[:, None] + 1j * (g + 1e-4) - eps[None, :]),
+                 axis=1)
+    np.testing.assert_allclose(r["dos"], -np.imag(Gc) / np.pi, atol=1e-10)
+
+
+def test_clean_and_vca_limits():
+    ch = _chain()
+    om = np.linspace(-3.0, 3.0, 9)
+    r = disorder.cpa(ch, om, 128, ("binary", [0.6, 0.4], [0.0, 0.0]),
+                     eta=0.05)
+    np.testing.assert_allclose(r["sigma"], 0.0, atol=1e-12)
+    r2 = disorder.cpa(ch, om, 128, ("binary", [1.0], [0.7]), eta=0.05)
+    np.testing.assert_allclose(r2["sigma"], 0.7, atol=1e-12)
+
+
+def _exact_ring_average(L, x, delta, om, eta):
+    """Ensemble-exact <G_00> of the binary-alloy L-ring (levels
+    +-delta with probability x / 1-x), all 2^L configurations."""
+    ring = _chain().cut_piece(L, 0, glue_edgs=True)
+    from pythtb_tpu.ed import dense_h  # host dense builder (tested)
+
+    h0 = dense_h(ring).real
+    G = np.zeros(len(om), dtype=complex)
+    for cfg in range(2 ** L):
+        bits = [(cfg >> i) & 1 for i in range(L)]
+        p = np.prod([x if b else (1 - x) for b in bits])
+        eps = np.array([delta if b else -delta for b in bits])
+        for wi, w in enumerate(om):
+            Ginv = (w + 1j * eta) * np.eye(L) - h0 - np.diag(eps)
+            G[wi] += p * np.linalg.inv(Ginv)[0, 0]
+    return G
+
+
+@pytest.mark.parametrize("x", [0.5, 0.3])
+def test_binary_vs_exact_ensemble_scaling(x):
+    """CPA vs the exact ensemble average: the missed diagrams are
+    multi-site, so the error must collapse superlinearly as the
+    disorder weakens.  (Absolute prefactors are enhanced on an 8-ring
+    -- every multi-site path self-intersects -- so the pins are
+    measured regressions, not asymptotic claims: x=0.5 gives
+    4.1e-2 -> 8.2e-3 and x=0.3 gives 3.1e-2 -> 6.0e-3 for
+    delta 0.2 -> 0.1.)"""
+    L = 8
+    om = np.linspace(-2.5, 2.5, 7)
+    eta = 0.15
+    errs = []
+    for delta in (0.2, 0.1):
+        Gex = _exact_ring_average(L, x, delta, om, eta)
+        r = disorder.cpa(_chain(), om, L,
+                         ("binary", [x, 1 - x], [delta, -delta]),
+                         eta=eta)
+        errs.append(np.max(np.abs(r["gloc"][:, 0] - Gex)))
+    assert errs[0] < 0.05
+    assert errs[1] < 0.35 * errs[0]  # superlinear collapse
+    assert errs[1] < 1.2e-2
+
+
+def test_split_band_limit():
+    """Strong binary disorder (splitting >> bandwidth) separates the
+    alloy DOS into two subbands with weights x and 1 - x."""
+    ch = _chain()
+    x, delta = 0.3, 4.0
+    om = np.linspace(-7.0, 7.0, 281)
+    r = disorder.cpa(ch, om, 128, ("binary", [x, 1 - x], [delta, -delta]),
+                     eta=0.02, max_iters=500)
+    dos = r["dos"]
+    dw = om[1] - om[0]
+    upper = dos[om > 0].sum() * dw
+    lower = dos[om < 0].sum() * dw
+    assert dos[np.argmin(np.abs(om))] < 1e-3  # gap at the middle
+    assert abs(upper - x) < 0.02
+    assert abs(lower - (1 - x)) < 0.02
+
+
+def test_causality_and_sum_rule():
+    g = ptt.models.graphene()
+    om = np.linspace(-4.0, 4.0, 161)
+    r = disorder.cpa(g, om, 30, ("binary", [0.5, 0.5], [0.5, -0.5]),
+                     eta=0.05)
+    assert np.all(np.imag(r["sigma"]) < 1e-10)
+    assert np.all(np.imag(r["gloc"]) < 0)
+    integral = r["dos"].sum() * (om[1] - om[0])
+    assert abs(integral - 2.0) < 0.05  # 2 states per cell
+
+
+def test_restricted_orbitals():
+    """Disorder on one sublattice only: the clean orbital keeps
+    Sigma = 0."""
+    g = ptt.models.graphene()
+    om = np.array([-1.0, 0.5])
+    r = disorder.cpa(g, om, 24, ("binary", [0.5, 0.5], [0.4, -0.4], [0]),
+                     eta=0.05)
+    np.testing.assert_allclose(r["sigma"][:, 1], 0.0, atol=1e-12)
+    assert np.max(np.abs(r["sigma"][:, 0])) > 1e-3
+
+
+@pytest.mark.slow
+def test_kpm_ensemble_supercell():
+    """Moderate-disorder CPA DOS vs disorder-averaged KPM on a 36x36
+    supercell (honest few-percent agreement)."""
+    from pythtb_tpu import flows
+
+    sq = ptt.models.square(t=-1.0)
+    x, delta = 0.5, 1.0
+    om = np.linspace(-5.5, 5.5, 111)
+    r = disorder.cpa(sq, om, 48, ("binary", [x, 1 - x], [delta, -delta]),
+                     eta=0.12)
+    sup = sq.cut_piece(36, 0, glue_edgs=True).cut_piece(
+        36, 1, glue_edgs=True)
+    dos_k = np.zeros(len(om))
+    nreal = 6
+    for s in range(nreal):
+        real = disorder.ensemble_realization(
+            sup, ("binary", [x, 1 - x], [delta, -delta]), seed=s)
+        e, d = flows.kpm_dos(real, num_moments=192, num_vectors=8,
+                             seed=100 + s)
+        dos_k += np.interp(om, np.asarray(e), np.asarray(d)) / nreal
+    dos_k /= 36 * 36  # per site == per cell
+    # both normalized densities; compare in L1
+    l1 = np.sum(np.abs(dos_k - r["dos"])) * (om[1] - om[0])
+    assert l1 < 0.08, l1
+
+
+def test_mesh_sharded_omegas():
+    ch = _chain()
+    om = np.linspace(-2.0, 2.0, 16)
+    base = disorder.cpa(ch, om, 64, ("binary", [0.5, 0.5], [0.3, -0.3]),
+                        eta=0.1)
+    with pmesh.use_mesh(pmesh.auto_mesh()):
+        shard = disorder.cpa(ch, om, 64,
+                             ("binary", [0.5, 0.5], [0.3, -0.3]), eta=0.1)
+    np.testing.assert_allclose(base["gloc"], shard["gloc"], atol=1e-12)
+
+
+def test_guards():
+    ch = _chain()
+    with pytest.raises(PythtbError):
+        disorder.cpa(ch, [0.0], 16, ("binary", [0.6, 0.6], [1, -1]))
+    with pytest.raises(PythtbError):
+        disorder.cpa(ch, [0.0], 16, ("lorentzian", -0.1))
+    with pytest.raises(PythtbError):
+        disorder.cpa(ch, [0.0], 16, ("gaussian", 0.1))
+    with pytest.raises(PythtbError):
+        disorder.cpa(ch.cut_piece(4, 0), [0.0], 16,
+                     ("lorentzian", 0.1))
+    with pytest.raises(PythtbError):
+        disorder.ensemble_realization(ch, ("lorentzian", 0.1))

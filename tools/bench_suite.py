@@ -474,6 +474,28 @@ def run_suite():
            "20-T kappa_xy sweep on 41^2 Colpa grid; kxy(0.5)=%.4f "
            "(x64 0.0914), magnon Chern -1" % np.interp(0.5, Ts28, k28))
 
+    # -- row 29: CPA alloy DOS, kagome 256 omegas x 48^2 k ------------
+    # single while_loop program: ~87 x64 iterations of 590k batched 3x3
+    # inverses (CPU x64 steady state 32.3 s; pins from that run)
+    from pythtb_tpu import disorder
+
+    kg29 = ptt.models.kagome(t=-1.0)
+    om29 = np.linspace(-5.0, 5.0, 256)
+
+    def _cpa():
+        return disorder.cpa(kg29, om29, 48,
+                            ("binary", [0.3, 0.7], [1.2, -0.3]), eta=0.05)
+
+    wall, r29 = _timed(_cpa, n=2)
+    w29 = np.trapezoid(r29["dos"], om29)
+    report("cpa_alloy_dos_kagome", None, wall,
+           abs(w29 - 2.9757) < 0.02
+           and abs(r29["dos"][128] - 0.473439) < 5e-3
+           and abs(r29["sigma"][128, 0] - (0.004903 - 0.167533j)) < 5e-3
+           and bool(r29["converged"]),
+           "256-omega binary-alloy CPA; x64 CPU 32.3 s; DOS weight "
+           "%.4f/3, dos(0) dev %.1e" % (w29, abs(r29["dos"][128] - 0.473439)))
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

@@ -33,6 +33,11 @@ SECTIONS = [
     ("pythtb_tpu.dynamics — real-time evolution", "pythtb_tpu.dynamics", None),
     ("pythtb_tpu.impurity — defect embedding / T-matrix", "pythtb_tpu.impurity", None),
     ("pythtb_tpu.meanfield — self-consistent mean field", "pythtb_tpu.meanfield", None),
+    ("pythtb_tpu.ed — exact diagonalization", "pythtb_tpu.ed", None),
+    ("pythtb_tpu.response — Lindhard / RPA susceptibility", "pythtb_tpu.response", None),
+    ("pythtb_tpu.magnon — linear spin-wave theory", "pythtb_tpu.magnon", None),
+    ("pythtb_tpu.bdg — Bogoliubov-de Gennes superconductors", "pythtb_tpu.bdg", None),
+    ("pythtb_tpu.disorder — coherent-potential approximation", "pythtb_tpu.disorder", None),
     ("pythtb_tpu.negf — Landauer transport", "pythtb_tpu.negf", None),
     ("pythtb_tpu.floquet — time-periodic driving", "pythtb_tpu.floquet", None),
     ("pythtb_tpu.unfold — band unfolding", "pythtb_tpu.unfold", None),

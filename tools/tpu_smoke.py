@@ -691,6 +691,26 @@ def main():
           m48a == -1.0 and m48b == 1.0 and abs(abs(c48) - 1.0) < 1e-3,
           "M(1.5)=%+.0f M(2.5)=%+.0f C=%.4f" % (m48a, m48b, c48))
 
+    # 49. CPA disorder (f32): Lloyd exactness (Sigma = -i gamma is the
+    # analytic fixed point, hit in one update) + binary-alloy pins on
+    # the square lattice (CPU-x64: sigma(0) = -0.5910j,
+    # sigma(2) = 0.2392 - 0.2607j, dos = [0.1623, 0.1126])
+    from pythtb_tpu import disorder
+
+    ch49 = ptt.models.chain()
+    r49 = disorder.cpa(ch49, np.array([-1.0, 0.0, 1.0]), 256,
+                       ("lorentzian", 0.3), eta=1e-6)
+    lloyd49 = np.abs(r49["sigma"] + 0.3j).max()
+    sq49 = ptt.models.square(t=-1.0)
+    r49b = disorder.cpa(sq49, np.array([0.0, 2.0]), 48,
+                        ("binary", [0.5, 0.5], [0.9, -0.9]), eta=0.05)
+    dv49 = max(abs(r49b["sigma"][0, 0] - (-0.591028j)),
+               abs(r49b["sigma"][1, 0] - (0.239201 - 0.260658j)))
+    check("CPA Lloyd + binary alloy f32",
+          lloyd49 < 2e-6 and dv49 < 2e-4
+          and np.abs(r49b["dos"] - [0.162277, 0.11259]).max() < 2e-4,
+          "lloyd dev %.1e, binary dev %.1e" % (lloyd49, dv49))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
