@@ -33,7 +33,7 @@ from .utils.continuity import no_2pi
 from .wf_array import wf_array
 from .w90 import w90
 from . import models, parallel
-from . import bdg, disorder, dynamics, ed, entanglement, floquet, geometry, impurity, magnetic, magnon, meanfield, negf, optical, realspace, response, surface, unfold, wannier
+from . import bdg, boltzmann, disorder, dynamics, ed, entanglement, floquet, geometry, impurity, magnetic, magnon, meanfield, negf, optical, realspace, response, surface, unfold, wannier
 from .family import family, ModelFamily
 
 __version__ = "0.2.0"
@@ -43,6 +43,7 @@ PYTHTB_COMPAT_VERSION = "1.8.0"
 __all__ = [
     "tb_model",
     "bdg",
+    "boltzmann",
     "disorder",
     "wf_array",
     "w90",

@@ -1,0 +1,281 @@
+"""Semiclassical Boltzmann transport in the relaxation-time
+approximation (RTA).
+
+Beyond-reference capability (the reference computes no transport at
+all; its velocity story is finite-differencing ``solve_all`` by hand).
+This module evaluates the full RTA transport set of a periodic model
+-- electrical conductivity, Seebeck, electronic thermal conductivity,
+Lorenz number, and the low-field Hall conductivity -- for a whole
+chemical-potential batch in ONE device program.  Everything comes from
+the analytic Convention-I derivative operators
+(:func:`pythtb_tpu.ops.hamiltonian.assemble_dk` /
+:func:`~pythtb_tpu.ops.hamiltonian.assemble_d2k`): band velocities are
+diagonal matrix elements of dH, band inverse-mass tensors come from
+the exact second-order sum rule (the same one behind
+:func:`pythtb_tpu.geometry.drude_weight`), and no finite-difference
+grid stencils appear anywhere.
+
+Formalism (hbar = 1, carrier charge q = -e = -1, energies in the
+model's units, lengths in lattice units).  Linearizing the Boltzmann
+equation ``q (E + v x B) . grad_k g = -(g - f)/tau`` gives
+
+* order E:      ``g1 = q tau (-f') v . E``
+* order E B:    ``g2 = -q^2 tau^2 (-f') E_b (v x B)_d Minv_db``
+  (the f'' term dies because (v x B) . v = 0)
+
+so with ``L_n^{ab}(mu) = (spin / (N_k V_c)) sum_kn (-f')
+(eps - mu)^n v_a v_b``:
+
+* ``sigma_ab = q^2 tau L_0^{ab}``  (Drude-weight identity:
+  ``L_0 = D_drude`` by integration by parts -- the committed
+  cross-oracle against :func:`pythtb_tpu.geometry.drude_weight`),
+* ``S = (1/(q T)) L_0^{-1} L_1`` (Mott relation at low T: tested),
+* ``kappa_e = (tau/T) (L_2 - L_1 L_0^{-1} L_1)`` (Wiedemann-Franz:
+  the Lorenz number tends to pi^2/3 (k_B/e)^2 in a metal -- tested),
+* ``sigma^H_ab;c = -q^3 tau^2 (spin/(N_k V_c)) sum_kn (-f') v_a
+  eps_{dec} v_e Minv_db`` (j_a = sigma^H_ab;c E_b B_c); the Hall
+  COEFFICIENT ``R_H = -(sigma^-1 sigma^H sigma^-1)_yx`` is
+  tau-independent and tends to ``1/(n q)`` in the parabolic dilute
+  limit with the electron/hole sign flip -- both tested.
+
+Insulating chemical potentials are reported as NaN with a warning
+(the RTA response of a gapped system at low T is exponentially small
+and its ratios S, L, R_H are 0/0 -- same guard pattern as the NEGF
+thermoelectrics).
+"""
+
+from __future__ import annotations
+
+import warnings
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .geometry import _prep
+from .model import PythtbError
+from .parallel import mesh as pmesh
+
+__all__ = ["transport_coefficients", "transport_distribution"]
+
+_DEG_TOL = 1e-7
+
+
+def _band_v_minv(static, data, kpts, lat, need_minv=True):
+    """evals (B, S), diagonal velocities vd (B, d, S) and band
+    inverse-mass tensors minv (B, d, d, S) from the exact sum rule."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble, assemble_d2k, assemble_dk
+
+    hp = jax.lax.Precision.HIGHEST
+    H = assemble(static, data, kpts)
+    evals, vecs = eigh_batched(H)
+    latj = jnp.asarray(lat, config.float_dtype()).astype(
+        config.complex_dtype()
+    )
+    dH = assemble_dk(static, data, kpts)
+    dHc = jnp.einsum("ra,brij->baij", latj, dH, precision=hp) / (2.0 * np.pi)
+    V = jnp.einsum("bns,bast,bmt->banm", jnp.conj(vecs), dHc, vecs,
+                   precision=hp)
+    vd = jnp.real(jnp.einsum("bann->ban", V))
+    if not need_minv:
+        return evals, vd, None
+    d2H = assemble_d2k(static, data, kpts)
+    d2c = jnp.einsum("ra,sc,brsij->bacij", latj, latj, d2H,
+                     precision=hp) / ((2.0 * np.pi) ** 2)
+    W2d = jnp.einsum("bns,bacst,bnt->bacn", jnp.conj(vecs), d2c, vecs,
+                     precision=hp)
+    D = evals[:, :, None] - evals[:, None, :]  # D[b, n, m] = e_n - e_m
+    mask = jnp.abs(D) > _DEG_TOL
+    invD = jnp.where(mask, 1.0 / jnp.where(mask, D, 1.0), 0.0)
+    minv = jnp.real(W2d) + 2.0 * jnp.real(jnp.einsum(
+        "banm,bcmn,bnm->bacn", V, V, invD.astype(V.dtype), precision=hp))
+    return evals, vd, minv
+
+
+@partial(jax.jit, static_argnums=(0, 2, 6))
+def _bt_jit(static, data, nk, lat, mus, kt, mesh=None):
+    """(L0, L1, L2) (M, d, d), hall (M, d, d[, d]), n_e (M,) -- raw
+    grid means (no volume/spin/tau factors; applied on host)."""
+    from .ops.solver import device_uniform_grid, shard_grid_axis0
+
+    kpts = device_uniform_grid(nk, jnp.zeros((static.dim_k,),
+                                             config.float_dtype()))
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
+    evals, vd, minv = _band_v_minv(static, data, kpts, lat)
+    hp = jax.lax.Precision.HIGHEST
+    B = evals.shape[0]
+
+    x = (evals[None, :, :] - mus[:, None, None]) / kt  # (M, B, S)
+    f = jax.nn.sigmoid(-x)
+    w = f * (1.0 - f) / kt  # -df/de, positive
+    de = evals[None, :, :] - mus[:, None, None]
+
+    L0 = jnp.einsum("ban,bcn,mbn->mac", vd, vd, w, precision=hp) / B
+    L1 = jnp.einsum("ban,bcn,mbn,mbn->mac", vd, vd, w, de,
+                    precision=hp) / B
+    L2 = jnp.einsum("ban,bcn,mbn,mbn,mbn->mac", vd, vd, w, de, de,
+                    precision=hp) / B
+    n_e = jnp.sum(jnp.mean(f, axis=1), axis=-1)  # (M,) states per cell
+
+    d = static.dim_k
+    if d == 1:
+        hall = jnp.zeros((mus.shape[0], 1, 1))
+    elif d == 2:
+        # B along z: eps_{dez} = [[0, 1], [-1, 0]][d, e]
+        eps2 = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]],
+                           config.float_dtype())
+        hall = jnp.einsum("ban,de,ben,bdcn,mbn->mac", vd, eps2, vd,
+                          minv, w, precision=hp) / B
+    else:
+        eps3 = jnp.zeros((3, 3, 3), config.float_dtype())
+        for i, j, k, s in ((0, 1, 2, 1.0), (1, 2, 0, 1.0), (2, 0, 1, 1.0),
+                           (0, 2, 1, -1.0), (2, 1, 0, -1.0),
+                           (1, 0, 2, -1.0)):
+            eps3 = eps3.at[i, j, k].set(s)
+        hall = jnp.einsum("ban,dec,ben,bdfn,mbn->mafc", vd, eps3, vd,
+                          minv, w, precision=hp) / B
+    return L0, L1, L2, hall, n_e
+
+
+def transport_coefficients(model, mus, temperature, nk, tau=1.0):
+    """RTA transport coefficients for a chemical-potential batch, one
+    device program (the k-grid shards over an active device mesh).
+
+    :param mus: chemical potentials (scalar or 1-D array)
+    :param temperature: k_B T (scalar, model energy units)
+    :param nk: k-grid (int or per-direction sizes)
+    :param tau: relaxation time (constant; hbar = 1 units)
+    :returns: dict of arrays over the mu batch --
+      ``sigma`` (M, d, d) electrical conductivity / e^2,
+      ``seebeck`` (M, d, d) in k_B/e units (negative for electron-like
+      carriers), ``kappa_e`` (M, d, d) electronic thermal conductivity,
+      ``lorenz`` (M,) kappa_xx / (sigma_xx T) (-> pi^2/3 in a metal),
+      ``sigma_hall`` Hall conductivity (M,) for 2-D (B along z) or
+      (M, d, d, d) for 3-D (last axis = B direction),
+      ``hall_coefficient`` (M,) tau-independent R_H (2-D only;
+      ``1/(n q)`` in the dilute limit, q = -1),
+      ``n`` (M,) electron density per cell volume (spin-counted),
+      ``mus``.  Gapped chemical potentials give NaN ratios + warning.
+    """
+    static, data, lat, _ = _prep(model, "transport_coefficients")
+    if np.ndim(nk) == 0:
+        nk = [int(nk)] * static.dim_k
+    nk = tuple(int(n) for n in nk)
+    if len(nk) != static.dim_k or min(nk) < 2:
+        raise PythtbError("nk must give %d sizes >= 2" % static.dim_k)
+    kt = float(temperature)
+    if kt <= 0:
+        raise PythtbError("temperature must be positive")
+    tau = float(tau)
+    mus = np.atleast_1d(np.asarray(mus, dtype=float))
+    ftype = config.float_dtype()
+    L0, L1, L2, hall, n_e = jax.device_get(_bt_jit(
+        static, data, nk, jnp.asarray(lat, ftype),
+        jnp.asarray(mus, ftype), jnp.asarray(kt, ftype),
+        pmesh.current_mesh(),
+    ))
+    L0 = np.asarray(L0, dtype=np.float64)
+    L1 = np.asarray(L1, dtype=np.float64)
+    L2 = np.asarray(L2, dtype=np.float64)
+    hall = np.asarray(hall, dtype=np.float64)
+    n_e = np.asarray(n_e, dtype=np.float64)
+
+    vol = abs(np.linalg.det(lat))
+    spin = 2.0 if static.nspin == 1 else 1.0
+    norm = spin / vol
+    L0, L1, L2, hall = (norm * L0, norm * L1, norm * L2, norm * hall)
+    n_e = spin * n_e / vol
+
+    q = -1.0  # electron charge in units of e
+    d = static.dim_k
+    M = mus.shape[0]
+    sigma = tau * L0  # q^2 = 1
+    # insulator guard: L0 exponentially small -> ratios are 0/0
+    floor = max(np.max(np.trace(L0, axis1=1, axis2=2)), 0.0) * 1e-10 + 1e-300
+    dead = np.trace(L0, axis1=1, axis2=2) < floor
+    if np.any(dead):
+        warnings.warn(
+            "transport_coefficients: %d of %d chemical potentials sit "
+            "in a gap (sigma below the resolution floor); their "
+            "Seebeck / Lorenz / Hall-coefficient entries are NaN"
+            % (int(dead.sum()), M), stacklevel=2)
+    seebeck = np.full((M, d, d), np.nan)
+    kappa = np.full((M, d, d), np.nan)
+    lorenz = np.full(M, np.nan)
+    for i in range(M):
+        if dead[i]:
+            continue
+        inv0 = np.linalg.inv(L0[i])
+        seebeck[i] = inv0 @ L1[i] / (q * kt)
+        kappa[i] = (tau / kt) * (L2[i] - L1[i] @ inv0 @ L1[i])
+        lorenz[i] = kappa[i][0, 0] / (sigma[i][0, 0] * kt)
+    out = {
+        "mus": mus,
+        "sigma": sigma,
+        "seebeck": seebeck,
+        "kappa_e": kappa,
+        "lorenz": lorenz,
+        "n": n_e,
+    }
+    if d == 2:
+        sig_h = -(q ** 3) * tau ** 2 * hall[:, :, :]  # (M, d, d)
+        out["sigma_hall"] = sig_h[:, 0, 1]
+        rh = np.full(M, np.nan)
+        for i in range(M):
+            if dead[i]:
+                continue
+            inv0 = np.linalg.inv(sigma[i])
+            rh[i] = -(inv0 @ sig_h[i] @ inv0)[1, 0]
+        out["hall_coefficient"] = rh
+    elif d == 3:
+        out["sigma_hall"] = -(q ** 3) * tau ** 2 * hall
+    return out
+
+
+def transport_distribution(model, energies, nk, smearing=0.05):
+    """Transport distribution function ``Sigma_ab(eps) =
+    (spin/(N_k V_c)) sum_kn v_a v_b delta(eps - eps_kn)`` with a
+    Gaussian delta of width ``smearing`` -- the energy-resolved weight
+    whose Fermi-window integrals are the ``L_n`` of
+    :func:`transport_coefficients` (BoltzTraP-style spectral view).
+
+    :returns: (nE, d, d) float array
+    """
+    static, data, lat, _ = _prep(model, "transport_distribution")
+    if np.ndim(nk) == 0:
+        nk = [int(nk)] * static.dim_k
+    nk = tuple(int(n) for n in nk)
+    if len(nk) != static.dim_k or min(nk) < 2:
+        raise PythtbError("nk must give %d sizes >= 2" % static.dim_k)
+    if float(smearing) <= 0:
+        raise PythtbError("smearing must be positive")
+    energies = np.atleast_1d(np.asarray(energies, dtype=float))
+    ftype = config.float_dtype()
+    td = jax.device_get(_tdf_jit(
+        static, data, nk, jnp.asarray(lat, ftype),
+        jnp.asarray(energies, ftype), jnp.asarray(float(smearing), ftype),
+        pmesh.current_mesh(),
+    ))
+    spin = 2.0 if static.nspin == 1 else 1.0
+    return spin * np.asarray(td, dtype=np.float64) / abs(np.linalg.det(lat))
+
+
+@partial(jax.jit, static_argnums=(0, 2, 6))
+def _tdf_jit(static, data, nk, lat, energies, smear, mesh=None):
+    from .ops.solver import device_uniform_grid, shard_grid_axis0
+
+    kpts = device_uniform_grid(nk, jnp.zeros((static.dim_k,),
+                                             config.float_dtype()))
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
+    evals, vd, _ = _band_v_minv(static, data, kpts, lat, need_minv=False)
+    B = evals.shape[0]
+    x = (energies[:, None, None] - evals[None, :, :]) / smear
+    g = jnp.exp(-0.5 * x * x) / (smear * np.sqrt(2.0 * np.pi))
+    return jnp.einsum("ban,bcn,ebn->eac", vd, vd, g,
+                      precision=jax.lax.Precision.HIGHEST) / B

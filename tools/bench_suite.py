@@ -496,6 +496,26 @@ def run_suite():
            "256-omega binary-alloy CPA; x64 CPU 32.3 s; DOS weight "
            "%.4f/3, dos(0) dev %.1e" % (w29, abs(r29["dos"][128] - 0.473439)))
 
+    # -- row 30: Boltzmann transport sweep, Haldane 201 mu x 512^2 k --
+    # one program: eigh + velocity/Hessian einsums for the full RTA
+    # set incl. the low-field Hall tensor (CPU x64 steady 5.0 s)
+    from pythtb_tpu import boltzmann
+
+    mus30 = np.linspace(-4.0, 4.0, 201)
+
+    def _bt():
+        return boltzmann.transport_coefficients(hal, mus30, 0.05, 512,
+                                                tau=1.0)
+
+    wall, r30 = _timed(_bt, n=2)
+    i30 = int(np.argmin(np.abs(mus30 + 2.0)))
+    report("boltzmann_sweep_haldane", None, wall,
+           abs(r30["sigma"][i30, 0, 0] - 0.279203) < 3e-3
+           and abs(r30["seebeck"][i30, 0, 0] + 0.127144) < 3e-3
+           and abs(r30["sigma_hall"][i30] + 0.107893) < 3e-3,
+           "201-mu RTA set on 512^2 grid; x64 CPU 5.0 s; "
+           "sigma(-2) dev %.1e" % abs(r30["sigma"][i30, 0, 0] - 0.279203))
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

@@ -711,6 +711,23 @@ def main():
           and np.abs(r49b["dos"] - [0.162277, 0.11259]).max() < 2e-4,
           "lloyd dev %.1e, binary dev %.1e" % (lloyd49, dv49))
 
+    # 50. Boltzmann RTA transport (f32): square-lattice pins (CPU-x64:
+    # sigma = [0.062977, 0.607057], S = [-0.782348, -0.053831],
+    # R_H*n(-3.8) = -0.9998, Lorenz(-1.7) = 3.2797)
+    from pythtb_tpu import boltzmann
+
+    r50 = boltzmann.transport_coefficients(
+        ptt.models.square(t=-1.0), [-3.8, -1.7], 0.05, 128, tau=1.0)
+    dv50 = max(
+        abs(r50["sigma"][0, 0, 0] - 0.062977),
+        abs(r50["sigma"][1, 0, 0] - 0.607057),
+        abs(r50["seebeck"][1, 0, 0] + 0.053831),
+        abs(r50["hall_coefficient"][0] * r50["n"][0] + 0.999755),
+        abs(r50["lorenz"][1] - 3.279725),
+    )
+    check("Boltzmann RTA transport f32", dv50 < 5e-3,
+          "max pin dev %.1e (sigma/S/R_H/Lorenz)" % dv50)
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
