@@ -516,6 +516,30 @@ def run_suite():
            "201-mu RTA set on 512^2 grid; x64 CPU 5.0 s; "
            "sigma(-2) dev %.1e" % abs(r30["sigma"][i30, 0, 0] - 0.279203))
 
+    # -- row 31: phonon thermal-conductivity map, 40 T x 768^2 k -----
+    # honeycomb spring lattice: dynamical-matrix eigh + Hellmann-
+    # Feynman velocities in one program (CPU x64 steady 5.7 s)
+    from pythtb_tpu import phonon
+
+    fm31 = phonon.force_model([[1, 0], [0.5, np.sqrt(3) / 2]],
+                              [[1 / 3, 1 / 3], [2 / 3, 2 / 3]])
+    fm31.set_spring(1.0, 0, 1, [0, 0], kt=0.25)
+    fm31.set_spring(1.0, 1, 0, [1, 0], kt=0.25)
+    fm31.set_spring(1.0, 1, 0, [0, 1], kt=0.25)
+    Ts31 = np.linspace(0.05, 1.0, 40)
+
+    def _kph():
+        return phonon.thermal_conductivity(fm31, Ts31, 768)
+
+    wall, k31 = _timed(_kph, n=2)
+    wM31 = phonon.bands(fm31, [[0.5, 0.0]])[0]
+    report("phonon_kappa_map_honeycomb", None, wall,
+           abs(np.interp(0.5, Ts31, k31[:, 0, 0]) - 0.074135) < 1e-3
+           and np.abs(wM31 - [0.707107, 1.322876, 1.414214,
+                              1.802776]).max() < 1e-3,
+           "40-T RTA kappa on 768^2 grid; x64 CPU 5.7 s; kap(0.5) "
+           "dev %.1e" % abs(np.interp(0.5, Ts31, k31[:, 0, 0]) - 0.074135))
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

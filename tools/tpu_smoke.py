@@ -728,6 +728,28 @@ def main():
     check("Boltzmann RTA transport f32", dv50 < 5e-3,
           "max pin dev %.1e (sigma/S/R_H/Lorenz)" % dv50)
 
+    # 51. phonons (f32): diatomic-chain analytic dispersion, ASR zero
+    # modes, honeycomb M-point pins (x64: [0.70711, 1.32288, 1.41421,
+    # 1.80278]), heat capacity C(0.5) = 2.40958
+    from pythtb_tpu import phonon
+
+    fm51 = phonon.force_model([[1, 0], [0.5, np.sqrt(3) / 2]],
+                              [[1 / 3, 1 / 3], [2 / 3, 2 / 3]])
+    fm51.set_spring(1.0, 0, 1, [0, 0], kt=0.25)
+    fm51.set_spring(1.0, 1, 0, [1, 0], kt=0.25)
+    fm51.set_spring(1.0, 1, 0, [0, 1], kt=0.25)
+    w51g = phonon.bands(fm51, [[0.0, 0.0]])[0]
+    w51m = phonon.bands(fm51, [[0.5, 0.0]])[0]
+    c51 = phonon.heat_capacity(fm51, [0.5], 128)[0]
+    dv51 = max(
+        float(np.abs(w51g[:2]).max()),
+        float(np.abs(w51m - [0.707107, 1.322876, 1.414214,
+                             1.802776]).max()),
+        abs(c51 - 2.409578),
+    )
+    check("phonon bands/ASR/heat capacity f32", dv51 < 2e-3,
+          "max dev %.1e (Gamma ASR, M pins, C(0.5))" % dv51)
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
