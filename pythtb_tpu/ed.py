@@ -231,14 +231,45 @@ def _eigh_dev(h_ri):
     return w[0], pack_cplx(v[0])
 
 
-def solve_sector(H):
+def solve_sector(H, refine=24):
     """Eigendecomposition of a dense sector Hamiltonian on device.
 
     Returns host ``(evals, evecs)`` with evecs ROWS as states
     (ascending), matching the package eigensolver convention.
-    """
+
+    ``refine``: the lowest ``refine`` eigenpairs are re-extracted on
+    host in float64 by a Rayleigh-Ritz pass over the Krylov-enriched
+    subspace ``[V, H V]`` of the device states.  The TPU f32 eigh
+    (QDWH-based) carries eigenvalue errors up to ~1e-3 * ||H|| on
+    dense interacting sectors -- measured: the 6-site Hubbard-ring
+    gap came back 0.824 instead of 0.770 on hardware.  Refinement
+    squares the residual (f32 vectors are ~1e-3 accurate, refined
+    eigenvalues ~1e-6), restoring gap-grade accuracy while keeping
+    the O(dim^3) eigh on device.  Host cost is O(refine^2 * dim).
+    Set ``refine=0`` to skip (e.g. when only the bulk spectrum
+    matters, as in KPM-grade spectral sweeps)."""
     w, v_ri = _eigh_dev(host_pack(H))
-    return np.asarray(jax.device_get(w), dtype=np.float64), host_unpack(v_ri)
+    w = np.array(jax.device_get(w), dtype=np.float64)
+    v = np.array(host_unpack(v_ri))
+    m = min(int(refine), len(w))
+    if m > 0:
+        Hd = np.asarray(H, dtype=complex)
+        V = v[:m]  # rows are states
+        HV = V @ Hd.T.conj()
+        # span{V, HV, H^2 V}: two Krylov powers quarter the residual
+        # twice over -- measured on hardware, the 6-site Hubbard gap
+        # went 0.824 (raw f32) -> 0.772 (one power) -> pin 0.770
+        S = np.concatenate([V, HV, HV @ Hd.T.conj()], axis=0)
+        # orthonormalize rows (QR on the transpose), drop rank-deficient
+        q, r = np.linalg.qr(S.T)
+        keep = np.abs(np.diag(r)) > 1e-10 * max(np.abs(np.diag(r)).max(), 1e-300)
+        Q = q[:, keep]  # (N, <=2m) columns orthonormal
+        Hs = Q.conj().T @ Hd @ Q
+        ws, vs = np.linalg.eigh(0.5 * (Hs + Hs.conj().T))
+        take = min(m, len(ws))
+        w[:take] = ws[:take]
+        v[:take] = (Q @ vs[:, :take]).T
+    return w, v
 
 
 # ---------------------------------------------------------------------------

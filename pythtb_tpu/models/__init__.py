@@ -21,6 +21,7 @@ from .library import (
     fu_kane_mele,
     graphene,
     haldane,
+    qwz,
     kagome,
     kane_mele,
     lieb,
@@ -41,6 +42,7 @@ __all__ = [
     "graphene",
     "bn",
     "haldane",
+    "qwz",
     "kane_mele",
     "three_site_chain",
     "cscl",

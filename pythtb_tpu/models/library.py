@@ -229,6 +229,27 @@ def kagome(t=-1.0):
     return m
 
 
+def qwz(u=1.0):
+    """Qi-Wu-Zhang Chern insulator (PRB 74, 085308 (2006)): two
+    orbitals (s, p_x + i p_y) per square-lattice site,
+
+        H(k) = sin kx sx + sin ky sy + (u + cos kx + cos ky) sz.
+
+    Chern number of the lower band: -1 for -2 < u < 0, +1 for
+    0 < u < 2, 0 for |u| > 2.  The C4 symmetry needs the orbital
+    characters ``l=[0, 1]`` (see :func:`pythtb_tpu.symmetry
+    .find_symmetries`)."""
+    m_ = tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0], [0.0, 0.0]])
+    m_.set_onsite([u, -u])
+    tx = 0.5 * np.array([[1.0, -1.0j], [-1.0j, -1.0]])
+    ty = 0.5 * np.array([[1.0, -1.0], [1.0, -1.0]])
+    for tmat, lv in ((tx, [1, 0]), (ty, [0, 1])):
+        for i in range(2):
+            for j in range(2):
+                m_.set_hop(tmat[i, j], i, j, lv)
+    return m_
+
+
 def bhz(a=1.0, b=1.0, c=0.0, d=0.0, m=-1.0):
     """Bernevig-Hughes-Zhang quantum spin Hall model (Science 314,
     1757 (2006)) regularized on the square lattice: two orbitals (s, p)

@@ -450,8 +450,46 @@ def thermoelectrics(lead_model, mu, temperature, device=None,
         )
         n_use = 50001
     Es = np.linspace(float(e_window[0]), float(e_window[1]), n_use)
-    T = landauer_transmission(lead_model, Es, device=device, eta=eta,
-                              iters=iters)
+    T = np.asarray(landauer_transmission(lead_model, Es, device=device,
+                                         eta=eta, iters=iters),
+                   dtype=np.float64)
+    # f32 hardware: the Sancho-Rubio recursion overflows to NaN at
+    # isolated energies (band-edge tangencies) even when the bulk of
+    # the grid is fine -- measured: 17/201 NaN on the graphene ribbon
+    # at eta=1e-5, poisoning every L_n integral (WF read NaN on the
+    # chip).  Escalate eta locally on the failing energies, then
+    # interpolate any holdouts from finite neighbors (a dense grid,
+    # dE <= kT/4, so linear fill-in is far below integration error).
+    bad = ~np.isfinite(T)
+    n_bad0 = int(bad.sum())
+    esc = float(eta)
+    for _ in range(2):
+        if not bad.any():
+            break
+        esc *= 32.0
+        T[bad] = np.asarray(landauer_transmission(
+            lead_model, Es[bad], device=device, eta=esc, iters=iters),
+            dtype=np.float64)
+        bad = ~np.isfinite(T)
+    n_holdout = int(bad.sum())
+    if bad.any():
+        good = np.where(~bad)[0]
+        if len(good) < 2:
+            raise PythtbError(
+                "thermoelectrics: transmission is non-finite on "
+                "essentially the whole grid -- raise eta"
+            )
+        T[bad] = np.interp(np.where(bad)[0], good, T[good])
+    if n_bad0:
+        warnings.warn(
+            "thermoelectrics: decimation overflowed at %d of %d "
+            "energies (f32 recursion at eta=%.1e); recomputed them at "
+            "escalated eta=%.1e%s" % (
+                n_bad0, len(Es), eta, esc,
+                " and interpolated %d holdouts" % n_holdout
+                if n_holdout else ""),
+            UserWarning, stacklevel=2,
+        )
     dE = Es[1] - Es[0]
     # numerical noise floor for L0: a gap's true L0 is exponentially
     # small, but eta-broadening leaks T ~ (eta/gap)^2 into the gap and

@@ -377,10 +377,30 @@ def test_drude_weight_vs_superfluid_limit():
 
 def test_superfluid_step_resolution_warning():
     """Regression: a twist step that cannot resolve delta/bandwidth
-    silently underestimated D_s by ~13% -- now warns."""
+    silently underestimated D_s by ~13% -- now warns (fd path only;
+    the analytic default has no step)."""
     sq = ptt.models.square(t=-1.0)
     with pytest.warns(UserWarning, match="underestimate"):
-        geometry.superfluid_weight(sq, -1.0, 0.002, nk=(8, 8))
+        geometry.superfluid_weight(sq, -1.0, 0.002, nk=(8, 8),
+                                   method="fd")
+
+
+def test_superfluid_analytic_matches_fd():
+    """The analytic (Daleckii-Krein) Hessian == the finite-difference
+    stencil at its own truncation level, gapped and metallic cases.
+    The analytic route exists because the fd stencil cancels to zero
+    in f32 on hardware (measured: Lieb D_xx read 0.0; analytic reads
+    0.2116625 vs the 0.211662 x64 pin)."""
+    lieb = ptt.models.lieb()
+    Da = geometry.superfluid_weight(lieb, 0.0, 0.3, nk=(12, 12))
+    Df = geometry.superfluid_weight(lieb, 0.0, 0.3, nk=(12, 12),
+                                    method="fd")
+    np.testing.assert_allclose(Da, Df, atol=5e-7)
+    sq = ptt.models.square(t=-1.0)
+    Da2 = geometry.superfluid_weight(sq, -0.7, 0.22, nk=(18, 18))
+    Df2 = geometry.superfluid_weight(sq, -0.7, 0.22, nk=(18, 18),
+                                     method="fd")
+    np.testing.assert_allclose(Da2, Df2, atol=1e-6)
 
 
 def test_drude_spin_convention():

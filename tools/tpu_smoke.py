@@ -519,14 +519,18 @@ def main():
     # 38. real-time harmonics (f32): linear channel vs Kubo pin + SHG
     from pythtb_tpu import optical as opt38
 
+    # field 0.05 (not 1e-3): the SHG current scales as E^2 and must sit
+    # above the f32 real-time roundoff floor (measured: at E = 1e-3 the
+    # 2-omega channel reads pure noise on hardware, -0.0002j vs 0.0301j;
+    # the response stays perturbative to E = 0.05 -- sigma2 moves 0.3%)
     bn38 = ptt.models.bn(delta=1.0)
-    rh = opt38.harmonic_spectrum(bn38, 0.6, 1e-3, occ=[0], nk=(36, 36),
+    rh = opt38.harmonic_spectrum(bn38, 0.6, 0.05, occ=[0], nk=(36, 36),
                                  cycles=24, ramp_cycles=8,
                                  steps_per_cycle=72)
     check("real-time harmonics f32",
-          abs(rh["sigma1"][0] - (-0.140661j)) < 2e-3
-          and abs(rh["sigma2"][1] - 0.030100j) < 1e-3,
-          "s1=%.5fj s2=%.5fj (x64: -0.14066j, 0.03010j)"
+          abs(rh["sigma1"][0] - (-0.140733j)) < 2e-3
+          and abs(rh["sigma2"][1] - 0.030187j) < 1e-3,
+          "s1=%.5fj s2=%.5fj (x64: -0.14073j, 0.03019j)"
           % (rh["sigma1"][0].imag, rh["sigma2"][1].imag))
 
     # 39. valley Chern + strain pseudo-field (f32)
