@@ -754,6 +754,23 @@ def main():
     check("phonon bands/ASR/heat capacity f32", dv51 < 2e-3,
           "max dev %.1e (Gamma ASR, M pins, C(0.5))" % dv51)
 
+    # 52. symmetry indicators (f32 device diagonalizations inside):
+    # Haldane C3 indicator, delta=0 C6, QWZ C4 with l=[0,1] characters
+    from pythtb_tpu import symmetry
+
+    r52a = symmetry.chern_indicator(haldane(), occ=[0])
+    r52b = symmetry.chern_indicator(zoo_models.haldane(delta=0.0), occ=[0])
+    r52c = symmetry.chern_indicator(zoo_models.qwz(1.0), occ=[0],
+                                    l=[0, 1])
+    pg52, _ = symmetry.point_group(zoo_models.graphene())
+    check("symmetry chern indicators f32",
+          (r52a["n"], r52a["c_mod_n"]) == (3, 2)
+          and (r52b["n"], r52b["c_mod_n"]) == (6, 5)
+          and (r52c["n"], r52c["c_mod_n"]) == (4, 3)
+          and pg52 == "C6v",
+          "C3:%d C6:%d C4:%d pg=%s (x64: 2, 5, 3, C6v)"
+          % (r52a["c_mod_n"], r52b["c_mod_n"], r52c["c_mod_n"], pg52))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
