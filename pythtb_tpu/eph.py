@@ -1,0 +1,418 @@
+"""Electron-phonon coupling from bond-length (Peierls/SSH) modulation.
+
+The reference has no lattice-dynamics or coupling machinery at all;
+this module closes the loop between the electronic hop table
+(:mod:`pythtb_tpu.model`), the harmonic force-constant models
+(:mod:`pythtb_tpu.phonon`) and transport: it builds the first-principles
+*of the tight-binding world* e-ph vertex -- every hopping depends on its
+bond length through the standard exponential rule
+
+    t(d) = t0 * exp(-beta (d/d0 - 1)),    dt/d(u) = -(beta/d0) t dhat
+
+(the same ``beta`` convention as :func:`pythtb_tpu.models.apply_strain`)
+-- and the derived spectroscopic/transport quantities:
+
+* :func:`coupling` -- the vertex g_{mn,nu}(k, q) between band states,
+  with the zero-point normalization 1/sqrt(2 omega) (hbar = 1):
+  ``H_eph = sum g c^+_{k+q,m} c_{k,n} (b_{q,nu} + b^+_{-q,nu})``.
+* :func:`linewidths` -- phonon-limited electron linewidths
+  Gamma_n(k) = 2 pi sum_{m,nu,q} |g|^2 [(n+f) delta(e-w-e') +
+  (n+1-f) delta(e+w-e')] on a device q-grid (Fermi golden rule,
+  Gaussian-smeared), one compiled program.
+* :func:`eliashberg` -- the Eliashberg spectral function
+  alpha^2 F(omega) on the Fermi surface and the mass-enhancement
+  lambda = 2 int alpha^2F / omega.
+
+Derivation (the phase bookkeeping, in the cell-periodic convention
+``|chi_a(k)> = sum_c e^{2 pi i k.c}|c,a>`` and the phonon package's
+lattice-gauge displacement pattern ``u_kappa(c) = A_kappa e^{2 pi i
+q.c}`` with ``A_kappa = e_{nu,kappa} / sqrt(2 m_kappa omega_nu)``):
+a stored hop (i -> j, R, t) contributes
+
+    dH(k, q)_{ij} += e^{2 pi i k.R} t'(d0) dhat . (A_j e^{2 pi i q.R}
+                                                  - A_i)
+
+and its Hermitian partner (j -> i, -R, conj t)
+
+    dH(k, q)_{ji} += e^{-2 pi i k.R} conj(t') (-dhat) .
+                     (A_i e^{-2 pi i q.R} - A_j).
+
+At q = 0 with real A these two are conjugate (dH Hermitian); for a
+uniform (acoustic, q -> 0) pattern they cancel exactly -- the acoustic
+sum rule, a committed test.  The whole construction (both terms, all
+phases, the band projection) is pinned at machine precision by the
+frozen-phonon oracle in the tests: displace a supercell's orbitals by
+the real part of the monochromatic pattern, rebuild the hop table with
+the bond-length rule in independent host code, finite-difference the
+supercell Bloch Hamiltonian and unfold -- the (k+q, k) block equals
+dH(k, q).
+
+Requirements: spinless electronic model (``nspin == 1``), a
+:class:`pythtb_tpu.phonon.force_model` whose atoms carry the orbitals
+(``atom_of`` maps orbital -> atom; default the identity, which assumes
+one orbital per atom at matching positions).
+"""
+
+from __future__ import annotations
+
+import warnings
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .model import PythtbError
+from .phonon import force_model, _solve as _ph_solve
+
+__all__ = ["coupling", "linewidths", "eliashberg"]
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _prep(model, fc, beta, atom_of):
+    """Validate and extract the doubled hop-geometry table.
+
+    Returns dict of host arrays: per DIRECTED hop (both directions of
+    every stored bond): i, j (orbital), ai, aj (atom), R (dim_k ints),
+    tp (complex derivative prefactor t'(d0) = -beta t / d0), dhat
+    (Cartesian unit bond vector i -> j)."""
+    if model._nspin != 1:
+        raise PythtbError("eph: spinless electronic models only")
+    if not isinstance(fc, force_model):
+        raise PythtbError("eph: fc must be a phonon.force_model")
+    if model._dim_k != model._dim_r:
+        raise PythtbError("eph: fully periodic models only")
+    if fc._dim_k != model._dim_k or fc._dim_r != model._dim_r:
+        raise PythtbError("eph: electron and phonon models disagree "
+                          "on dimensionality")
+    norb = model._norb
+    if atom_of is None:
+        if fc._natom != norb:
+            raise PythtbError(
+                "eph: %d orbitals vs %d atoms -- pass atom_of"
+                % (norb, fc._natom))
+        atom_of = np.arange(norb)
+    atom_of = np.asarray(atom_of, dtype=np.int64)
+    if atom_of.shape != (norb,) or atom_of.min() < 0 or \
+            atom_of.max() >= fc._natom:
+        raise PythtbError("eph: bad atom_of map")
+    # orbital positions must ride their atoms
+    lat = np.asarray(model._lat, dtype=np.float64)
+    dpos = (np.asarray(model._orb) - np.asarray(fc._pos)[atom_of])
+    if np.abs(dpos - np.round(dpos)).max() > 1e-6:
+        raise PythtbError(
+            "eph: orbital positions do not sit on their atoms "
+            "(max reduced mismatch %.2e)" % np.abs(
+                dpos - np.round(dpos)).max())
+    ii, jj, RR, tp, dh = [], [], [], [], []
+    for hop in model._hoppings:
+        amp, i, j = complex(hop[0]), hop[1], hop[2]
+        R = np.asarray(hop[3], dtype=np.int64)
+        dvec = (np.asarray(model._orb[j]) + R
+                - np.asarray(model._orb[i])) @ lat
+        d0 = float(np.linalg.norm(dvec))
+        if d0 < 1e-12:
+            continue  # coincident orbitals: bond length is frozen
+        dhat = dvec / d0
+        fpr = -float(beta) / d0
+        # stored direction
+        ii.append(i); jj.append(j); RR.append(R)
+        tp.append(fpr * amp); dh.append(dhat)
+        # Hermitian partner
+        ii.append(j); jj.append(i); RR.append(-R)
+        tp.append(fpr * np.conj(amp)); dh.append(-dhat)
+    if not ii:
+        raise PythtbError("eph: the model has no finite-length bonds")
+    return {
+        "i": np.asarray(ii, dtype=np.int64),
+        "j": np.asarray(jj, dtype=np.int64),
+        "R": np.asarray(RR, dtype=np.float64),
+        "tp": np.asarray(tp, dtype=complex),
+        "dhat": np.asarray(dh, dtype=np.float64),
+        "atom_of": atom_of,
+        "norb": norb,
+        "d": model._dim_r,
+    }
+
+
+def _dH_host(geom, fc, k, q, modes=None):
+    """Host reference: dH(k, q) (nmode_sel, norb, norb) complex and
+    omega -- used by :func:`coupling` and as the single home of the
+    vertex formula (the device kernel mirrors it)."""
+    d = geom["d"]
+    omega, vecs = _ph_solve(fc, np.atleast_2d(q), want_vectors=True)
+    omega, vecs = omega[0], vecs[0]  # (nmode,), rows are modes
+    nmode = len(omega)
+    sel = range(nmode) if modes is None else modes
+    misq = 1.0 / np.sqrt(fc._mass)
+    out = []
+    w_out = []
+    for nu in sel:
+        w = float(omega[nu])
+        if w < 1e-9:
+            # zero/acoustic-at-Gamma mode: the 1/sqrt(2w) factor
+            # diverges but the bare vertex vanishes; report 0
+            zp = 0.0
+        else:
+            zp = 1.0 / np.sqrt(2.0 * w)
+        e = vecs[nu].reshape(fc._natom, d)
+        A = (misq[:, None] * e) * zp  # (natom, d)
+        Ai = A[geom["atom_of"][geom["i"]]]  # (nh, d)
+        Aj = A[geom["atom_of"][geom["j"]]]
+        phk = np.exp(2.0j * np.pi * (geom["R"] @ np.asarray(k, float)))
+        phq = np.exp(2.0j * np.pi * (geom["R"] @ np.asarray(q, float)))
+        coef = geom["tp"] * phk * np.einsum(
+            "hd,hd->h", geom["dhat"], Aj * phq[:, None] - Ai)
+        dH = np.zeros((geom["norb"], geom["norb"]), complex)
+        np.add.at(dH, (geom["i"], geom["j"]), coef)
+        out.append(dH)
+        w_out.append(w)
+    return np.asarray(w_out), np.asarray(out)
+
+
+def coupling(model, fc, beta, k, q, atom_of=None, band_basis=True,
+             occ=None):
+    """The e-ph vertex at a single (k, q) pair, host-facing.
+
+    :returns: dict with ``"omega"`` (nmode,), ``"g"`` (nmode, nsta,
+      nsta) -- in the band basis ``g[nu, m, n] = <m, k+q|dH|n, k>``
+      when ``band_basis`` (default), else the orbital-basis dH(k, q).
+    """
+    geom = _prep(model, fc, beta, atom_of)
+    k = np.asarray(k, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    omega, dH = _dH_host(geom, fc, k, q)
+    if not band_basis:
+        return {"omega": omega, "g": dH}
+    orb = np.asarray(model._orb)
+
+    def _vec2(kpt):
+        H = np.asarray(model.gen_ham([list(kpt)])[0], dtype=complex)
+        ph = np.exp(2.0j * np.pi * (orb @ kpt))
+        H2 = ph[:, None] * H * np.conj(ph)[None, :]
+        w, v = np.linalg.eigh(H2)
+        return w, v  # columns are states (conv II)
+
+    _, vk = _vec2(k)
+    _, vkq = _vec2(k + q)
+    g = np.einsum("am,uab,bn->umn", np.conj(vkq), dH, vk)
+    return {"omega": omega, "g": g}
+
+
+# ---------------------------------------------------------------------------
+# device kernel: batched |g|^2 over a q-grid at one k
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _gsq_qbatch_jit(static, data, kpt, nkq, orbs, hop_i, hop_j, hop_R,
+                    tp_ri, hop_dhat, atom_idx, ph_w, ph_vecs_ri, misq):
+    """One electron k-point against the full q-grid: returns
+    (|g|^2 (B, nmode, S, S), e(k) (S,), e(k+q) (B, S)).
+
+    ``kpt`` is a traced (d,) array -- one compile serves every k.
+    ``ph_vecs_ri`` are the ri-packed mass-weighted mode rows on the
+    SAME q-grid ordering as ``device_uniform_grid(nkq)`` (C-order),
+    ``tp_ri`` the ri-packed hop derivative prefactors (complex host
+    constants never cross raw)."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble
+    from .ops.solver import device_uniform_grid
+    from .utils.xfer import unpack_cplx
+
+    ftype = config.float_dtype()
+    ctype = config.complex_dtype()
+    d = orbs.shape[1]
+    qg = device_uniform_grid(nkq, jnp.zeros((d,), ftype))  # (B, d)
+    B = qg.shape[0]
+    k = kpt.astype(ftype)
+    kall = jnp.concatenate([k[None], k[None] + qg], axis=0)
+    H = assemble(static, data, kall)
+    evals, vecs = eigh_batched(H)  # rows are states (conv I)
+    # conv I -> conv II: v_II[n, a] = e^{2 pi i k.t_a} v_I[n, a]
+    pht = jnp.exp(2.0j * jnp.pi * jnp.einsum(
+        "bd,ad->ba", kall.astype(ctype), orbs.astype(ctype),
+        precision=_HP))
+    v2 = vecs * pht[:, None, :]
+    ek, vk = evals[0], v2[0]          # (S,), (S, S)
+    ekq, vkq = evals[1:], v2[1:]      # (B, S), (B, S, S)
+    # phonon amplitudes A (B, nmode, natom, d)
+    w = ph_w
+    nmode = w.shape[1]
+    e = unpack_cplx(ph_vecs_ri).reshape(B, nmode, -1, d)
+    zp = jnp.where(w > 1e-7,
+                   1.0 / jnp.sqrt(2.0 * jnp.maximum(w, 1e-30)), 0.0)
+    A = e * misq[None, None, :, None] * zp[:, :, None, None].astype(
+        e.dtype)
+    Ai = A[:, :, atom_idx[hop_i]]  # (B, nmode, nh, d)
+    Aj = A[:, :, atom_idx[hop_j]]
+    phk = jnp.exp(2.0j * jnp.pi * jnp.einsum(
+        "hd,d->h", hop_R.astype(ctype), k.astype(ctype),
+        precision=_HP))
+    phq = jnp.exp(2.0j * jnp.pi * jnp.einsum(
+        "hd,bd->bh", hop_R.astype(ctype), qg.astype(ctype),
+        precision=_HP))
+    bond = jnp.einsum("hd,buhd->buh", hop_dhat.astype(ctype),
+                      Aj * phq[:, None, :, None] - Ai, precision=_HP)
+    tp = (tp_ri[:, 0] + 1.0j * tp_ri[:, 1]).astype(ctype)
+    coef = tp[None, None, :] * phk[None, None, :] * bond
+    # hops -> dH (B, nmode, S, S) via one-hot matmuls (TPU: scatters
+    # with duplicate indices serialize; this stays on the MXU)
+    S = vk.shape[-1]
+    oh_i = jax.nn.one_hot(hop_i, S, dtype=coef.dtype)  # (nh, S)
+    oh_j = jax.nn.one_hot(hop_j, S, dtype=coef.dtype)
+    dH = jnp.einsum("buh,hp,hr->bupr", coef, oh_i, oh_j, precision=_HP)
+    g = jnp.einsum("bmp,bupr,nr->bumn", jnp.conj(vkq), dH, vk,
+                   precision=_HP)
+    return jnp.abs(g) ** 2, ek, ekq
+
+
+def _gauss(x, s):
+    return np.exp(-0.5 * (x / s) ** 2) / (s * np.sqrt(2.0 * np.pi))
+
+
+def _qgrid_setup(model, fc, beta, atom_of, nkq):
+    """Host prep shared by linewidths/eliashberg: geometry table,
+    the phonon solve on the q-grid (same C-order as
+    device_uniform_grid), and the ri-packed device arrays."""
+    from .utils.xfer import host_pack
+
+    geom = _prep(model, fc, beta, atom_of)
+    d = geom["d"]
+    nkq = tuple(int(n) for n in np.atleast_1d(nkq))
+    if len(nkq) != d:
+        raise PythtbError("eph: nkq must give %d sizes" % d)
+    grids = [np.arange(n) / float(n) for n in nkq]
+    qg = np.stack(np.meshgrid(*grids, indexing="ij"),
+                  axis=-1).reshape(-1, d)
+    ph_w, ph_vecs = _ph_solve(fc, qg, want_vectors=True)
+    ph_w = np.maximum(ph_w, 0.0)
+    ftype = config.float_dtype()
+    dev = {
+        "orbs": jnp.asarray(np.asarray(model._orb), ftype),
+        "i": jnp.asarray(geom["i"]),
+        "j": jnp.asarray(geom["j"]),
+        "R": jnp.asarray(geom["R"], ftype),
+        "tp_ri": jnp.asarray(np.stack([geom["tp"].real,
+                                       geom["tp"].imag], -1), ftype),
+        "dhat": jnp.asarray(geom["dhat"], ftype),
+        "atom": jnp.asarray(geom["atom_of"]),
+        "ph_w": jnp.asarray(ph_w, ftype),
+        "ph_v": jnp.asarray(host_pack(ph_vecs), ftype),
+        "misq": jnp.asarray(1.0 / np.sqrt(fc._mass), ftype),
+    }
+    return geom, nkq, qg, ph_w, dev
+
+
+def _gsq_at_k(static, data, kpt, nkq, dev):
+    ftype = config.float_dtype()
+    gsq, ek, ekq = _gsq_qbatch_jit(
+        static, data, jnp.asarray(kpt, ftype), nkq, dev["orbs"],
+        dev["i"], dev["j"], dev["R"], dev["tp_ri"], dev["dhat"],
+        dev["atom"], dev["ph_w"], dev["ph_v"], dev["misq"])
+    got = jax.device_get((gsq, ek, ekq))
+    return (np.asarray(got[0], dtype=np.float64),
+            np.asarray(got[1], dtype=np.float64),
+            np.asarray(got[2], dtype=np.float64))
+
+
+def linewidths(model, fc, beta, kpts, mu, temperature, nkq=(24, 24),
+               sigma=0.05, atom_of=None):
+    """Phonon-limited electron linewidths Gamma_n(k) (Fermi golden
+    rule), one compiled q-grid program per k (shapes shared, so the
+    compile is paid once):
+
+    Gamma_n(k) = 2 pi (1/Nq) sum_{q m nu} |g_{mn nu}(k, q)|^2 *
+      [ (n_nu + f_m) G_sigma(e_n + w_nu - e_m)
+      + (n_nu + 1 - f_m) G_sigma(e_n - w_nu - e_m) ]
+
+    with Bose/Fermi occupations at ``temperature``/``mu`` and
+    Gaussian-smeared energy conservation of width ``sigma``.
+    Committed oracles: the frozen-phonon vertex pin and Fermi-liquid
+    sharpness -- a state AT the Fermi level has Gamma -> 0 as T -> 0
+    (absorption targets above mu are empty, emission targets below mu
+    are Pauli-blocked), while states away from mu keep a finite
+    linewidth (a deep hole decays by phonon emission; "far below mu"
+    is NOT protected).
+
+    :returns: (nk, nsta) float array.
+    """
+    if float(temperature) <= 0.0:
+        raise PythtbError("eph.linewidths: temperature must be > 0")
+    kt = float(temperature)
+    geom, nkq, qg, ph_w, dev = _qgrid_setup(model, fc, beta, atom_of,
+                                            nkq)
+    static, data = model._get_finalized()
+    out = []
+    for kpt in np.atleast_2d(np.asarray(kpts, dtype=np.float64)):
+        gsq, ek, ekq = _gsq_at_k(static, data, kpt, nkq, dev)
+        w = ph_w  # (B, nmode) float64
+        x = np.clip(w / kt, 1e-10, 60.0)
+        nb = np.where(w / kt > 60.0, 0.0, 1.0 / np.expm1(x))
+        f = 1.0 / (1.0 + np.exp(np.clip((ekq - mu) / kt, -60, 60)))
+        em = ekq[:, None, :, None]      # (B, 1, m, 1)
+        en = ek[None, None, None, :]    # (1, 1, 1, n)
+        wv = w[:, :, None, None]
+        nbv = nb[:, :, None, None]
+        fv = f[:, None, :, None]
+        weight = ((nbv + fv) * _gauss(en + wv - em, sigma)
+                  + (nbv + 1.0 - fv) * _gauss(en - wv - em, sigma))
+        gam = 2.0 * np.pi * np.einsum("bumn,bumn->n", gsq, weight) \
+            / gsq.shape[0]
+        out.append(gam)
+    return np.asarray(out)
+
+
+def eliashberg(model, fc, beta, mu, nk=(24, 24), nkq=(24, 24),
+               omegas=None, sigma_e=0.05, sigma_w=None, atom_of=None):
+    """Eliashberg spectral function and mass enhancement:
+
+    alpha^2 F(w) = (1/N(mu)) (1/(Nk Nq)) sum_{k q m n nu}
+        |g_{mn nu}(k, q)|^2 G_se(e_nk - mu) G_se(e_m,k+q - mu)
+        G_sw(w - w_nu),
+    N(mu) = (1/Nk) sum_{nk} G_se(e_nk - mu),
+    lambda = 2 int dw alpha^2 F(w) / w   (accumulated exactly as
+    2 sum |g|^2 dd / w, not from the smeared histogram).
+
+    :returns: dict with ``"omega"``, ``"a2f"``, ``"lambda"``,
+      ``"dos_ef"`` (states / energy / cell / spin).
+    """
+    geom, nkq, qg, ph_w, dev = _qgrid_setup(model, fc, beta, atom_of,
+                                            nkq)
+    static, data = model._get_finalized()
+    d = geom["d"]
+    nk = tuple(int(n) for n in np.atleast_1d(nk))
+    if len(nk) != d:
+        raise PythtbError("eph: nk must give %d sizes" % d)
+    grids = [np.arange(n) / float(n) for n in nk]
+    kg = np.stack(np.meshgrid(*grids, indexing="ij"),
+                  axis=-1).reshape(-1, d)
+    wmax = float(ph_w.max())
+    if sigma_w is None:
+        sigma_w = max(wmax / 40.0, 1e-6)
+    if omegas is None:
+        omegas = np.linspace(0.0, 1.15 * wmax + 5.0 * sigma_w, 240)
+    omegas = np.asarray(omegas, dtype=np.float64)
+    a2f = np.zeros_like(omegas)
+    dos = 0.0
+    lam = 0.0
+    wsafe = np.where(ph_w > 1e-6, ph_w, 1.0)
+    for kpt in kg:
+        gsq, ek, ekq = _gsq_at_k(static, data, kpt, nkq, dev)
+        dn = _gauss(ek - mu, sigma_e)           # (n,)
+        dm = _gauss(ekq - mu, sigma_e)          # (B, m)
+        dos += dn.sum()
+        s_mode = np.einsum("bumn,bm,n->bu", gsq, dm, dn)  # (B, nmode)
+        a2f += (_gauss(omegas[None, None, :] - ph_w[:, :, None],
+                       sigma_w) * s_mode[:, :, None]).sum(axis=(0, 1))
+        lam += 2.0 * float(np.where(ph_w > 1e-6,
+                                    s_mode / wsafe, 0.0).sum())
+    nqk = len(kg) * len(qg)
+    dos /= len(kg)
+    if dos < 1e-12:
+        raise PythtbError("eliashberg: no states at mu (N(mu) ~ 0); "
+                          "move mu or raise sigma_e")
+    return {"omega": omegas, "a2f": a2f / (dos * nqk),
+            "lambda": float(lam / (dos * nqk)), "dos_ef": float(dos)}

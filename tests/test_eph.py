@@ -1,0 +1,282 @@
+"""Electron-phonon coupling (eph.py).
+
+The load-bearing oracle is the frozen-phonon construction: displace an
+L-cell supercell's orbitals by the real monochromatic pattern
+u(c) = h (A e^{2 pi i q.c} + c.c.), rebuild the hop table from raw
+geometry with the bond-length rule in THIS file (no shared code),
+finite-difference the dense supercell Hamiltonian, and unfold -- the
+(k+q, k) Bloch block must equal the module's dH(k, q) at the FD
+truncation level.  On top: Hermiticity at q = 0, acoustic suppression,
+and a device-vs-host differential for the batched |g|^2 kernel.
+"""
+
+import numpy as np
+import pytest
+
+import pythtb_tpu as ptt
+from pythtb_tpu import PythtbError, eph, phonon
+
+
+# ---------------------------------------------------------------------------
+# testbeds
+
+
+def _chain(t=-1.0):
+    m = ptt.tb_model(1, 1, [[1.0]], [[0.0]])
+    m.set_hop(t, 0, 0, [1])
+    fc = phonon.force_model([[1.0]], [[0.0]], masses=1.3)
+    fc.set_spring(0.9, 0, 0, [1])
+    return m, fc
+
+
+def _graphene(t=-1.0):
+    lat = [[1.0, 0.0], [0.5, np.sqrt(3) / 2.0]]
+    orb = [[1 / 3.0, 1 / 3.0], [2 / 3.0, 2 / 3.0]]
+    m = ptt.tb_model(2, 2, lat, orb)
+    m.set_hop(t, 0, 1, [0, 0])
+    m.set_hop(t, 1, 0, [1, 0])
+    m.set_hop(t, 1, 0, [0, 1])
+    fc = phonon.force_model(lat, orb, masses=[1.0, 1.4])
+    fc.set_spring(1.0, 0, 1, [0, 0], kt=0.3)
+    fc.set_spring(1.0, 1, 0, [1, 0], kt=0.3)
+    fc.set_spring(1.0, 1, 0, [0, 1], kt=0.3)
+    return m, fc
+
+
+# ---------------------------------------------------------------------------
+# the frozen-phonon unfolding oracle (independent construction)
+
+
+def _frozen_dH(model, fc, beta, kred, qred, L, nu, h=1e-6):
+    """Independent dH(k, q) for commensurate q on an L-supercell:
+    build the displaced ring/torus hop table from raw geometry, FD in
+    the displacement amplitude, unfold, return the (k+q, k) block."""
+    lat = np.asarray(model._lat, dtype=np.float64)
+    orb = np.asarray(model._orb, dtype=np.float64)
+    d = lat.shape[0]
+    L = np.atleast_1d(np.asarray(L, dtype=np.int64))
+    cells = np.stack(np.meshgrid(*[np.arange(n) for n in L],
+                                 indexing="ij"), -1).reshape(-1, d)
+    nc, norb = len(cells), len(orb)
+
+    # the monochromatic amplitude exactly as the module defines it
+    w, vecs = phonon._solve(fc, np.atleast_2d(qred),
+                            want_vectors=True)
+    wnu = float(w[0, nu])
+    A = (vecs[0, nu].reshape(-1, d)
+         / np.sqrt(fc._mass)[:, None]) / np.sqrt(2.0 * wnu)
+
+    def H_disp(amp):
+        # Cartesian positions with the REAL displacement field
+        u = np.real(A[None, :, :] * np.exp(
+            2.0j * np.pi * (cells @ np.asarray(qred)))[:, None, None]
+            * 2.0) * amp
+        pos0 = (cells[:, None, :] + orb[None, :, :]) @ lat
+        H = np.zeros((nc * norb, nc * norb), complex)
+        for hop in model._hoppings:
+            t0, i, j = complex(hop[0]), hop[1], hop[2]
+            R = np.asarray(hop[3], dtype=np.int64)
+            for c_idx, c in enumerate(cells):
+                tc = np.mod(c + R, L)
+                t_idx = int(np.ravel_multi_index(tc, L))
+                # unwrapped geometry: bond vector from raw cell math
+                d0v = (orb[j] + R - orb[i]) @ lat
+                d0 = np.linalg.norm(d0v)
+                d1v = d0v + (u[t_idx, j] - u[c_idx, i])
+                d1 = np.linalg.norm(d1v)
+                t = t0 * np.exp(-beta * (d1 / d0 - 1.0))
+                H[c_idx * norb + i, t_idx * norb + j] += t
+                H[t_idx * norb + j, c_idx * norb + i] += np.conj(t)
+        H += np.kron(np.eye(nc), np.diag(np.asarray(
+            model._site_energies, dtype=np.float64)))
+        return H
+
+    dH_sc = (H_disp(h) - H_disp(-h)) / (2.0 * h)
+    # unfold: F[(c, a), (kj, a)] = e^{2 pi i kj.c} / sqrt(nc)
+    ks = cells / L.astype(float)  # all (j / L) points
+    F = np.exp(2.0j * np.pi * (cells @ ks.T)) / np.sqrt(nc)
+    Ff = np.kron(F, np.eye(norb))
+    D = Ff.conj().T @ dH_sc @ Ff  # blocks indexed by the k list
+    kidx = int(np.argmin(np.abs(ks - np.mod(kred, 1.0)).sum(axis=1)))
+    kqidx = int(np.argmin(np.abs(
+        ks - np.mod(np.asarray(kred) + np.asarray(qred), 1.0)
+    ).sum(axis=1)))
+    blk = D[kqidx * norb:(kqidx + 1) * norb,
+            kidx * norb:(kidx + 1) * norb]
+    return wnu, blk
+
+
+@pytest.mark.parametrize("nu,kfrac", [(0, 1), (0, 2)])
+def test_frozen_phonon_chain(nu, kfrac):
+    m, fc = _chain()
+    beta = 2.3
+    L, qm = 6, 1
+    q = [qm / L]
+    k = [kfrac / L]
+    wnu, blk = _frozen_dH(m, fc, beta, k, q, [L], nu)
+    res = eph.coupling(m, fc, beta, k, q, band_basis=False)
+    assert abs(res["omega"][nu] - wnu) < 1e-10
+    np.testing.assert_allclose(res["g"][nu], blk, atol=5e-9)
+
+
+@pytest.mark.parametrize("nu", [0, 1, 2, 3])
+def test_frozen_phonon_graphene(nu):
+    """All four branches at a generic commensurate (k, q) on the
+    honeycomb with unequal masses."""
+    m, fc = _graphene()
+    beta = 3.37
+    L = [3, 3]
+    q = [1 / 3.0, 2 / 3.0]
+    k = [2 / 3.0, 1 / 3.0]
+    wnu, blk = _frozen_dH(m, fc, beta, k, q, L, nu)
+    if wnu < 1e-9:
+        pytest.skip("zero mode at this q")
+    res = eph.coupling(m, fc, beta, k, q, band_basis=False)
+    assert abs(res["omega"][nu] - wnu) < 1e-10
+    np.testing.assert_allclose(res["g"][nu], blk, atol=5e-9)
+
+
+# ---------------------------------------------------------------------------
+# structure of the vertex
+
+
+def test_q0_hermitian_and_acoustic_zero():
+    """At q = 0: optical-mode dH is Hermitian; acoustic modes carry
+    exactly zero vertex (uniform displacement cannot change a bond)."""
+    m, fc = _graphene()
+    res = eph.coupling(m, fc, 3.0, [0.13, 0.27], [0.0, 0.0],
+                       band_basis=False)
+    w = res["omega"]
+    for nu in range(len(w)):
+        if w[nu] < 1e-9:
+            continue  # zero-frequency: zero-point factor undefined
+        dH = res["g"][nu]
+        np.testing.assert_allclose(dH, dH.conj().T, atol=1e-12)
+    # uniform pattern (bypass the zero-point factor): the raw vertex
+    # must vanish identically
+    geom = eph._prep(m, fc, 3.0, None)
+    lat = np.asarray(m._lat)
+    # emulate _dH_host with A = const (equal Cartesian displacement)
+    A = np.tile(np.array([0.37, -0.21]), (fc._natom, 1))
+    Ai = A[geom["atom_of"][geom["i"]]]
+    Aj = A[geom["atom_of"][geom["j"]]]
+    coef = geom["tp"] * np.einsum("hd,hd->h", geom["dhat"], Aj - Ai)
+    assert np.abs(coef).max() < 1e-14
+
+
+def test_acoustic_suppression_small_q():
+    """|g| of the acoustic branch vanishes as sqrt(q) for q -> 0 (the
+    bare vertex is linear in q, the zero-point factor q^{-1/2})."""
+    m, fc = _chain()
+    g1 = np.abs(eph.coupling(m, fc, 2.0, [0.1], [0.002],
+                             band_basis=False)["g"][0]).max()
+    g2 = np.abs(eph.coupling(m, fc, 2.0, [0.1], [0.02],
+                             band_basis=False)["g"][0]).max()
+    np.testing.assert_allclose(g1 / g2, np.sqrt(0.1), rtol=0.05)
+
+
+def test_chain_analytic_vertex():
+    """Monatomic chain closed form:
+
+    dH(k, q) = t' A [ e^{2 pi i k} (e^{2 pi i q} - 1)
+                      - e^{-2 pi i k} (e^{-2 pi i q} - 1) ],
+
+    t' = -beta t / d0, A the zero-point amplitude of the single
+    branch -- exact (1e-15) against the module."""
+    m, fc = _chain(t=-0.7)
+    beta = 1.9
+    k, q = 0.17, 0.31
+    w, vecs = phonon._solve(fc, [[q]], want_vectors=True)
+    A = complex(vecs[0, 0, 0]) / np.sqrt(fc._mass[0]) / np.sqrt(
+        2.0 * w[0, 0])
+    tp = -beta * (-0.7) / 1.0
+    expect = tp * A * (np.exp(2j * np.pi * k)
+                       * (np.exp(2j * np.pi * q) - 1.0)
+                       - np.exp(-2j * np.pi * k)
+                       * (np.exp(-2j * np.pi * q) - 1.0))
+    got = eph.coupling(m, fc, beta, [k], [q], band_basis=False)
+    assert abs(complex(got["g"][0][0, 0]) - expect) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# device kernel vs host vertex (differential)
+
+
+def test_device_gsq_matches_host():
+    """The batched device |g|^2 kernel reproduces the host coupling()
+    band vertex on every (q, mode, m, n) of a small grid."""
+    m, fc = _graphene()
+    beta = 3.0
+    kpt = [0.21, 0.08]
+    nkq = (3, 3)
+    gam_setup = eph._qgrid_setup(m, fc, beta, None, nkq)
+    geom, nkq_t, qg, ph_w, dev = gam_setup
+    static, data = m._get_finalized()
+    gsq, ek, ekq = eph._gsq_at_k(static, data, kpt, nkq_t, dev)
+    for bi, q in enumerate(qg):
+        ref = eph.coupling(m, fc, beta, kpt, q)
+        np.testing.assert_allclose(
+            gsq[bi], np.abs(ref["g"]) ** 2, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# golden-rule observables
+
+
+def test_linewidth_positive_and_fermi_sharpness():
+    m, fc = _graphene()
+    kpt = [0.4, 0.2]
+    gam = eph.linewidths(m, fc, 3.0, [kpt], mu=0.0,
+                         temperature=0.05, nkq=(12, 12), sigma=0.08)
+    assert gam.shape == (1, 2)
+    assert np.all(gam >= 0.0)
+    assert gam.max() > 1e-6
+    # Fermi-liquid sharpness: at T -> 0 a quasiparticle AT the Fermi
+    # level cannot decay -- absorption targets (e + w) are above mu
+    # and empty (f kills the n_B + f term), emission targets (e - w)
+    # are below mu and Pauli-blocked (1 - f kills the other).  Park mu
+    # exactly on band 0 at this k; band 1 (far from mu) must keep a
+    # finite hole-decay linewidth -- deep states are NOT protected.
+    ek = np.asarray(m.solve_all([kpt]))[:, 0]
+    gam_cold = eph.linewidths(m, fc, 3.0, [kpt], mu=float(ek[0]),
+                              temperature=1e-3, nkq=(12, 12),
+                              sigma=0.02)
+    assert gam_cold[0, 1] > 1e-4
+    assert gam_cold[0, 0] < 1e-3 * gam_cold[0, 1]
+
+
+def test_eliashberg_lambda_and_moments():
+    """a2F integrates consistently with its own lambda accumulator
+    (2 int a2F/w dw ~ lambda at the smeared level) and lambda grows
+    with coupling beta^2."""
+    m, fc = _chain()
+    r1 = eph.eliashberg(m, fc, 1.0, mu=-1.2, nk=(24,), nkq=(24,),
+                        sigma_e=0.1)
+    r2 = eph.eliashberg(m, fc, 2.0, mu=-1.2, nk=(24,), nkq=(24,),
+                        sigma_e=0.1)
+    assert r1["lambda"] > 0 and r2["lambda"] > 0
+    np.testing.assert_allclose(r2["lambda"] / r1["lambda"], 4.0,
+                               rtol=1e-6)
+    dw = r1["omega"][1] - r1["omega"][0]
+    lam_hist = 2.0 * np.sum(
+        np.where(r1["omega"] > 5 * dw, r1["a2f"]
+                 / np.where(r1["omega"] > 5 * dw, r1["omega"], 1.0),
+                 0.0)) * dw
+    assert abs(lam_hist - r1["lambda"]) < 0.25 * r1["lambda"]
+
+
+# ---------------------------------------------------------------------------
+# error paths
+
+
+def test_error_paths():
+    m, fc = _chain()
+    with pytest.raises(PythtbError):
+        eph.coupling(ptt.models.kane_mele(), fc, 1.0, [0.1], [0.2])
+    fc2 = phonon.force_model([[1.0]], [[0.5]])  # atom off the orbital
+    fc2.set_spring(1.0, 0, 0, [1])
+    with pytest.raises(PythtbError):
+        eph.coupling(m, fc2, 1.0, [0.1], [0.2])
+    with pytest.raises(PythtbError):
+        eph.linewidths(m, fc, 1.0, [[0.1]], 0.0, temperature=0.0,
+                       nkq=(8,))
