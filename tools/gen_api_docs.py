@@ -40,6 +40,8 @@ SECTIONS = [
     ("pythtb_tpu.disorder — coherent-potential approximation", "pythtb_tpu.disorder", None),
     ("pythtb_tpu.boltzmann — semiclassical transport", "pythtb_tpu.boltzmann", None),
     ("pythtb_tpu.phonon — lattice dynamics", "pythtb_tpu.phonon", None),
+    ("pythtb_tpu.eph — electron-phonon coupling", "pythtb_tpu.eph", None),
+    ("pythtb_tpu.symmetry — symmetry analysis", "pythtb_tpu.symmetry", None),
     ("pythtb_tpu.negf — Landauer transport", "pythtb_tpu.negf", None),
     ("pythtb_tpu.floquet — time-periodic driving", "pythtb_tpu.floquet", None),
     ("pythtb_tpu.unfold — band unfolding", "pythtb_tpu.unfold", None),
