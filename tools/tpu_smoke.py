@@ -754,6 +754,29 @@ def main():
     check("phonon bands/ASR/heat capacity f32", dv51 < 2e-3,
           "max dev %.1e (Gamma ASR, M pins, C(0.5))" % dv51)
 
+    # 52b. electron-phonon (f32 |g|^2 q-batch on device): SSH-chain
+    # Eliashberg lambda/DOS pins + Fermi-liquid linewidth sharpness
+    # (x64: lambda 2.955135, dos 0.332453, Gamma(kF)=5.2e-5 << 5.05)
+    from pythtb_tpu import eph
+
+    m52b = ptt.tb_model(1, 1, [[1.0]], [[0.0]])
+    m52b.set_hop(-1.0, 0, 0, [1])
+    fc52b = phonon.force_model([[1.0]], [[0.0]], masses=1.3)
+    fc52b.set_spring(0.9, 0, 0, [1])
+    r52b2 = eph.eliashberg(m52b, fc52b, beta=2.0, mu=0.0, nk=(48,),
+                           nkq=(48,))
+    gam52b = eph.linewidths(m52b, fc52b, beta=2.0,
+                            kpts=[[0.25], [0.1]], mu=0.0,
+                            temperature=0.05, nkq=(64,))
+    check("electron-phonon f32",
+          abs(r52b2["lambda"] - 2.955135) < 3e-3
+          and abs(r52b2["dos_ef"] - 0.332453) < 1e-3
+          and gam52b[0, 0] < 1e-3 and abs(gam52b[1, 0] - 5.0546) < 0.05,
+          "lambda=%.5f dos=%.5f G(kF)=%.1e G(0.1)=%.3f "
+          "(x64: 2.95514, 0.33245, 5e-5, 5.055)"
+          % (r52b2["lambda"], r52b2["dos_ef"], gam52b[0, 0],
+             gam52b[1, 0]))
+
     # 52. symmetry indicators (f32 device diagonalizations inside):
     # Haldane C3 indicator, delta=0 C6, QWZ C4 with l=[0,1] characters
     from pythtb_tpu import symmetry
