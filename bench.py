@@ -25,31 +25,38 @@ import numpy as np
 BASELINE_SECONDS = 12.74  # reference north star (BASELINE.md)
 GRID = 301
 CHILD_TIMEOUT_S = 520  # remote TPU compiles are flaky (3 s - 300 s observed)
-PROBE_TIMEOUT_S = 45  # device enumeration is instant when the tunnel is up
+PROBE_TIMEOUT_S = 90  # enum is instant; a trivial compile+d2h is seconds
 
 
 def probe_tunnel():
-    """Fast liveness probe for the remote TPU tunnel, in a subprocess.
+    """Liveness probe for the remote TPU tunnel, in a subprocess.
 
     ``jax.devices()`` blocks FOREVER in-process when the axon tunnel is
-    down (round 3 burned 2x520 s of watchdog budget learning nothing);
-    enumerating devices takes <5 s when it is up.  Returns the backend
-    name ('tpu'/'axon'/'cpu'/...) or None if the probe hung/failed --
-    which distinguishes "tunnel dead" from the watchdog's "remote
-    compiler stall" diagnosis.
+    down (round 3 burned 2x520 s of watchdog budget learning nothing).
+    Round 4 found a HALF-DEAD state where enumeration answers instantly
+    but any compute/d2h hangs forever -- so the probe must do a full
+    tiny compute + fetch roundtrip, not just enumerate.  Returns
+    'ok:<backend>', 'half-dead', or 'dead'.
     """
-    code = "import jax; jax.devices(); print('BACKEND=' + jax.default_backend())"
+    code = (
+        "import jax, sys; jax.devices();"
+        "print('ENUM_OK', flush=True);"
+        "import jax.numpy as jnp;"
+        "v = float((jnp.ones((4,)) + 1).sum());"
+        "print('COMPUTE_OK=' + jax.default_backend(), flush=True)"
+    )
     try:
         result = subprocess.run(
             [sys.executable, "-c", code],
             timeout=PROBE_TIMEOUT_S, capture_output=True, text=True,
         )
-    except subprocess.TimeoutExpired:
-        return None
-    for line in result.stdout.splitlines():
-        if line.startswith("BACKEND="):
-            return line.split("=", 1)[1]
-    return None
+        stdout = result.stdout
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+    for line in stdout.splitlines():
+        if line.startswith("COMPUTE_OK="):
+            return "ok:" + line.split("=", 1)[1]
+    return "half-dead" if "ENUM_OK" in stdout else "dead"
 
 
 def main():
@@ -61,38 +68,63 @@ def main():
     if "--child" in sys.argv:
         run_benchmark(force_cpu="--cpu" in sys.argv)
         return
-    backend = probe_tunnel()
-    cpu_fallback = backend is None
-    if cpu_fallback:
+    probe = probe_tunnel()
+    if probe.startswith("ok:"):
+        print("tunnel probe ok (backend=%s)" % probe[3:], file=sys.stderr)
+        tpu_attempts = 2
+    elif probe == "half-dead":
+        # enumeration answered but a trivial compute+fetch hung: either the
+        # tunnel data path is down or the remote compiler is stalling hard.
+        # One watchdog attempt in case it was a transient stall, then CPU.
+        print(
+            "TPU tunnel HALF-DEAD (enumeration ok, tiny compute+d2h hung "
+            "%ds); one watchdog TPU attempt, then CPU fallback" % PROBE_TIMEOUT_S,
+            file=sys.stderr,
+        )
+        tpu_attempts = 1
+    else:
         print(
             "TPU tunnel DEAD (device enumeration hung %ds); falling back to "
             "the CPU backend -- the reported number is a CPU wall time, not "
             "the TPU headline" % PROBE_TIMEOUT_S,
             file=sys.stderr,
         )
-    else:
-        print("tunnel probe ok (backend=%s)" % backend, file=sys.stderr)
-    child_cmd = [sys.executable, os.path.abspath(__file__), "--child"]
-    if cpu_fallback:
-        child_cmd.append("--cpu")
-    for attempt in (1, 2):
+        tpu_attempts = 0
+
+    def try_child(cpu):
+        cmd = [sys.executable, os.path.abspath(__file__), "--child"]
+        if cpu:
+            cmd.append("--cpu")
         try:
             result = subprocess.run(
-                child_cmd, timeout=CHILD_TIMEOUT_S, capture_output=True, text=True,
+                cmd, timeout=CHILD_TIMEOUT_S, capture_output=True, text=True,
             )
         except subprocess.TimeoutExpired:
-            print("attempt %d timed out after %ds (tunnel was alive at probe "
-                  "time => remote compiler stall); %s"
-                  % (attempt, CHILD_TIMEOUT_S,
-                     "retrying in a fresh process" if attempt == 1 else "giving up"),
-                  file=sys.stderr)
-            continue
+            print("child timed out after %ds" % CHILD_TIMEOUT_S, file=sys.stderr)
+            return None
         sys.stderr.write(result.stderr)
         line = [l for l in result.stdout.splitlines() if l.startswith("{")]
         if result.returncode == 0 and line:
-            print(line[-1])
+            return line[-1]
+        print("child failed (rc=%d)" % result.returncode, file=sys.stderr)
+        return None
+
+    for attempt in range(tpu_attempts):
+        out = try_child(cpu=False)
+        if out is not None:
+            print(out)
             return
-        print("attempt %d failed (rc=%d)" % (attempt, result.returncode), file=sys.stderr)
+        print("TPU attempt %d/%d failed%s"
+              % (attempt + 1, tpu_attempts,
+                 "; retrying in a fresh process" if attempt + 1 < tpu_attempts
+                 else "; falling back to CPU"),
+              file=sys.stderr)
+    # The CPU fallback must always produce a JSON line: a red bench
+    # artifact helps nobody, and the workload is dispatch-bound anyway.
+    out = try_child(cpu=True)
+    if out is not None:
+        print(out)
+        return
     sys.exit(1)
 
 

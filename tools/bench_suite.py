@@ -540,6 +540,33 @@ def run_suite():
            "40-T RTA kappa on 768^2 grid; x64 CPU 5.7 s; kap(0.5) "
            "dev %.1e" % abs(np.interp(0.5, Ts31, k31[:, 0, 0]) - 0.074135))
 
+    # -- row 32: BSE excitons, hBN-like 30x30 grid with HF shifts -----
+    # one program: both k-sheets solved, 810k W(k-k') gathers, direct
+    # + exchange kernels, Hartree-Fock sea shifts, 900^2 eigh, dipole
+    # contraction (CPU x64 steady 1.2 s)
+    from pythtb_tpu import exciton
+
+    bn32 = ptt.tb_model(2, 2, [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]],
+                        [[1.0 / 3, 1.0 / 3], [2.0 / 3, 2.0 / 3]])
+    bn32.set_onsite([-0.9, 0.9])
+    for ij in ((0, 1, [0, 0]), (1, 0, [1, 0]), (1, 0, [0, 1])):
+        bn32.set_hop(-1.0, *ij)
+    V32 = exciton.radial_interaction(bn32, lambda x: 1.6 / (x + 0.5),
+                                     3.0)
+
+    def _bse():
+        return exciton.bse(bn32, V32, occ=[0], nk=(30, 30), qp="hf")
+
+    wall, r32 = _timed(_bse, n=2)
+    # lowest exciton is a valley doublet: pin the gauge-invariant
+    # doublet oscillator-strength sum, never f0 alone
+    f32r = r32.oscillator_strengths(0)
+    report("bse_exciton_hbn_30x30", None, wall,
+           abs(r32.energies[0] - 1.051907) < 5e-3
+           and abs(float(f32r[0] + f32r[1]) - 23.570831) < 0.12,
+           "900-pair BSE + HF sea; x64 CPU 1.2 s; E0 dev %.1e"
+           % abs(r32.energies[0] - 1.051907))
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

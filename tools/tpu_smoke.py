@@ -794,6 +794,40 @@ def main():
           "C3:%d C6:%d C4:%d pg=%s (x64: 2, 5, 3, C6v)"
           % (r52a["c_mod_n"], r52b["c_mod_n"], r52c["c_mod_n"], pg52))
 
+    # 53. Bethe-Salpeter excitons (f32 kernel build + M x M eigh on
+    # device): frozen-valence chain with HF shifts (the ED-closure
+    # oracle's setup) + hBN-like binding energy
+    from pythtb_tpu import exciton
+
+    m53 = ptt.tb_model(1, 1, [[1.0]], [[0.1], [0.4]])
+    m53.set_onsite([0.0, 8.0])
+    m53.set_hop(0.7, 1, 1, [1])
+    V53 = [(2.0, 0, 1, (0,)), (0.8, 0, 1, (1,)), (0.8, 0, 1, (-1,)),
+           (0.6, 0, 0, (1,)), (0.5, 1, 1, (1,))]
+    r53 = exciton.bse(m53, V53, occ=[0], nk=(6,), qp="hf")
+    bn53 = ptt.tb_model(2, 2, [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]],
+                        [[1.0 / 3, 1.0 / 3], [2.0 / 3, 2.0 / 3]])
+    bn53.set_onsite([-0.9, 0.9])
+    for ij in ((0, 1, [0, 0]), (1, 0, [1, 0]), (1, 0, [0, 1])):
+        bn53.set_hop(-1.0, *ij)
+    V53c = exciton.radial_interaction(bn53, lambda x: 1.6 / (x + 0.5),
+                                      3.0)
+    r53c = exciton.bse(bn53, V53c, occ=[0], nk=(12, 12), qp="none")
+    # the lowest hBN exciton is a valley-degenerate DOUBLET: only the
+    # summed oscillator strength f0+f1 is gauge-invariant (f32 eigh
+    # rotates the degenerate pair differently from x64 -- measured
+    # 7.7% on f0 alone with E0 exact)
+    f53 = r53c.oscillator_strengths(0)
+    dv53 = max(
+        float(np.abs(r53.energies[:3]
+                     - [7.785749, 9.193774, 9.237402]).max()),
+        abs(r53c.energies[0] - 1.157360),
+        abs(float(f53[0] + f53[1]) - 5.663195) / 5.663195,
+    )
+    check("BSE excitons f32", dv53 < 5e-3,
+          "max dev %.1e (chain-HF pins, hBN E0 + doublet osc sum; "
+          "x64: 7.78575, 1.15736, 5.66320)" % dv53)
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
