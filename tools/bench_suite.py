@@ -567,6 +567,27 @@ def run_suite():
            "900-pair BSE + HF sea; x64 CPU 1.2 s; E0 dev %.1e"
            % abs(r32.energies[0] - 1.051907))
 
+    # -- row 33: DMFT Bethe lattice, correlated metal ------------------
+    # full self-consistency: ~11 warm-seeded iterations of (bath fit +
+    # 1,296-state ED impurity solve + device Matsubara pole sums)
+    # (CPU x64 steady 1.6 s)
+    import warnings as _w
+
+    from pythtb_tpu import dmft
+
+    def _dmft():
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            return dmft.bethe(3.0, D=2.0, beta=20.0, n_matsubara=128,
+                              n_bath=4, max_iter=40)
+
+    wall, r33 = _timed(_dmft, n=2)
+    report("dmft_bethe_u3", None, wall,
+           r33.converged and abs(r33.Z - 0.484227) < 5e-3
+           and abs(r33.docc - 0.123281) < 2e-3,
+           "Mott-side metal Z (x64: 0.48423); %d iterations"
+           % r33.iterations)
+
     print("\n| workload | reference (s) | pythtb_tpu (s) | speedup | correct |")
     print("|---|---|---|---|---|")
     for r in rows:

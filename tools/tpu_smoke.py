@@ -828,6 +828,32 @@ def main():
           "max dev %.1e (chain-HF pins, hBN E0 + doublet osc sum; "
           "x64: 7.78575, 1.15736, 5.66320)" % dv53)
 
+    # 54. DMFT Mott transition (host-f64 ED impurity + device pole-sum
+    # lattice G_loc): Bethe metal/insulator endpoints + square-lattice
+    # Schur path, each vs pinned CPU-x64 values
+    import warnings as _w
+
+    from pythtb_tpu import dmft
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        r54m = dmft.bethe(1.0, D=2.0, beta=20.0, n_matsubara=96,
+                          n_bath=3, max_iter=30)
+        r54i = dmft.bethe(6.0, D=2.0, beta=20.0, n_matsubara=96,
+                          n_bath=4, max_iter=40)
+        m54 = ptt.tb_model(2, 2, [[1, 0], [0, 1]], [[0, 0]])
+        m54.set_hop(-0.5, 0, 0, [1, 0])
+        m54.set_hop(-0.5, 0, 0, [0, 1])
+        r54s = dmft.solve(m54, 2.0, beta=20.0, nk=[16, 16],
+                          n_matsubara=96, n_bath=3, max_iter=30)
+    dv54 = max(abs(r54m.Z - 0.922599), abs(r54m.docc - 0.207799),
+               abs(r54i.Z - 0.004456), abs(r54i.docc - 0.015405),
+               abs(r54s.Z - 0.628148), abs(r54s.n_imp - 1.0))
+    check("DMFT Mott f32", dv54 < 5e-3 and r54m.converged
+          and r54i.converged and r54s.converged,
+          "max dev %.1e (x64: Z_met 0.92260, Z_mott 0.00446, "
+          "Z_square 0.62815)" % dv54)
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
