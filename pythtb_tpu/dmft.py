@@ -113,8 +113,8 @@ def matsubara(beta, n):
 # lattice local Green's function (device)
 
 
-@jax.jit
-def _gloc_pole_jit(epso, amps, lams, wn, mu, sigma_ri):
+@partial(jax.jit, static_argnums=(6,))
+def _gloc_pole_jit(epso, amps, lams, wn, mu, sigma_ri, mesh=None):
     """Schur-complement local G on the correlated orbital.
 
     epso: (Nk,) correlated-orbital diagonal eps_o(k)
@@ -125,7 +125,18 @@ def _gloc_pole_jit(epso, amps, lams, wn, mu, sigma_ri):
     sigma_ri: (nw, 2) ri-packed Sigma(iw)
 
     Returns (nw, 2) ri-packed G_loc(iw) = mean_k G_oo(k, iw).
+
+    With a ``mesh``, the N_k pole axis -- the heavy direction of the
+    lattice sum (N_k x n_w x nv pole fractions per iteration) -- is
+    GSPMD-sharded; the final k-mean is the only collective (a psum
+    over the mesh axis).
     """
+    from .ops.solver import shard_grid_axis0
+
+    if mesh is not None:
+        epso = shard_grid_axis0(epso, mesh)
+        amps = shard_grid_axis0(amps, mesh)
+        lams = shard_grid_axis0(lams, mesh)
     sig = unpack_cplx(sigma_ri)  # (nw,)
     z = jax.lax.complex(jnp.broadcast_to(mu, wn.shape), wn)  # iw + mu
     # hybridization function F(k, z) = sum_m amps/(z - lam): (nw, Nk)
@@ -207,11 +218,14 @@ def _lattice_pole_data(model, orb, nk):
 
 
 def _gloc_lattice(epso, amps, lams, wn, mu, sigma):
+    from .parallel import mesh as pmesh
+
     ftype = config.float_dtype()
     out = _gloc_pole_jit(
         jnp.asarray(epso, ftype), jnp.asarray(amps, ftype),
         jnp.asarray(lams, ftype), jnp.asarray(wn, ftype),
-        jnp.asarray(float(mu), ftype), host_pack(np.asarray(sigma)))
+        jnp.asarray(float(mu), ftype), host_pack(np.asarray(sigma)),
+        pmesh.current_mesh())  # resolved at CALL time (stale-mesh gotcha)
     return host_unpack(np.asarray(jax.device_get(out)))
 
 
@@ -551,7 +565,7 @@ def _adjust_mu(gloc_fn, sigma, wn, beta, mu0, target, half_bw,
 
 def solve(model, U, orb=0, beta=20.0, nk=None, n_matsubara=256,
           n_bath=4, mu=None, filling=None, mix=0.7, max_iter=40,
-          tol=1e-5, sigma0=None, seed=0):
+          tol=1e-5, sigma0=None, seed=0, ph_symmetric=None):
     """Single-site DMFT of the one-band Hubbard model on ``model``.
 
     The correlated orbital ``orb`` carries the Hubbard ``U`` (both
@@ -578,6 +592,10 @@ def solve(model, U, orb=0, beta=20.0, nk=None, n_matsubara=256,
     :param sigma0: optional (n_matsubara,) complex Sigma seed (e.g.
       from a converged nearby U -- the standard hysteresis probe)
     :param seed: bath-fit restart seed
+    :param ph_symmetric: force (True) or forbid (False) particle-hole
+      symmetrization of the bath fit.  Default None auto-detects: on
+      only when ``filling == 1`` or ``mu`` sits exactly at the ph
+      point ``eps_d + U/2`` (a doped mu must NOT be symmetrized)
     :returns: :class:`DMFTResult`
     """
     if nk is None:
@@ -599,7 +617,16 @@ def solve(model, U, orb=0, beta=20.0, nk=None, n_matsubara=256,
     half_bw = max(half_bw, 0.5)
     if mu is None:
         mu = eps_d + 0.5 * U
-    ph = filling is None or abs(filling - 1.0) < 1e-12
+    # particle-hole symmetrization of the bath fit is only valid AT
+    # the ph point mu = eps_d + U/2: an explicit doped mu with
+    # filling=None used to force it anyway, silently biasing Sigma
+    # (advisor finding, round 4).  ph_symmetric=None = auto-detect.
+    if ph_symmetric is None:
+        scale = max(1.0, abs(float(U)), abs(float(eps_d)))
+        ph = (abs(filling - 1.0) < 1e-12 if filling is not None
+              else abs(float(mu) - (eps_d + 0.5 * U)) < 1e-9 * scale)
+    else:
+        ph = bool(ph_symmetric)
 
     def gloc_fn(m, s):
         return _gloc_lattice(epso, amps, lams, wn, m, s)
@@ -610,7 +637,7 @@ def solve(model, U, orb=0, beta=20.0, nk=None, n_matsubara=256,
 
 def bethe(U, D=2.0, beta=20.0, n_matsubara=256, n_bath=4, mu=None,
           filling=None, mix=0.7, max_iter=40, tol=1e-5, sigma0=None,
-          seed=0, n_quad=512):
+          seed=0, n_quad=512, ph_symmetric=None):
     """DMFT of the half-bandwidth-``D`` Bethe lattice (semicircular
     DOS) -- the canonical benchmark geometry where DMFT is exact in
     infinite dimensions.  Same knobs and result type as :func:`solve`;
@@ -627,7 +654,12 @@ def bethe(U, D=2.0, beta=20.0, n_matsubara=256, n_bath=4, mu=None,
     wn = matsubara(beta, n_matsubara)
     if mu is None:
         mu = 0.5 * U
-    ph = filling is None or abs(filling - 1.0) < 1e-12
+    # same doped-mu rule as solve(): symmetrize only AT the ph point
+    if ph_symmetric is None:
+        ph = (abs(filling - 1.0) < 1e-12 if filling is not None
+              else abs(float(mu) - 0.5 * U) < 1e-9 * max(1.0, abs(float(U))))
+    else:
+        ph = bool(ph_symmetric)
     ftype = config.float_dtype()
     nodes_d = jnp.asarray(nodes, ftype)
     weights_d = jnp.asarray(weights, ftype)

@@ -49,6 +49,7 @@ tests (``tests/test_ed.py``):
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 
 import numpy as np
@@ -231,11 +232,74 @@ def _eigh_dev(h_ri):
     return w[0], pack_cplx(v[0])
 
 
-def solve_sector(H, refine=24):
+@partial(jax.jit, static_argnums=(2,))
+def _chebfilter_dev(h_ri, x_ri, p, c, hw):
+    """Apply the Chebyshev filter ``T_p((H - c) / hw)`` to an
+    ri-packed block of vectors -- the device half of the
+    spectrum-slice sector solver (:func:`_solve_sector_lowest`).
+
+    The full dense device eigh (:func:`_eigh_dev`) compiles a QDWH
+    divide-and-conquer program whose size grows with the matrix -- the
+    4,900-dim Hubbard sector's compile was SIGKILLed by the axon
+    remote compile helper (OOM-class, round 4).  This program is TINY
+    at any dimension: a ``lax.scan`` of the three-term recurrence,
+    four real (D, D) x (D, nb) matmuls per step -- pure MXU work.
+    Mapping the UNWANTED interval ``[cut, hi]`` onto [-1, 1] makes
+    ``|T_p|`` grow like ``cosh(p acosh|y|)`` on the wanted states
+    below ``cut``, so a handful of filter + Rayleigh-Ritz rounds
+    isolates the low end of the sector exactly (Zhou-Saad-style
+    filtered subspace iteration, the dense-matrix sibling of
+    :func:`pythtb_tpu.flows.solve_window`).
+
+    Both recurrence carries are rescaled together each step by the
+    current per-column magnitude: a common scalar per column leaves
+    the generated subspace unchanged while keeping f32 from
+    overflowing (T_30 at |y| = 3 is already ~1e23)."""
+    Hr = h_ri[..., 0]
+    Hi = h_ri[..., 1]
+    hp = jax.lax.Precision.HIGHEST
+
+    def hx(xr, xi):
+        yr = jnp.matmul(Hr, xr, precision=hp) - jnp.matmul(Hi, xi, precision=hp)
+        yi = jnp.matmul(Hr, xi, precision=hp) + jnp.matmul(Hi, xr, precision=hp)
+        return (yr - c * xr) / hw, (yi - c * xi) / hw
+
+    x0r, x0i = x_ri[..., 0], x_ri[..., 1]
+    y1r, y1i = hx(x0r, x0i)
+
+    def step(carry, _):
+        (ar, ai), (br, bi) = carry  # T_{n-1} X, T_n X
+        cr, ci = hx(br, bi)
+        nr = 2.0 * cr - ar
+        ni = 2.0 * ci - ai
+        # joint per-column rescale (subspace-preserving)
+        s = jnp.maximum(jnp.max(jnp.sqrt(nr**2 + ni**2), axis=0), 1.0)
+        return (((br / s, bi / s), (nr / s, ni / s)), None)
+
+    (_, (fr, fi)), _ = jax.lax.scan(
+        step, (((x0r, x0i), (y1r, y1i))), None, length=max(int(p) - 1, 0))
+    return jnp.stack([fr, fi], axis=-1)
+
+
+def solve_sector(H, refine=24, lowest=None, max_iters=12, seed=0):
     """Eigendecomposition of a dense sector Hamiltonian on device.
 
     Returns host ``(evals, evecs)`` with evecs ROWS as states
     (ascending), matching the package eigensolver convention.
+
+    ``lowest``: when set to an integer k, skip the full dense eigh and
+    compute only the k lowest eigenpairs by Chebyshev-filtered
+    subspace iteration -- device matmul filter rounds
+    (:func:`_chebfilter_dev`) alternating with float64 Rayleigh-Ritz
+    on host, at most ``max_iters`` rounds (early exit on residual).
+    This is the path for large sectors on the axon backend: the full
+    QDWH eigh program at 4,900 dim was SIGKILLed by the remote
+    compile helper (round 4), while the filter program is a
+    fixed-size matmul scan that compiles at any dimension.  The
+    returned spectrum is PARTIAL (length k): ``EDResult.energy``,
+    ``gap`` (k >= 2) and all ground-state observables are exact
+    (1e-13-grade vs the dense spectrum, tests), but thermal traces
+    over the full sector are not available.
 
     ``refine``: the lowest ``refine`` eigenpairs are re-extracted on
     host in float64 by a Rayleigh-Ritz pass over the Krylov-enriched
@@ -248,6 +312,8 @@ def solve_sector(H, refine=24):
     the O(dim^3) eigh on device.  Host cost is O(refine^2 * dim).
     Set ``refine=0`` to skip (e.g. when only the bulk spectrum
     matters, as in KPM-grade spectral sweeps)."""
+    if lowest is not None:
+        return _solve_sector_lowest(H, int(lowest), int(max_iters), seed)
     w, v_ri = _eigh_dev(host_pack(H))
     w = np.array(jax.device_get(w), dtype=np.float64)
     v = np.array(host_unpack(v_ri))
@@ -269,7 +335,86 @@ def solve_sector(H, refine=24):
         take = min(m, len(ws))
         w[:take] = ws[:take]
         v[:take] = (Q @ vs[:, :take]).T
+        # the unrefined tail keeps its raw f32 errors (~1e-3 * ||H||),
+        # so splicing can break global monotonicity at the boundary
+        # (refined w[take-1] > raw w[take]) and mis-pair states for
+        # callers assuming ascending order -- re-sort jointly
+        order = np.argsort(w, kind="stable")
+        if not np.array_equal(order, np.arange(len(w))):
+            w = w[order]
+            v = v[order]
     return w, v
+
+
+def _solve_sector_lowest(H, k, rounds, seed, p=30, tol=None):
+    """k lowest eigenpairs of a dense sector H by Chebyshev-filtered
+    subspace iteration: the filter application runs on device
+    (:func:`_chebfilter_dev`, pure matmuls), the Rayleigh-Ritz
+    re-diagonalization runs on host in float64 -- so the filtered
+    subspace only has to CONTAIN the states; f32 filtering noise is
+    squared away by the f64 projection.  Validated at 1e-13 against
+    the dense spectrum on the 4,900-dim half-filled 8-ring (tests).
+
+    Filter schedule: round 1 suppresses everything above a guess
+    ``lo + 10%`` of the Gershgorin range; later rounds move the cut
+    to the (k + buf/2)-th Ritz value, sharpening the slice as the
+    Ritz values descend.  Rank lost to filter collapse (all columns
+    aligning with the ground state when the filter is very sharp) is
+    re-padded with fresh random vectors orthogonal to the kept span."""
+    Hd = np.asarray(H, dtype=complex)
+    D = Hd.shape[0]
+    if k < 1:
+        raise PythtbError("ed: lowest must be >= 1")
+    buf = max(k, 6)
+    nb = k + buf
+    if nb >= D:
+        raise PythtbError(
+            "ed: lowest=%d needs a sector dimension > %d; use the "
+            "full eigh (lowest=None)" % (k, nb)
+        )
+    radii = np.sum(np.abs(Hd), axis=1) - np.abs(np.diag(Hd))
+    hi = float(np.max(np.real(np.diag(Hd)) + radii))
+    lo = float(np.min(np.real(np.diag(Hd)) - radii))
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((D, nb)) + 1j * rng.standard_normal((D, nb))
+    cut = lo + 0.1 * (hi - lo)
+    ftype = config.float_dtype()
+    h_dev = jnp.asarray(host_pack(Hd), ftype)
+    w = v = None
+    tol = float(np.finfo(np.float64).eps ** 0.5) if tol is None else tol
+    for _ in range(max(int(rounds), 1)):
+        c = 0.5 * (cut + hi)
+        hw = 0.5 * (hi - cut)
+        Xf = np.array(jax.device_get(_chebfilter_dev(
+            h_dev, jnp.asarray(host_pack(X), ftype), p,
+            jnp.asarray(c, ftype), jnp.asarray(hw, ftype))),
+            dtype=np.float64)
+        X = Xf[..., 0] + 1j * Xf[..., 1]
+        X /= np.linalg.norm(X, axis=0, keepdims=True)
+        q, r = np.linalg.qr(X)
+        keep = np.abs(np.diag(r)) > 1e-12 * max(np.abs(np.diag(r)).max(),
+                                                1e-300)
+        Q = q[:, keep]
+        if Q.shape[1] < nb:
+            extra = (rng.standard_normal((D, nb - Q.shape[1]))
+                     + 1j * rng.standard_normal((D, nb - Q.shape[1])))
+            extra -= Q @ (Q.conj().T @ extra)
+            qe, _ = np.linalg.qr(extra)
+            Q = np.concatenate([Q, qe], axis=1)
+        Hs = Q.conj().T @ Hd @ Q
+        ws, vs = np.linalg.eigh(0.5 * (Hs + Hs.conj().T))
+        X = Q @ vs
+        w = ws
+        cut = float(w[min(k + buf // 2, len(w) - 1)])
+        res = np.linalg.norm(Hd @ X[:, :k] - X[:, :k] * w[:k], axis=0)
+        if res.max() < tol * max(abs(hi), abs(lo), 1.0):
+            break
+    if res.max() > 1e-6 * max(abs(hi), abs(lo), 1.0):
+        warnings.warn(
+            "ed: spectrum-slice solver residual %.1e after %d rounds; "
+            "increase rounds (max_iters) or use the full eigh"
+            % (res.max(), rounds), stacklevel=3)
+    return w[:k], np.ascontiguousarray(X[:, :k].T)  # rows are states
 
 
 # ---------------------------------------------------------------------------
@@ -497,13 +642,19 @@ class EDResult:
         return 0.5 * (-1.0 + np.sqrt(1.0 + 4.0 * s2))
 
 
-def hubbard(model, U, nup, ndn):
+def hubbard(model, U, nup, ndn, lowest=None):
     """ED of a finite ``nspin == 1`` model with Hubbard U in the
     ``(N_up, N_dn)`` sector (product layout).
 
     Returns an :class:`EDResult`.  The tests pin this against the
     general layout (:func:`solve`), the analytic Hubbard dimer, and
     the U = 0 free-fermion filling identity.
+
+    ``lowest``: compute only the k lowest eigenpairs by device LOBPCG
+    instead of the full dense eigh (see :func:`solve_sector`) -- the
+    large-sector path on the axon backend.  The result's spectrum is
+    then partial (ground-state observables exact, thermal traces
+    unavailable).
     """
     if model._nspin != 1:
         raise PythtbError(
@@ -528,7 +679,7 @@ def hubbard(model, U, nup, ndn):
     H[np.diag_indices(Du * Dd)] += np.einsum(
         "ui,i,di->ud", nu, Uvec, nd
     ).reshape(-1)
-    evals, evecs = solve_sector(H)
+    evals, evecs = solve_sector(H, lowest=lowest)
     return EDResult(
         "product",
         evals,
@@ -581,7 +732,8 @@ def _general_setup(model, U, interactions, spinful):
     return hm, vmat, nmodes, spinful
 
 
-def solve(model, nelec, U=0.0, interactions=None, spinful=False):
+def solve(model, nelec, U=0.0, interactions=None, spinful=False,
+          lowest=None):
     """ED of a finite model in the total-``nelec`` sector (general
     layout: one global mode set, arbitrary spin structure).
 
@@ -589,11 +741,13 @@ def solve(model, nelec, U=0.0, interactions=None, spinful=False):
     between *orbital* densities (summed over spin when spinful).
     ``spinful=True`` forces the spin-doubled mode set for nspin == 1
     models even at U = 0 (for cross-sector consistency).
+    ``lowest``: k-lowest-only device LOBPCG path (see
+    :func:`solve_sector`).
     """
     hm, vmat, nmodes, spinful = _general_setup(model, U, interactions, spinful)
     basis = sector_basis(nmodes, nelec)
     H = build_sector(hm, basis, vmat if np.any(vmat) else None)
-    evals, evecs = solve_sector(H)
+    evals, evecs = solve_sector(H, lowest=lowest)
     return EDResult(
         "general",
         evals,

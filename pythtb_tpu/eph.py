@@ -99,14 +99,25 @@ def _prep(model, fc, beta, atom_of):
     if atom_of.shape != (norb,) or atom_of.min() < 0 or \
             atom_of.max() >= fc._natom:
         raise PythtbError("eph: bad atom_of map")
-    # orbital positions must ride their atoms
+    # orbital positions must ride their atoms EXACTLY: an orbital
+    # displaced by a nonzero integer lattice vector would need that
+    # cell offset folded into every e^{2 pi i q.R} vertex phase
+    # (the atom actually displacing orbital j of hop cell R is the
+    # one in cell R + round(dpos_j)), which the vertex tables do not
+    # carry -- accepting it silently corrupts every q != 0 vertex
+    # (advisor finding, round 4).  Reject instead of rounding.
     lat = np.asarray(model._lat, dtype=np.float64)
     dpos = (np.asarray(model._orb) - np.asarray(fc._pos)[atom_of])
-    if np.abs(dpos - np.round(dpos)).max() > 1e-6:
+    if np.abs(dpos).max() > 1e-6:
         raise PythtbError(
-            "eph: orbital positions do not sit on their atoms "
-            "(max reduced mismatch %.2e)" % np.abs(
-                dpos - np.round(dpos)).max())
+            "eph: orbital positions do not coincide with their atoms "
+            "(max reduced mismatch %.2e%s); make the electronic "
+            "orbitals and phonon atoms use the same home-cell "
+            "convention (identical reduced coordinates), or fix "
+            "atom_of" % (
+                np.abs(dpos).max(),
+                ", a whole lattice vector" if
+                np.abs(dpos - np.round(dpos)).max() <= 1e-6 else ""))
     ii, jj, RR, tp, dh = [], [], [], [], []
     for hop in model._hoppings:
         amp, i, j = complex(hop[0]), hop[1], hop[2]
@@ -206,9 +217,10 @@ def coupling(model, fc, beta, k, q, atom_of=None, band_basis=True,
 # device kernel: batched |g|^2 over a q-grid at one k
 
 
-@partial(jax.jit, static_argnums=(0, 3))
+@partial(jax.jit, static_argnums=(0, 3, 14))
 def _gsq_qbatch_jit(static, data, kpt, nkq, orbs, hop_i, hop_j, hop_R,
-                    tp_ri, hop_dhat, atom_idx, ph_w, ph_vecs_ri, misq):
+                    tp_ri, hop_dhat, atom_idx, ph_w, ph_vecs_ri, misq,
+                    mesh=None):
     """One electron k-point against the full q-grid: returns
     (|g|^2 (B, nmode, S, S), e(k) (S,), e(k+q) (B, S)).
 
@@ -216,16 +228,27 @@ def _gsq_qbatch_jit(static, data, kpt, nkq, orbs, hop_i, hop_j, hop_R,
     ``ph_vecs_ri`` are the ri-packed mass-weighted mode rows on the
     SAME q-grid ordering as ``device_uniform_grid(nkq)`` (C-order),
     ``tp_ri`` the ri-packed hop derivative prefactors (complex host
-    constants never cross raw)."""
+    constants never cross raw).
+
+    With a ``mesh``, the q-batch axis B -- the heavy direction of the
+    (k, q) double grid -- is GSPMD-sharded, including the host-solved
+    phonon tables ``ph_w``/``ph_vecs_ri`` which live on the SAME
+    B-axis (constraining only qg would make XLA reshard them every
+    call); everything downstream is q-diagonal so no collective is
+    needed until the caller's q-sum."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble
-    from .ops.solver import device_uniform_grid
+    from .ops.solver import device_uniform_grid, shard_grid_axis0
     from .utils.xfer import unpack_cplx
 
     ftype = config.float_dtype()
     ctype = config.complex_dtype()
     d = orbs.shape[1]
     qg = device_uniform_grid(nkq, jnp.zeros((d,), ftype))  # (B, d)
+    if mesh is not None:
+        qg = shard_grid_axis0(qg, mesh)
+        ph_w = shard_grid_axis0(ph_w, mesh)
+        ph_vecs_ri = shard_grid_axis0(ph_vecs_ri, mesh)
     B = qg.shape[0]
     k = kpt.astype(ftype)
     kall = jnp.concatenate([k[None], k[None] + qg], axis=0)
@@ -307,11 +330,14 @@ def _qgrid_setup(model, fc, beta, atom_of, nkq):
 
 
 def _gsq_at_k(static, data, kpt, nkq, dev):
+    from .parallel import mesh as pmesh
+
     ftype = config.float_dtype()
     gsq, ek, ekq = _gsq_qbatch_jit(
         static, data, jnp.asarray(kpt, ftype), nkq, dev["orbs"],
         dev["i"], dev["j"], dev["R"], dev["tp_ri"], dev["dhat"],
-        dev["atom"], dev["ph_w"], dev["ph_v"], dev["misq"])
+        dev["atom"], dev["ph_w"], dev["ph_v"], dev["misq"],
+        pmesh.current_mesh())  # resolved at CALL time (stale-mesh gotcha)
     got = jax.device_get((gsq, ek, ekq))
     return (np.asarray(got[0], dtype=np.float64),
             np.asarray(got[1], dtype=np.float64),

@@ -277,15 +277,21 @@ def _hf_shifts(W0, idx, Wtab, u, occ_u):
     return sig_h + sig_x
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 15))
 def _bse_jit(static, data, nk, vb, cb, occ, qp, sx,
-             Q, vals, rvecs, pattern, scissor, torb, lat):
+             Q, vals, rvecs, pattern, scissor, torb, lat, mesh=None):
     """One device program: solve both k-sheets, build W tables, the
     direct/exchange kernels, HF shifts, diagonalize, and compute pair
-    dipoles (velocity gauge).  Returns ri-packed host payload."""
+    dipoles (velocity gauge).  Returns ri-packed host payload.
+
+    With a ``mesh``, the hole-sheet k axis (the ROW axis x of the
+    pair-grid kernel -- the O(B^2 S^2 nc nv) direct-kernel build is
+    the heavy step) is GSPMD-sharded; the replicated W table and the
+    column axis stay local, so the kernel rows build independently
+    per device and the final M x M eigh gathers once."""
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble, assemble_dk
-    from .ops.solver import device_uniform_grid
+    from .ops.solver import device_uniform_grid, shard_grid_axis0
 
     hp = jax.lax.Precision.HIGHEST
     ftype = config.float_dtype()
@@ -294,6 +300,8 @@ def _bse_jit(static, data, nk, vb, cb, occ, qp, sx,
     B = int(np.prod(nk))
     N = float(B)
     kpts = device_uniform_grid(nk, jnp.zeros((dim,), ftype))
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
     kQ = kpts + Q[None, :]
     ev, vec = eigh_batched(assemble(static, data, kpts))
     evQ, vecQ = eigh_batched(assemble(static, data, kQ))
@@ -491,12 +499,15 @@ def bse(model, V, occ, nk, vbands=None, cbands=None, Q=None,
     lat = np.asarray(model._lat, dtype=np.float64)
     per = list(model._per)
     torb = np.asarray(model._orb, dtype=np.float64)[:, per]
+    from .parallel import mesh as pmesh
+
     out = _bse_jit(
         static, data, nk, vb, cb, occ_t, qp, _SPIN_FACTORS[spin],
         jnp.asarray(Qv, ftype), jnp.asarray(vals, ftype),
         jnp.asarray(rvecs, ftype), jnp.asarray(pattern, ftype),
         jnp.asarray(float(scissor), ftype), jnp.asarray(torb, ftype),
-        jnp.asarray(lat[per], ftype))
+        jnp.asarray(lat[per], ftype),
+        pmesh.current_mesh())  # resolved at CALL time (stale-mesh gotcha)
     omega, A_ri, Ds_ri, de = jax.device_get(out)
     return ExcitonResult(
         np.asarray(omega, dtype=np.float64),

@@ -1572,13 +1572,21 @@ def _c2_weight(x):
     (two integrations by parts; jax.scipy.special.spence is scipy's
     convention, Li2(w) = spence(1 - w)).  W(-inf) = pi^2/3 (the full
     Sommerfeld integral), W(0) = pi^2/6, W decays like x^2 e^-x.
-    The clip keeps exp(-x) finite; below -30 the truncation error is
-    < 1e-11 so the constant branch is exact to double precision."""
-    xc = jnp.clip(x, -30.0, 30.0)
-    w = (xc**2 * jax.nn.sigmoid(-xc)
-         + 2.0 * xc * jax.nn.softplus(-xc)
-         - 2.0 * jax.scipy.special.spence(1.0 + jnp.exp(-xc)))
-    return jnp.where(x < -30.0, np.pi**2 / 3.0, w)
+
+    Evaluated via the exact reflection ``W(-x) = pi^2/3 - W(x)`` (the
+    integrand y^2 (-df/dy) is even), so the closed form is only ever
+    used at x >= 0 where every term is bounded by pi^2/6 -- at
+    x = -30 the raw formula cancels three O(1000) terms down to
+    pi^2/3, which costs 5e-5 absolute in f32 (measured); the reflected
+    branch is 1.4e-6 worst-case in f32 and agrees with the raw f64
+    formula to 9e-11.  The clip keeps exp(-x) finite; beyond +30 the
+    truncation error of the x >= 0 branch is < 1e-11."""
+    xa = jnp.abs(x)
+    w = (xa**2 * jax.nn.sigmoid(-xa)
+         + 2.0 * xa * jax.nn.softplus(-xa)
+         - 2.0 * jax.scipy.special.spence(
+             1.0 + jnp.exp(-jnp.clip(xa, 0.0, 30.0))))
+    return jnp.where(x < 0.0, np.pi**2 / 3.0 - w, w)
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))

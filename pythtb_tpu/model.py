@@ -19,9 +19,13 @@ Known deliberate deviation: ``_shift_to_home`` implements the
 *documented* behavior (shift every orbital's periodic reduced
 coordinates into [0, 1) and refold hop vectors).  The reference snapshot
 has an indentation bug (pythtb.py:1707-1715) that shifts only the last
-orbital and only when the home-cell warning is printed; the shipped
-examples are insensitive to the difference (their orbitals already land
-in [0, 1)).
+orbital and only when the home-cell warning branch runs (i.e. never
+when ``to_home_suppress_warning=True``); the shipped examples are
+insensitive to the difference (their orbitals already land in [0, 1)).
+For bit-compatibility with the snapshot, ``make_supercell`` and
+``change_nonperiodic_vector`` accept ``to_home_compat="snapshot"``
+(default ``"intent"``), golden-tested against the live reference on a
+model whose orbitals genuinely leave the home cell.
 """
 
 from __future__ import annotations
@@ -828,7 +832,7 @@ class tb_model(object):
                 red_tb.set_hop(amp * phase, i, j, ind_R, mode="add", allow_conjugate_pair=True)
         return red_tb
 
-    def change_nonperiodic_vector(self, np_dir, new_latt_vec=None, to_home=True, to_home_suppress_warning=False):
+    def change_nonperiodic_vector(self, np_dir, new_latt_vec=None, to_home=True, to_home_suppress_warning=False, to_home_compat="intent"):
         """Re-choose one nonperiodic lattice vector (by default the
         original projected perpendicular to all periodic vectors),
         keeping Cartesian orbital positions fixed (reference
@@ -879,10 +883,11 @@ class tb_model(object):
                 "Lattice with new choice of nonperiodic vector has zero volume?!"
             )
         if to_home:
-            nnp_tb._shift_to_home(to_home_suppress_warning)
+            nnp_tb._shift_to_home(to_home_suppress_warning,
+                                  compat=to_home_compat)
         return nnp_tb
 
-    def make_supercell(self, sc_red_lat, return_sc_vectors=False, to_home=True, to_home_suppress_warning=False):
+    def make_supercell(self, sc_red_lat, return_sc_vectors=False, to_home=True, to_home_suppress_warning=False, to_home_compat="intent"):
         """Build a supercell model.
 
         ``sc_red_lat`` is an integer matrix whose rows are the new
@@ -989,18 +994,29 @@ class tb_model(object):
                 sc_tb.set_hop(amp, hi, hj, sc_part, mode="add", allow_conjugate_pair=True)
 
         if to_home:
-            sc_tb._shift_to_home(to_home_suppress_warning)
+            sc_tb._shift_to_home(to_home_suppress_warning,
+                                 compat=to_home_compat)
         if not return_sc_vectors:
             return sc_tb
         return (sc_tb, [np.array(v) for v in sc_vec])
 
-    def _shift_to_home(self, to_home_suppress_warning=False):
+    def _shift_to_home(self, to_home_suppress_warning=False,
+                       compat="intent"):
         """Shift orbital reduced coordinates along *periodic* directions
         into [0, 1), refolding hop R-vectors accordingly.
 
-        Implements the documented intent of the reference's
-        ``_shift_to_home`` (pythtb.py:1639-1716); see the module
-        docstring for the reference snapshot's indentation quirk."""
+        ``compat="intent"`` (default) implements the documented intent
+        of the reference's ``_shift_to_home`` (pythtb.py:1639-1716):
+        every orbital is shifted.  ``compat="snapshot"`` replicates the
+        reference snapshot's indentation quirk bit-for-bit
+        (pythtb.py:1707-1715): the shift block sits inside the warning
+        branch and outside the orbital loop, so ONLY the last orbital
+        is shifted (by its own displacement), and nothing at all is
+        shifted when ``to_home_suppress_warning=True``.  Golden-tested
+        against the live reference (tests/test_golden_parity.py)."""
+        if compat not in ("intent", "snapshot"):
+            raise PythtbError(
+                "_shift_to_home: compat must be 'intent' or 'snapshot'")
         warning_list = [[] for _ in range(self._dim_r)]
         disp = np.zeros((self._norb, self._dim_r), dtype=int)
         for i in range(self._norb):
@@ -1024,6 +1040,13 @@ class tb_model(object):
                     "  home along non-periodic directions (matching PythTB >= 1.7.3\n"
                     "  semantics).  Affected:\n" + warn_str
                 )
+
+        if compat == "snapshot":
+            if to_home_suppress_warning:
+                return  # the quirk: no shift at all on the silent path
+            keep = np.zeros(self._norb, dtype=bool)
+            keep[-1] = True  # only the LAST loop iteration's disp_vec
+            disp = np.where(keep[:, None], disp, 0)
 
         self._orb = self._orb - disp
         if self._dim_k != 0:

@@ -45,7 +45,15 @@ spin factor ``diag(e^{-i theta/2}, e^{+i theta/2})``; in-plane mirrors
 carry ``-i n.sigma`` with ``n`` the mirror normal.  The indicator
 formulas below are the spinless ones, so :func:`chern_indicator`
 rejects ``nspin == 2`` models (their eigenvalues are still available
-through :func:`symmetry_eigenvalues`).
+through :func:`symmetry_eigenvalues`).  Spinful search beyond 2-D
+raises (the SU(2) factors are only built for the 2-D crystal classes).
+
+Host/serial by design: the candidate enumeration is a combinatorial
+search over integer matrices and orbital permutations -- tiny,
+branchy, and O(candidates * norb) -- with nothing to shard; only the
+per-candidate verification touches the device solver.  This module is
+therefore deliberately absent from the multichip dry-run (unlike the
+k-batch engines).
 """
 
 from __future__ import annotations
@@ -294,6 +302,15 @@ def find_symmetries(model, l=None, tol=1e-6, include_identity=False):
             "(dim_k == dim_r); cut_piece models have open boundaries"
         )
     d = model._dim_k
+    if model._nspin == 2 and d != 2:
+        # the spin-rotation factors are only constructed for the 2-D
+        # crystal classes (rotations about z, in-plane mirrors); a
+        # silent empty result would read as "no symmetries"
+        raise PythtbError(
+            "find_symmetries: spinful (nspin == 2) symmetry search is "
+            "implemented for 2-D models only (SU(2) factors for the "
+            "2-D crystal classes); got dim_k == %d" % d
+        )
     orb = np.asarray(model._orb, dtype=np.float64)
     lvec = np.zeros(model._norb, dtype=np.int64) if l is None else \
         np.asarray(l, dtype=np.int64)

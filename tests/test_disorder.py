@@ -97,8 +97,12 @@ def test_split_band_limit():
     ch = _chain()
     x, delta = 0.3, 4.0
     om = np.linspace(-7.0, 7.0, 281)
+    # the split-band (strong-scattering) regime contracts slowly near
+    # the subband edges: the residual plateaus at ~1e-9 after 500
+    # iterations (the dtype-auto tol 3.7e-11 made a passing test warn
+    # "not converged").  1e-8 is ample for 0.02-level DOS weights.
     r = disorder.cpa(ch, om, 128, ("binary", [x, 1 - x], [delta, -delta]),
-                     eta=0.02, max_iters=500)
+                     eta=0.02, max_iters=500, tol=1e-8)
     dos = r["dos"]
     dw = om[1] - om[0]
     upper = dos[om > 0].sum() * dw

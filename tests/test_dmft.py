@@ -273,3 +273,26 @@ def test_sigma0_seeding(bethe_runs):
     assert r.converged
     assert r.iterations <= max(3, r0.iterations // 2)
     assert abs(r.Z - r0.Z) < 5e-3
+
+
+def test_doped_mu_not_ph_symmetrized():
+    """An explicit doped mu with filling=None must NOT trigger the
+    particle-hole symmetrization of the bath fit (advisor finding,
+    round 4: ph was forced whenever filling was None, silently
+    biasing Sigma on doped runs).  Observable: the unsymmetrized fit
+    error is an order of magnitude smaller than a wrongly-forced
+    ph fit at the same doped mu, and the filling moves off 1."""
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        r_auto = dmft.bethe(2.0, mu=1.6, beta=20.0, n_matsubara=128,
+                            n_bath=4, max_iter=40)
+        r_forced = dmft.bethe(2.0, mu=1.6, beta=20.0, n_matsubara=128,
+                              n_bath=4, max_iter=40, ph_symmetric=True)
+        r_half = dmft.bethe(2.0, beta=20.0, n_matsubara=128,
+                            n_bath=4, max_iter=40)
+    assert r_auto.n_imp > 1.05          # electron-doped
+    assert r_auto.fit_err < 0.3 * r_forced.fit_err
+    # the default mu = U/2 still auto-detects the ph point
+    assert abs(r_half.n_imp - 1.0) < 1e-3

@@ -361,3 +361,24 @@ def test_entanglement_cross_check():
         np.asarray(entanglement.correlation_spectrum(ring, 3, region))
     ).reshape(-1)
     np.testing.assert_allclose(xi_ed, xi_pkg, atol=1e-8)
+
+
+def test_solve_sector_lowest_matches_full():
+    """The Chebyshev-filtered spectrum-slice path (lowest=k) matches
+    the full dense eigh on the half-filled 6-ring at machine
+    precision -- the compile-friendly large-sector route (the full
+    QDWH eigh program at 4,900 dim SIGKILLed the axon remote compile
+    helper in round 4)."""
+    ring = _chain(6, glue=True)
+    r_full = ed.hubbard(ring, 4.0, 3, 3)
+    r_low = ed.hubbard(ring, 4.0, 3, 3, lowest=4)
+    assert len(r_low.evals) == 4
+    np.testing.assert_allclose(r_low.evals, r_full.evals[:4], atol=1e-10)
+    np.testing.assert_allclose(
+        r_low.double_occupancy(), r_full.double_occupancy(), atol=1e-10)
+    # general layout too
+    r_g = ed.solve(ring, 4, U=2.0, lowest=3)
+    r_gf = ed.solve(ring, 4, U=2.0)
+    np.testing.assert_allclose(r_g.evals, r_gf.evals[:3], atol=1e-10)
+    with pytest.raises(PythtbError):
+        ed.hubbard(_chain(2, glue=False), 1.0, 1, 1, lowest=4)  # k+buf >= D

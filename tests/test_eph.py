@@ -280,3 +280,16 @@ def test_error_paths():
     with pytest.raises(PythtbError):
         eph.linewidths(m, fc, 1.0, [[0.1]], 0.0, temperature=0.0,
                        nkq=(8,))
+
+
+def test_integer_offset_orbital_rejected():
+    """An orbital displaced from its atom by a whole lattice vector
+    must be REJECTED: the q-vertex phases use the hop cell index
+    without the orbital-atom cell offset, so accepting it would
+    silently corrupt every q != 0 vertex (advisor finding, round 4)."""
+    m = ptt.tb_model(1, 1, [[1.0]], [[1.0]])  # orbital at reduced 1.0
+    m.set_hop(-1.0, 0, 0, [1])
+    fc = phonon.force_model([[1.0]], [[0.0]], masses=1.0)  # atom at 0.0
+    fc.set_spring(0.9, 0, 0, [1])
+    with pytest.raises(PythtbError, match="whole lattice vector"):
+        eph.coupling(m, fc, 1.0, [0.1], [0.2])

@@ -211,8 +211,17 @@ def test_fuzz_impurity_g0_torus_identity(seed):
 
 @pytest.mark.parametrize("seed", [61, 62])
 def test_fuzz_superfluid_k_vs_torus(seed):
-    """Random 2-D host at a random in-band mu: BdG stencil weight ==
-    dense twisted-torus construction."""
+    """Random 2-D host at a random in-band mu: analytic Daleckii-Krein
+    BdG Hessian == dense twisted-torus construction.
+
+    Regression note (round 4 -> 5): the torus oracle is itself an
+    O(h^2) central-difference Hessian; at h = 1e-3 its truncation error
+    reaches 3.5e-6 on some draws (seed 62), which is NOT an error in
+    the analytic path -- halving h shrank the disagreement exactly 4x
+    and the analytic value matches the Richardson-extrapolated oracle
+    at 3.5e-8.  The oracle is therefore Richardson-extrapolated here
+    (two steps, O(h^4)) so the 1e-7 tolerance tests the library, not
+    the oracle's stencil."""
     from pythtb_tpu import geometry
     from .test_geometry import _ds_torus_dense
 
@@ -222,7 +231,9 @@ def test_fuzz_superfluid_k_vs_torus(seed):
     mu = float(np.quantile(ev, rng.uniform(0.2, 0.8)))
     delta = float(rng.uniform(0.15, 0.5))
     Dk = geometry.superfluid_weight(m, mu, delta, nk=(5, 5))
-    Dt = _ds_torus_dense(m, mu, delta, (5, 5))
+    D1 = _ds_torus_dense(m, mu, delta, (5, 5), h=1e-3)
+    D2 = _ds_torus_dense(m, mu, delta, (5, 5), h=5e-4)
+    Dt = (4.0 * D2 - D1) / 3.0
     np.testing.assert_allclose(Dk, Dt, atol=1e-7)
 
 
@@ -357,12 +368,18 @@ def test_fuzz_hf_matrix_vs_numpy(seed):
     rho0[:, 1, 1] -= pz
     rho0[:, 0, 1] += pxy
     rho0[:, 1, 0] += np.conj(pxy)
+    # tol 1e-4: random draws can sit near criticality where linear
+    # mixing plateaus (measured: seeds 81/82 stall at 7e-7 / 3.6e-5
+    # after 6000 iterations -- a 1e-9 request made passing tests warn
+    # "not converged").  The rotation-invariant comparisons below use
+    # atol 5e-4, so a 1e-4 fixed-point residual is ample; both solvers
+    # run the same trajectory so they stop at the same point.
     r = meanfield.hartree_fock(flake, U, n_elec, temperature=kt,
-                               init=rho0, tol=1e-9, max_iters=6000,
+                               init=rho0, tol=1e-4, max_iters=6000,
                                mix=0.4)
     rho_ref, mu_ref = _numpy_hf_matrix(_dense_h0_spinful(flake), U,
                                        n_elec, kt, rho0, mix=0.4,
-                                       tol=1e-9)
+                                       tol=1e-4)
     sig = np.array([[[0, 1], [1, 0]], [[0, -1j], [1j, 0]],
                     [[1, 0], [0, -1]]])
     m_dev = np.real(np.einsum("iab,sba->is", r["rho"], sig))

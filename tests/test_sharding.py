@@ -316,3 +316,70 @@ def test_meanfield_sharded_matches(mesh8):
         shard3 = meanfield.bcs_gap(sq, 2.0, -0.4, nk=(16, 16),
                                    temperature=0.05)
     np.testing.assert_allclose(base3["delta"], shard3["delta"], atol=1e-10)
+
+
+def test_dmft_gloc_sharded_matches(mesh8):
+    """The DMFT lattice Green's-function pole sum (the N_k-heavy
+    direction) shards over the mesh and matches the single-device
+    result."""
+    from pythtb_tpu import dmft
+
+    m = zoo.haldane(ptt)
+    epso, amps, lams, eps_d = dmft._lattice_pole_data(m, 0, [12, 11])
+    wn = dmft.matsubara(20.0, 64)
+    sig = 0.3 / (1j * wn + 0.7)
+    g0 = dmft._gloc_lattice(epso, amps, lams, wn, 0.45, sig)
+    with use_mesh(mesh8):
+        g1 = dmft._gloc_lattice(epso, amps, lams, wn, 0.45, sig)
+    np.testing.assert_allclose(g0, g1, atol=1e-13)
+
+
+def test_bse_sharded_matches(mesh8):
+    """The BSE pair-grid kernel build shards the hole-sheet k axis and
+    reproduces the single-device exciton spectrum."""
+    from pythtb_tpu import exciton
+
+    bn = ptt.tb_model(2, 2, [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]],
+                      [[1.0 / 3, 1.0 / 3], [2.0 / 3, 2.0 / 3]])
+    bn.set_onsite([-0.9, 0.9])
+    for ij in ((0, 1, [0, 0]), (1, 0, [1, 0]), (1, 0, [0, 1])):
+        bn.set_hop(-1.0, *ij)
+    V = exciton.radial_interaction(bn, lambda x: 1.6 / (x + 0.5), 3.0)
+    r0 = exciton.bse(bn, V, occ=[0], nk=(6, 6), qp="hf")
+    with use_mesh(mesh8):
+        r1 = exciton.bse(bn, V, occ=[0], nk=(6, 6), qp="hf")
+    np.testing.assert_allclose(r0.energies, r1.energies, atol=1e-10)
+    # per-state oscillator strengths are NOT gauge invariant inside
+    # degenerate multiplets (the two eighs pick different bases);
+    # compare degeneracy-cluster sums instead
+    f0 = r0.oscillator_strengths(0)
+    f1 = r1.oscillator_strengths(0)
+    bounds = [0] + list(np.nonzero(np.diff(r0.energies) > 1e-8)[0] + 1) \
+        + [len(f0)]
+    c0 = np.array([f0[a:b].sum() for a, b in zip(bounds[:-1], bounds[1:])])
+    c1 = np.array([f1[a:b].sum() for a, b in zip(bounds[:-1], bounds[1:])])
+    np.testing.assert_allclose(c0, c1, atol=1e-8)
+
+
+def test_eph_linewidths_sharded_matches(mesh8):
+    """The eph q-grid vertex batch shards (including the host-solved
+    phonon tables on the same axis) and reproduces the linewidths."""
+    from pythtb_tpu import eph, phonon
+
+    lat = [[1.0, 0.0], [0.5, np.sqrt(3) / 2.0]]
+    orb = [[1 / 3.0, 1 / 3.0], [2 / 3.0, 2 / 3.0]]
+    m = ptt.tb_model(2, 2, lat, orb)
+    m.set_hop(-1.0, 0, 1, [0, 0])
+    m.set_hop(-1.0, 1, 0, [1, 0])
+    m.set_hop(-1.0, 1, 0, [0, 1])
+    fc = phonon.force_model(lat, orb, masses=[1.0, 1.4])
+    fc.set_spring(1.0, 0, 1, [0, 0], kt=0.3)
+    fc.set_spring(1.0, 1, 0, [1, 0], kt=0.3)
+    fc.set_spring(1.0, 1, 0, [0, 1], kt=0.3)
+    kp = np.array([[0.1, 0.2], [0.35, 0.15]])
+    g0 = eph.linewidths(m, fc, 1.5, kp, mu=0.0, temperature=0.15,
+                        nkq=(10, 9), sigma=0.12)
+    with use_mesh(mesh8):
+        g1 = eph.linewidths(m, fc, 1.5, kp, mu=0.0, temperature=0.15,
+                            nkq=(10, 9), sigma=0.12)
+    np.testing.assert_allclose(g0, g1, atol=1e-12)

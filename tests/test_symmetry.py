@@ -253,3 +253,15 @@ def test_symmetrize_is_projection():
     ks = np.random.default_rng(3).random((16, 2))
     np.testing.assert_allclose(h.solve_all(ks), hs.solve_all(ks),
                                atol=1e-10)
+
+
+def test_spinful_3d_raises():
+    """nspin == 2 with dim != 2 must raise, not silently return []
+    (the SU(2) factors are only built for the 2-D crystal classes;
+    advisor finding, round 4)."""
+    m = ptt.tb_model(3, 3, np.eye(3), [[0.0, 0.0, 0.0]], nspin=2)
+    m.set_hop([0.5, 0.1, 0.0, 0.0], 0, 0, [1, 0, 0])
+    m.set_hop([0.5, 0.0, 0.1, 0.0], 0, 0, [0, 1, 0])
+    m.set_hop([0.5, 0.0, 0.0, 0.1], 0, 0, [0, 0, 1])
+    with pytest.raises(PythtbError, match="2-D models only"):
+        symmetry.find_symmetries(m)

@@ -73,6 +73,22 @@ def test_thermal_hall_quantized_in_gap():
     assert abs(kap - (-np.pi**2 / 3.0)) < 1e-6
 
 
+def test_thermal_hall_warm_gap_activation_pin():
+    """Regression for the round-4 bench-row misdiagnosis: at kT = 0.15
+    the quantized plateau does NOT hold -- thermal activation across
+    the 0.58 Haldane gap (e^{-gap/kT} ~ 2% carriers) reduces kappa(0)
+    7% below pi^2/3.  The x64 value at these exact parameters is
+    pinned here so a bench/smoke check can never again assert the
+    plateau at a temperature where it is wrong physics (the on-chip
+    f32 value -3.04704 agreed with this pin at 5e-5 all along)."""
+    m = ptt.models.haldane()
+    kap = flows.thermal_hall(m, 0.0, 0.15, nk=(101, 101))
+    assert abs(kap - (-3.0470864547520)) < 1e-6
+    # and the plateau is restored on cooling (same grid)
+    cold = flows.thermal_hall(m, 0.0, 0.02, nk=(101, 101))
+    assert abs(cold - (-np.pi**2 / 3.0)) < 1e-6
+
+
 def test_wiedemann_franz_low_t():
     """Inside a band kappa_xy/(pi^2/3) -> sigma_xy(mu) as T -> 0."""
     m = ptt.models.haldane()

@@ -338,6 +338,40 @@ def w90_silicon(mod, data_dir):
     return out
 
 
+def shift_home_quirk(mod):
+    """make_supercell home-cell folding on a model whose orbitals leave
+    the home cell -- exercising the reference snapshot's _shift_to_home
+    indentation quirk (pythtb.py:1707-1715: only the LAST orbital is
+    shifted, and only when the warning branch runs).  pythtb_tpu
+    replicates it via to_home_compat="snapshot"; its default implements
+    the documented intent instead (see pythtb_tpu/model.py docstring)."""
+    lat = [[1.0, 0.1], [-0.2, 1.3]]
+    orb = [[0.2, 0.3], [1.7, -0.6], [2.4, 1.9]]
+    m = mod.tb_model(2, 2, lat, orb)
+    m.set_onsite([0.5, -0.3, 0.1])
+    m.set_hop(0.8 + 0.2j, 0, 1, [0, 0])
+    m.set_hop(-1.1, 1, 2, [1, 0])
+    m.set_hop(0.4 - 0.7j, 2, 0, [0, 1])
+    m.set_hop(0.25j, 0, 0, [1, 1])
+    compat = {"to_home_compat": "snapshot"} if "pythtb_tpu" in mod.__name__ else {}
+    out = {}
+    for tag, suppress in (("warn", False), ("silent", True)):
+        sc = m.make_supercell([[2, 0], [0, 1]], to_home=True,
+                              to_home_suppress_warning=suppress, **compat)
+        hops = sorted(sc._hoppings,
+                      key=lambda h: (h[1], h[2], tuple(np.asarray(h[3]))))
+        out["orb_" + tag] = np.asarray(sc._orb, dtype=np.float64)
+        out["hop_amp_" + tag] = np.asarray([complex(h[0]) for h in hops])
+        out["hop_ij_" + tag] = np.asarray([[h[1], h[2]] for h in hops],
+                                          dtype=np.int64)
+        out["hop_R_" + tag] = np.asarray([np.asarray(h[3], dtype=np.float64)
+                                          for h in hops])
+        # physics must be representation-independent either way
+        kp = np.array([[0.0, 0.0], [0.3, 0.4], [0.5, 0.5]])
+        out["evals_" + tag] = sc.solve_all(kp)
+    return out
+
+
 ALL = {
     "bands_graphene": bands_graphene,
     "bands_checkerboard": bands_checkerboard,
@@ -356,6 +390,7 @@ ALL = {
     "berry_3d": berry_3d,
     "berry_4d": berry_4d,
     "berry_4d_grid": berry_4d_grid,
+    "shift_home_quirk": shift_home_quirk,
 }
 
 def w90_synthetic(mod, data_dir=None):

@@ -380,14 +380,21 @@ def main():
           "0.41833)" % (rg["chern"], rg["omega_i"], rk["chern"],
                         rk["omega_i"]))
 
-    # 30. thermal Hall (f32): quantized plateau + in-band pin
+    # 30. thermal Hall (f32): quantized plateau + in-band pin + the
+    # warm 81-mu sweep (the round-4 bench config: at kT = 0.15 the
+    # 0.58 gap activates ~2% carriers, so kappa(0) = -3.04709 is the
+    # CORRECT x64 value there, 7% off the plateau -- physics, not f32)
     th_gap = flows.thermal_hall(m, 0.0, 0.02, nk=(81, 81))
     th_band = flows.thermal_hall(m, 2.2, 0.15, nk=(101, 101))
+    th_sweep = flows.thermal_hall(
+        m, np.linspace(-3.5, 3.5, 81), 0.15, nk=(101, 101))
+    i0 = int(np.argmin(np.abs(np.linspace(-3.5, 3.5, 81))))
     check("thermal hall f32",
           abs(th_gap + np.pi**2 / 3.0) < 1e-3
-          and abs(th_band + 0.097676) < 1e-3,
-          "gap=%.5f band=%.6f (x64: -3.28987, -0.09768)"
-          % (th_gap, th_band))
+          and abs(th_band + 0.097676) < 1e-3
+          and abs(th_sweep[i0] + 3.0470865) < 1e-3,
+          "gap=%.5f band=%.6f sweep(0)=%.5f (x64: -3.28987, -0.09768, "
+          "-3.04709)" % (th_gap, th_band, th_sweep[i0]))
 
     # 31. sector Chern (f32): layer-graded bilayer, grading broken
     mb2 = ptt.tb_model(2, 2, [[1.0, 0.0], [0.5, np.sqrt(3.0) / 2.0]],
