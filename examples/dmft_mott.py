@@ -92,3 +92,4 @@ axs[2].grid(alpha=0.3)
 fig.tight_layout()
 fig.savefig("dmft_mott.pdf")
 print("saved dmft_mott.pdf")
+print("Done.")

@@ -99,3 +99,4 @@ fig.savefig("eph_linewidths.pdf")
 print("Gamma range on the path: [%.2e, %.2e]" % (gam.min(), gam.max()))
 print("on-shell Gamma(T): " + ", ".join("%.4f" % g for g in g_fs))
 print("lambda = %.4f" % r["lambda"])
+print("Done.")

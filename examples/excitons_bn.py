@@ -96,3 +96,4 @@ axs[2].set_title("exciton center-of-mass dispersion")
 fig.tight_layout()
 fig.savefig("excitons_bn.pdf")
 print("saved excitons_bn.pdf")
+print("Done.")

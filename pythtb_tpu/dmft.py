@@ -98,7 +98,7 @@ from .ops.hamiltonian import assemble
 from .utils.xfer import host_pack, host_unpack, pack_cplx, unpack_cplx
 from . import ed
 
-__all__ = ["solve", "bethe", "matsubara", "DMFTResult"]
+__all__ = ["solve", "bethe", "matsubara", "band_spectral", "DMFTResult"]
 
 
 def matsubara(beta, n):
@@ -153,6 +153,104 @@ def _gloc_bethe_jit(eps_nodes, weights, wn, mu, sigma_ri):
     z = jax.lax.complex(jnp.broadcast_to(mu, wn.shape), wn)
     g = weights[None, :] / (z[:, None] - eps_nodes[None, :] - sig[:, None])
     return pack_cplx(jnp.sum(g, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# real-frequency kernels (z = w + mu + i eta instead of iw + mu; same
+# Schur pole reduction -- see the module docstring's TPU-first layout)
+
+
+@partial(jax.jit, static_argnums=(7,))
+def _gloc_real_pole_jit(epso, amps, lams, omegas, eta, mu, sigma_ri,
+                        mesh=None):
+    """G_loc(w + i eta) = mean_k G_oo(k, w + mu + i eta): (nw, 2) ri.
+
+    Identical pole reduction to :func:`_gloc_pole_jit` with the
+    Matsubara axis replaced by the eta-shifted real axis and the
+    real-axis Sigma(w) ri-packed in ``sigma_ri``."""
+    from .ops.solver import shard_grid_axis0
+
+    if mesh is not None:
+        epso = shard_grid_axis0(epso, mesh)
+        amps = shard_grid_axis0(amps, mesh)
+        lams = shard_grid_axis0(lams, mesh)
+    sig = unpack_cplx(sigma_ri)  # (nw,)
+    z = jax.lax.complex(omegas + mu, jnp.broadcast_to(eta, omegas.shape))
+    den = z[:, None, None] - lams[None, :, :]  # (nw, Nk, nv)
+    F = jnp.sum(amps[None, :, :] / den, axis=-1)
+    g = 1.0 / (z[:, None] - epso[None, :] - sig[:, None] - F)
+    return pack_cplx(jnp.mean(g, axis=1))
+
+
+@jax.jit
+def _gloc_real_bethe_jit(eps_nodes, weights, omegas, eta, mu, sigma_ri):
+    """Semicircular-DOS real-axis local G: (nw, 2) ri."""
+    sig = unpack_cplx(sigma_ri)
+    z = jax.lax.complex(omegas + mu, jnp.broadcast_to(eta, omegas.shape))
+    g = weights[None, :] / (z[:, None] - eps_nodes[None, :] - sig[:, None])
+    return pack_cplx(jnp.sum(g, axis=1))
+
+
+@partial(jax.jit, static_argnums=(7,))
+def _aspec_pole_jit(epso, amps, lams, omegas, eta, mu, sigma_ri,
+                    mesh=None):
+    """Momentum-resolved correlated-orbital spectral function
+    ``A_oo(k, w) = -(1/pi) Im G_oo(k, w + mu + i eta)``: (Nk, nw) real
+    (only the imaginary part crosses the boundary -- half the d2h of
+    the complex map).  Mesh-shardable over the k axis."""
+    from .ops.solver import shard_grid_axis0
+
+    if mesh is not None:
+        epso = shard_grid_axis0(epso, mesh)
+        amps = shard_grid_axis0(amps, mesh)
+        lams = shard_grid_axis0(lams, mesh)
+    sig = unpack_cplx(sigma_ri)
+    z = jax.lax.complex(omegas + mu, jnp.broadcast_to(eta, omegas.shape))
+    den = z[:, None, None] - lams[None, :, :]
+    F = jnp.sum(amps[None, :, :] / den, axis=-1)  # (nw, Nk)
+    g = 1.0 / (z[:, None] - epso[None, :] - sig[:, None] - F)
+    return -jnp.imag(g).T / jnp.pi
+
+
+@partial(jax.jit, static_argnums=(8,))
+def _aspec_full_jit(epso, lams, w_ri, b_ri, omegas, eta, mu, sigma_ri,
+                    mesh=None):
+    """Orbital-resolved spectral map including the spectator block.
+
+    With ``R_m(k, z) = 1/(z - lam_m(k))``, ``b = W^+ H_vo`` and the
+    Schur identity ``G_vv = R + R H_vo G_oo H_ov R`` everything is an
+    elementwise reduction in the H_vv eigenbasis:
+
+        G_oo       = 1/(z - eps_o - Sigma - sum_m |b_m|^2 R_m)
+        c_j        = sum_m W_jm b_m R_m          (= (R H_vo)_j)
+        d_j        = sum_m W_jm^* b_m^* R_m      (= (H_ov R)_j)
+        G_vv,jj    = sum_m |W_jm|^2 R_m + c_j G_oo d_j
+
+    Returns ``(A_oo (Nk, nw), A_vv (Nk, nw, nv))``.  The einsums feed
+    spectral weights (not phases) but stay at HIGHEST precision -- the
+    default bf16 pass visibly distorts sharp quasiparticle peaks."""
+    from .ops.solver import shard_grid_axis0
+
+    if mesh is not None:
+        epso = shard_grid_axis0(epso, mesh)
+        lams = shard_grid_axis0(lams, mesh)
+        w_ri = shard_grid_axis0(w_ri, mesh)
+        b_ri = shard_grid_axis0(b_ri, mesh)
+    W = unpack_cplx(w_ri)  # (Nk, nv, nv), columns are eigenvectors
+    b = unpack_cplx(b_ri)  # (Nk, nv)
+    sig = unpack_cplx(sigma_ri)
+    hi = jax.lax.Precision.HIGHEST
+    z = jax.lax.complex(omegas + mu, jnp.broadcast_to(eta, omegas.shape))
+    R = 1.0 / (z[:, None, None] - lams[None, :, :])  # (nw, Nk, nv)
+    F = jnp.sum((jnp.abs(b) ** 2)[None, :, :] * R, axis=-1)
+    goo = 1.0 / (z[:, None] - epso[None, :] - sig[:, None] - F)
+    c = jnp.einsum("kjm,km,wkm->wkj", W, b, R, precision=hi)
+    d = jnp.einsum("kjm,km,wkm->wkj", W.conj(), b.conj(), R,
+                   precision=hi)
+    gvv = jnp.einsum("kjm,wkm->wkj", jnp.abs(W) ** 2, R,
+                     precision=hi) + c * goo[:, :, None] * d
+    return (-jnp.imag(goo).T / jnp.pi,
+            -jnp.imag(gvv).transpose(1, 0, 2) / jnp.pi)
 
 
 @jax.jit
@@ -451,6 +549,77 @@ class DMFTResult:
         """Z = [1 - Im Sigma(iw_0)/w_0]^-1 (first-frequency estimate)."""
         return float(1.0 / (1.0 - np.imag(self.sigma[0]) / self.wn[0]))
 
+    # -- real-frequency observables (exact in ED-DMFT: no analytic
+    #    continuation is needed -- the converged AIM is a finite pole
+    #    model whose Green's function and Weiss field are closed-form
+    #    rational functions of z, so Sigma(z) = G0_AIM^-1(z) -
+    #    G_imp^-1(z) evaluates anywhere in the upper half plane)
+
+    def _sigma_at(self, z):
+        """Self-energy of the converged AIM at arbitrary complex
+        ``z`` (grand-canonical frame: z = iw_n on the Matsubara axis,
+        z = w + i eta on the real axis with w measured from mu).
+
+        Sigma(z) = z - (eps_d - mu) - sum_l V_l^2/(z - eps_l)
+                   - 1/G_imp(z)
+
+        with G_imp(z) the exact finite-T Lehmann sum of the solved
+        impurity model.  Pure host float64 complex (tiny)."""
+        z = np.asarray(z, dtype=complex)
+        g = np.sum(self._amps[None, :]
+                   / (z[:, None] - self._poles[None, :]), axis=1)
+        eps_b, v_b = self.bath
+        hyb = 0.0
+        if len(eps_b):
+            hyb = np.sum((np.asarray(v_b)[None, :] ** 2)
+                         / (z[:, None] - np.asarray(eps_b)[None, :]),
+                         axis=1)
+        return z - (self.eps_d - self.mu) - hyb - 1.0 / g
+
+    def sigma_real(self, omegas, eta=0.05):
+        """Exact real-axis self-energy ``Sigma(w + i eta)`` of the
+        converged AIM (see :meth:`_sigma_at`); ``w`` is measured from
+        the chemical potential.  Between the discrete Lehmann poles of
+        a small-``n_bath`` AIM, ``Im Sigma`` can show spiky structure
+        (the standard ED-DMFT discretization artifact); a moderate
+        ``eta`` (0.05-0.2 of the bandwidth) smooths it."""
+        omegas = np.asarray(omegas, dtype=float)
+        return self._sigma_at(omegas + 1j * float(eta))
+
+    def local_spectral(self, omegas, eta=0.05, eta_sigma=None):
+        """Interacting LATTICE local spectral function
+        ``A_loc(w) = -(1/pi) Im G_loc(w + i eta)`` with the exact
+        real-axis ``Sigma(w + i eta_sigma)`` inserted into the same
+        lattice sum the self-consistency used (Schur pole form for
+        ``solve``, Gauss-Chebyshev quadrature for ``bethe``).  The
+        (N_k x n_w) pole reduction runs as one device program (mesh-
+        shardable over k).  ``eta_sigma`` defaults to ``eta``."""
+        omegas = np.asarray(omegas, dtype=float)
+        if eta_sigma is None:
+            eta_sigma = eta
+        sigma = self._sigma_at(omegas + 1j * float(eta_sigma))
+        kind, dat = self._real_axis
+        ftype = config.float_dtype()
+        if kind == "bethe":
+            nodes, weights = dat
+            out = _gloc_real_bethe_jit(
+                jnp.asarray(nodes, ftype), jnp.asarray(weights, ftype),
+                jnp.asarray(omegas, ftype),
+                jnp.asarray(float(eta), ftype),
+                jnp.asarray(float(self.mu), ftype), host_pack(sigma))
+        else:
+            from .parallel import mesh as pmesh
+
+            epso, amps, lams = dat
+            out = _gloc_real_pole_jit(
+                jnp.asarray(epso, ftype), jnp.asarray(amps, ftype),
+                jnp.asarray(lams, ftype), jnp.asarray(omegas, ftype),
+                jnp.asarray(float(eta), ftype),
+                jnp.asarray(float(self.mu), ftype), host_pack(sigma),
+                pmesh.current_mesh())
+        g = host_unpack(np.asarray(jax.device_get(out)))
+        return -np.imag(g) / np.pi
+
 
 def _filling_from_g(g, wn, beta):
     """n per spin from the Matsubara sum with exact 1/(iw) tail:
@@ -631,8 +800,12 @@ def solve(model, U, orb=0, beta=20.0, nk=None, n_matsubara=256,
     def gloc_fn(m, s):
         return _gloc_lattice(epso, amps, lams, wn, m, s)
 
-    return _dmft_cycle(gloc_fn, U, beta, wn, n_bath, mu, filling, mix,
-                       max_iter, tol, half_bw, sigma0, seed, ph)
+    res = _dmft_cycle(gloc_fn, U, beta, wn, n_bath, mu, filling, mix,
+                      max_iter, tol, half_bw, sigma0, seed, ph)
+    res._real_axis = ("pole", (epso, amps, lams))
+    res._model = model
+    res._orb = int(orb)
+    return res
 
 
 def bethe(U, D=2.0, beta=20.0, n_matsubara=256, n_bath=4, mu=None,
@@ -671,5 +844,111 @@ def bethe(U, D=2.0, beta=20.0, n_matsubara=256, n_bath=4, mu=None,
                               host_pack(np.asarray(s)))
         return host_unpack(np.asarray(jax.device_get(out)))
 
-    return _dmft_cycle(gloc_fn, U, beta, wn, n_bath, mu, filling, mix,
-                       max_iter, tol, 0.5 * D, sigma0, seed, ph)
+    res = _dmft_cycle(gloc_fn, U, beta, wn, n_bath, mu, filling, mix,
+                      max_iter, tol, 0.5 * D, sigma0, seed, ph)
+    res._real_axis = ("bethe", (nodes, weights))
+    res._model = None
+    res._orb = None
+    return res
+
+
+# ---------------------------------------------------------------------------
+# momentum-resolved real-frequency spectra (ARPES-style maps)
+
+
+def band_spectral(result, kpts, omegas, eta=0.05, eta_sigma=None,
+                  resolved=False, device=False):
+    """Momentum-resolved interacting spectral function ``A(k, w)``
+    along an explicit k-list -- the ARPES observable of the converged
+    DMFT solution:
+
+        A_oo(k, w) = -(1/pi) Im [ w + i eta + mu - eps_o(k)
+                                  - F(k, w + i eta) - Sigma(w) ]^-1
+
+    with the EXACT real-axis ``Sigma(w + i eta_sigma)`` of the ED
+    impurity solver (see :meth:`DMFTResult.sigma_real` -- rational in
+    z, no analytic continuation) and ``F`` the Schur hybridization of
+    the non-correlated orbitals.  The (N_k x n_w) evaluation is one
+    device program, mesh-shardable over k.
+
+    :param result: a :class:`DMFTResult` from :func:`solve` (the
+      Bethe-lattice solver has no k-space; use
+      :meth:`DMFTResult.local_spectral` there)
+    :param kpts: (nkp, dim_k) reduced k-points (e.g. from
+      ``model.k_path``)
+    :param omegas: (nw,) real frequencies measured from mu
+    :param eta: spectral broadening of the lattice resolvent
+    :param eta_sigma: broadening at which Sigma is evaluated
+      (default: ``eta``)
+    :param resolved: when True also return the spectator-orbital
+      weights -- shape (nkp, nw, norb), orbital order of the model,
+      via the Schur identity G_vv = R + R H_vo G_oo H_ov R evaluated
+      in the H_vv eigenbasis (no complex LU on device)
+    :param device: return the raw device array(s) instead of host
+      numpy -- for chaining into further on-device reductions without
+      paying the host transfer (through the tunneled axon runtime a
+      full-resolution resolved map is d2h-BOUND: a 1001 x 2001 x 8
+      f32 map is 64 MB at ~25 MB/s, dwarfing the ~ms device compute).
+      With ``resolved`` this is the ``(A_oo, A_vv)`` kernel pair
+      (spectator block NOT yet reordered into model orbital order)
+    :returns: (nkp, nw) array ``A_oo``, or (nkp, nw, norb) when
+      ``resolved``
+
+    Reference: PythTB 1.8.0 is single-particle and has no interacting
+    spectra; this composes the package's DMFT state with the
+    reference-parity H(k) assembly (pythtb.py:874-925).
+    """
+    from .parallel import mesh as pmesh
+
+    if getattr(result, "_model", None) is None:
+        raise PythtbError(
+            "dmft.band_spectral needs a lattice DMFTResult (from "
+            "dmft.solve); Bethe results have no k-space -- use "
+            "result.local_spectral")
+    model, o = result._model, result._orb
+    omegas = np.asarray(omegas, dtype=float)
+    if eta_sigma is None:
+        eta_sigma = eta
+    sigma = result._sigma_at(omegas + 1j * float(eta_sigma))
+    kpts = np.asarray(kpts, dtype=float)
+    if kpts.ndim == 1:
+        kpts = kpts[:, None] if model._dim_k == 1 else kpts[None, :]
+    static, data = model._get_finalized()
+    ftype = config.float_dtype()
+    hk = np.asarray(host_unpack(np.asarray(jax.device_get(
+        _assemble_ri_jit(static, data, jnp.asarray(kpts, ftype))))),
+        dtype=complex)  # (nkp, norb, norb)
+    norb = hk.shape[-1]
+    keep = [i for i in range(norb) if i != o]
+    epso = np.real(hk[:, o, o]).astype(np.float64)
+    if keep:
+        hvv = hk[np.ix_(range(len(hk)), keep, keep)]
+        hvo = hk[:, keep, o]  # (nkp, nv) column H_vo
+        lam, W = np.linalg.eigh(hvv)  # host f64, once per call
+        b = np.einsum("kvm,kv->km", W.conj(), hvo)
+    else:
+        lam = np.zeros((len(hk), 1))
+        W = np.ones((len(hk), 1, 1), dtype=complex)
+        b = np.zeros((len(hk), 1), dtype=complex)
+    mesh = pmesh.current_mesh()
+    args = (jnp.asarray(omegas, ftype), jnp.asarray(float(eta), ftype),
+            jnp.asarray(float(result.mu), ftype), host_pack(sigma))
+    if not resolved:
+        out = _aspec_pole_jit(
+            jnp.asarray(epso, ftype),
+            jnp.asarray(np.abs(b) ** 2, ftype),
+            jnp.asarray(lam, ftype), *args, mesh)
+        if device:
+            return out
+        return np.asarray(jax.device_get(out), dtype=np.float64)
+    pair = _aspec_full_jit(
+        jnp.asarray(epso, ftype), jnp.asarray(lam, ftype),
+        host_pack(W), host_pack(b), *args, mesh)
+    if device:
+        return pair
+    aoo, avv = jax.device_get(pair)
+    A = np.zeros((len(hk), len(omegas), norb))
+    A[:, :, o] = np.asarray(aoo, dtype=np.float64)
+    if keep:
+        A[:, :, keep] = np.asarray(avv, dtype=np.float64)
+    return A

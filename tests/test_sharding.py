@@ -334,6 +334,37 @@ def test_dmft_gloc_sharded_matches(mesh8):
     np.testing.assert_allclose(g0, g1, atol=1e-13)
 
 
+def test_dmft_band_spectral_sharded_matches(mesh8):
+    """The real-frequency ARPES map A(k, w) (Schur pole reduction at
+    z = w + i eta, including the orbital-resolved spectator block) and
+    the real-axis local G shard over the k axis and match the
+    single-device results."""
+    import warnings
+
+    from pythtb_tpu import dmft
+
+    lat = [[1.0]]
+    orb = [[0.0], [0.5]]
+    m = ptt.tb_model(1, 1, lat, orb)
+    m.set_onsite([0.0, 2.0])
+    m.set_hop(-1.0, 0, 0, [1])
+    m.set_hop(0.3, 0, 1, [0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = dmft.solve(m, U=1.5, orb=0, beta=8.0, nk=13,
+                         n_matsubara=48, n_bath=2, max_iter=4,
+                         tol=1e-10)
+    kp = np.linspace(0.0, 1.0, 11)[:, None]  # 11 points: not divisible by 8
+    om = np.linspace(-3.0, 4.0, 37)
+    a0 = dmft.band_spectral(res, kp, om, eta=0.1, resolved=True)
+    l0 = res.local_spectral(om, eta=0.1)
+    with use_mesh(mesh8):
+        a1 = dmft.band_spectral(res, kp, om, eta=0.1, resolved=True)
+        l1 = res.local_spectral(om, eta=0.1)
+    np.testing.assert_allclose(a0, a1, atol=1e-13)
+    np.testing.assert_allclose(l0, l1, atol=1e-13)
+
+
 def test_bse_sharded_matches(mesh8):
     """The BSE pair-grid kernel build shards the hole-sheet k axis and
     reproduces the single-device exciton spectrum."""

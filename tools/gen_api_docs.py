@@ -35,6 +35,7 @@ SECTIONS = [
     ("pythtb_tpu.meanfield — self-consistent mean field", "pythtb_tpu.meanfield", None),
     ("pythtb_tpu.ed — exact diagonalization", "pythtb_tpu.ed", None),
     ("pythtb_tpu.dmft — dynamical mean-field theory", "pythtb_tpu.dmft", None),
+    ("pythtb_tpu.continuation — analytic continuation", "pythtb_tpu.continuation", None),
     ("pythtb_tpu.exciton — Bethe-Salpeter excitons", "pythtb_tpu.exciton", None),
     ("pythtb_tpu.response — Lindhard / RPA susceptibility", "pythtb_tpu.response", None),
     ("pythtb_tpu.magnon — linear spin-wave theory", "pythtb_tpu.magnon", None),

@@ -861,6 +861,31 @@ def main():
           "max dev %.1e (x64: Z_met 0.92260, Z_mott 0.00446, "
           "Z_square 0.62815)" % dv54)
 
+    # 55. real-frequency interacting spectra: the exact ED-DMFT real
+    # axis (local A, ARPES band map via the device Schur pole kernels)
+    # + the Pade differential, vs pinned CPU-x64 values on r54s
+    from pythtb_tpu import continuation
+
+    om55 = np.linspace(-6.0, 6.0, 201)
+    a55 = r54s.local_spectral(om55, eta=0.2)
+    i55 = float(np.trapezoid(a55, om55))
+    kp55 = np.array([[0.0, 0.0], [0.25, 0.25], [0.5, 0.5]])
+    ak55 = dmft.band_spectral(r54s, kp55, om55, eta=0.2)
+    pk55 = om55[np.argmax(ak55, axis=1)]
+    ap55 = continuation.pade_spectral(r54s.wn, r54s.g_imp, om55, eta=0.4)
+    ax55 = r54s.spectral(om55, eta=0.4)
+    pd55 = float(np.max(np.abs(ap55 - ax55)) / np.max(ax55))
+    dv55 = max(abs(a55[100] - 0.329837), abs(i55 - 0.977353),
+               abs(float(ak55[0, 100]) - 0.024035))
+    # Pade inherits the f32 Matsubara noise (its documented
+    # exponential noise sensitivity): measured 2.1e-2 on chip vs
+    # 3.9e-3 in x64 -- the loose bound is about the INPUT precision
+    check("DMFT real-axis spectra + Pade f32",
+          dv55 < 5e-3 and pd55 < 5e-2
+          and np.allclose(pk55, [-2.7, 0.0, 2.7], atol=0.15),
+          "max dev %.1e pade rel %.1e peaks %s (x64: A0 0.32984, "
+          "int 0.97735, Ak 0.02404, pade 3.9e-3)" % (dv55, pd55, pk55))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
