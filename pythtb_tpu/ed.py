@@ -71,6 +71,9 @@ __all__ = [
     "ground_state",
     "spectral_function",
     "dynamic_susceptibility",
+    "many_body_chern",
+    "twist_berry_phase",
+    "resta_polarization",
 ]
 
 # dense D x D complex128 sector Hamiltonians: keep the footprint sane
@@ -908,3 +911,425 @@ def dynamic_susceptibility(model, nelec, A, B, omegas, U=0.0, eta=0.05,
     chi = _lorentz_sum(np.conj(adn) * bn, wn, omegas, eta)
     chi -= _lorentz_sum(np.conj(bdn) * an, -wn, omegas, eta)
     return chi
+
+
+# ---------------------------------------------------------------------------
+# twisted boundary conditions: many-body topology (Niu-Thouless-Wu)
+#
+# Threading a twist angle theta_d through handle d of a glued torus
+# multiplies every hop that wraps the boundary (wrap vector w, the
+# integer number of times the hop crosses each handle) by
+# e^{+i theta . w} (the sign that makes the U = 0 twist-torus Chern
+# number equal the package band Chern number -- pinned by test).
+# Because the twist enters ONLY through those
+# phases, the twisted many-body Hamiltonian is a trigonometric
+# polynomial in theta,
+#
+#   H(theta) = H_0 + sum_w [ cos(theta.w) A_w + sin(theta.w) B_w ],
+#
+# with H_0 (untwisted + interactions; density-density terms are
+# twist-neutral), A_w = M_w + M_w^dag and B_w = -i (M_w - M_w^dag)
+# fixed Hermitian many-body matrices built once per wrap class.  The
+# whole twist grid then solves as ONE device program (the same
+# phases-linear-in-parameter trick as magnetic.hofstadter_fn), chunked
+# by lax.map so peak memory is grid * D^2, not grid^2 * D^2.
+#
+# The reference has no many-body machinery at all; this section is the
+# interacting bridge to its Berry-phase suite (pythtb.py:2863-3068):
+# at U = 0 the twist-torus plaquette Chern number equals the filled
+# single-particle band Chern number exactly (tested), and it stays
+# quantized under interactions as long as the ground multiplet stays
+# gapped (Niu, Thouless & Wu, PRB 31, 3372 (1985)).
+
+
+def _torus_onebody(model, supercell):
+    """Glued-torus one-body Hamiltonian grouped by boundary wrap class.
+
+    Returns ``(m0, wraps, mats, fracpos, nsites)``: ``m0`` the
+    (nsites[, 2, 2]-blocked -> flattened) Hermitian untwisted matrix,
+    ``wraps`` a list of canonical nonzero wrap vectors (tuples),
+    ``mats`` the raw (non-Hermitian) hop matrix per wrap class (its
+    Hermitian partner carries wrap ``-w`` and is NOT stored), and
+    ``fracpos`` the (nsites, dim) site positions in supercell-fraction
+    units (for Resta polarization).  Site index = cell*norb + orb,
+    cell-major like :func:`pythtb_tpu.realspace.torus_sample`; spinful
+    models are flattened to mode = 2*site + spin afterwards by the
+    caller.
+    """
+    if model._dim_k != model._dim_r or model._dim_k < 1:
+        raise PythtbError(
+            "ed twists need a fully periodic model (dim_k == dim_r >= 1)"
+        )
+    dim = model._dim_r
+    L = tuple(int(x) for x in np.atleast_1d(supercell))
+    if len(L) != dim or any(x < 1 for x in L):
+        raise PythtbError(
+            "supercell must give a positive cell count per periodic "
+            "direction (got %r for dim %d)" % (supercell, dim)
+        )
+    norb = model._norb
+    nspin = model._nspin
+    ncells = int(np.prod(L))
+    nsites = norb * ncells
+    cells = np.indices(L).reshape(dim, ncells).T  # (ncells, dim)
+    Larr = np.array(L)
+
+    blk = (2, 2) if nspin == 2 else ()
+
+    def zeros():
+        return np.zeros((nsites, nsites) + blk, dtype=complex)
+
+    m0 = zeros()
+    for i in range(norb):
+        ons = np.asarray(model._site_energies[i], dtype=complex)
+        for c in range(ncells):
+            s = c * norb + i
+            m0[s, s] += ons if nspin == 1 else ons * np.eye(2) if np.ndim(ons) == 0 else ons
+
+    wrap_mats = {}
+    for hop in model._hoppings:
+        amp = np.asarray(hop[0], dtype=complex)
+        i, j, R = hop[1], hop[2], np.asarray(hop[3], dtype=np.int64)
+        tgt = cells + R  # (ncells, dim)
+        w_all = np.floor_divide(tgt, Larr)
+        tcell = np.mod(tgt, Larr)
+        tidx = np.ravel_multi_index(tuple(tcell.T), L)
+        for c in range(ncells):
+            row = c * norb + i
+            col = tidx[c] * norb + j
+            w = tuple(int(x) for x in w_all[c])
+            if all(x == 0 for x in w):
+                m0[row, col] += amp
+                m0[col, row] += amp.conj().T if nspin == 2 else np.conj(amp)
+                continue
+            # canonical representative: first nonzero component > 0;
+            # the flipped entry is the Hermitian partner under -w
+            if next(x for x in w if x != 0) < 0:
+                w = tuple(-x for x in w)
+                r2, c2 = col, row
+                a2 = amp.conj().T if nspin == 2 else np.conj(amp)
+            else:
+                r2, c2, a2 = row, col, amp
+            if w not in wrap_mats:
+                wrap_mats[w] = zeros()
+            wrap_mats[w][r2, c2] += a2
+
+    def flatten(M):
+        if nspin == 1:
+            return M
+        return np.transpose(M, (0, 2, 1, 3)).reshape(2 * nsites, 2 * nsites)
+
+    wraps = sorted(wrap_mats.keys())
+    mats = [flatten(wrap_mats[w]) for w in wraps]
+    orb = np.asarray(model._orb, dtype=np.float64)
+    fracpos = ((cells[:, None, :] + orb[None, :, :]) / Larr).reshape(
+        nsites, dim
+    )
+    return flatten(m0), wraps, mats, fracpos, nsites
+
+
+def _torus_vmat(interactions, u, L, norb, nspin, spinful):
+    """Density-density matrix on the glued torus in MODE space.
+
+    ``interactions``: iterable of ``(V, i, j, R)`` -- V n_i(c) n_j(c+R)
+    tiled over every cell c with periodic wrap (density-density terms
+    are twist-neutral, so wraps carry no phase here).  ``u``: Hubbard U
+    per site between up/dn modes (needs a spinful mode set).
+    """
+    dim = len(L)
+    ncells = int(np.prod(L))
+    nsites = norb * ncells
+    nmodes = 2 * nsites if (nspin == 2 or spinful) else nsites
+    vmat = np.zeros((nmodes, nmodes))
+    uarr = np.max(np.abs(np.asarray(u)))
+    if uarr > 0:
+        if nmodes == nsites:
+            raise PythtbError("ed twists: Hubbard u needs spinful=True")
+        Uvec = _uvec(u, norb)
+        for c in range(ncells):
+            for i in range(norb):
+                s = c * norb + i
+                vmat[2 * s, 2 * s + 1] += Uvec[i]
+                vmat[2 * s + 1, 2 * s] += Uvec[i]
+    if interactions is None:
+        return vmat if np.any(vmat) else None
+    cells = np.indices(L).reshape(dim, ncells).T
+    Larr = np.array(L)
+    for term in interactions:
+        V, i, j = float(term[0]), int(term[1]), int(term[2])
+        R = np.asarray(term[3], dtype=np.int64)
+        tcell = np.mod(cells + R, Larr)
+        tidx = np.ravel_multi_index(tuple(tcell.T), L)
+        for c in range(ncells):
+            sa = c * norb + i
+            sb = tidx[c] * norb + j
+            if sa == sb:
+                raise PythtbError(
+                    "ed twists: interaction (%g, %d, %d, %r) maps a site "
+                    "onto itself on this supercell (n^2 = n is one-body)"
+                    % (V, i, j, tuple(R))
+                )
+            if nmodes == nsites:
+                vmat[sa, sb] += V
+                vmat[sb, sa] += V
+            else:
+                for si in (0, 1):
+                    for sj in (0, 1):
+                        vmat[2 * sa + si, 2 * sb + sj] += V
+                        vmat[2 * sb + sj, 2 * sa + si] += V
+    return vmat if np.any(vmat) else None
+
+
+def _twist_setup(model, supercell, nelec, u, interactions, spinful):
+    """Shared builder: many-body H_0 and per-wrap (A_w, B_w) matrices.
+
+    Returns ``(H0, wraps, A_mb, B_mb, basis, fracpos_modes)``.
+    """
+    m0, wraps, mats, fracpos, nsites = _torus_onebody(model, supercell)
+    L = tuple(int(x) for x in np.atleast_1d(supercell))
+    spinful = bool(spinful) or model._nspin == 2 or (
+        np.max(np.abs(np.asarray(u))) > 0
+    )
+    if model._nspin == 1 and spinful:
+        def double(M):
+            out = np.zeros((2 * nsites, 2 * nsites), dtype=complex)
+            out[0::2, 0::2] = M
+            out[1::2, 1::2] = M
+            return out
+
+        m0 = double(m0)
+        mats = [double(M) for M in mats]
+        fracpos = np.repeat(fracpos, 2, axis=0)
+    elif model._nspin == 2:
+        fracpos = np.repeat(fracpos, 2, axis=0)
+    nmodes = m0.shape[0]
+    if nmodes > 63:
+        raise PythtbError(
+            "ed twists: %d fermionic modes exceed the 63-bit basis "
+            "limit; use a smaller supercell" % nmodes
+        )
+    vmat = _torus_vmat(interactions, u, L, model._norb, model._nspin,
+                       spinful)
+    basis = sector_basis(nmodes, nelec)
+    H0 = build_sector(m0, basis, vmat)
+    A_mb, B_mb = [], []
+    for M in mats:
+        # e^{+i phi} M + e^{-i phi} M^dag = cos(phi) A + sin(phi) B
+        A_mb.append(build_sector(M + M.conj().T, basis))
+        B_mb.append(build_sector(1j * (M - M.conj().T), basis))
+    return H0, wraps, A_mb, B_mb, basis, fracpos
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _twist_chern_dev(h0_ri, a_ri, b_ri, wvecs, grid, q):
+    """Plaquette many-body Chern number over a (grid x grid) twist
+    torus as one program: lax.map over theta_x rows (peak memory
+    grid * D^2, not grid^2 * D^2), batched eigh per row, det-overlap
+    links of the lowest-``q`` multiplet, total plaquette flux / 2 pi.
+
+    Returns ``(chern, min_gap)`` -- two real scalars, one d2h trip
+    (min_gap = smallest splitting between multiplet state q-1 and
+    state q anywhere on the grid: the NTW quantization condition)."""
+    from .ops.eigh import eigh_batched
+
+    ftype = config.float_dtype()
+    H0 = unpack_cplx(h0_ri)
+    A = unpack_cplx(a_ri)  # (nw, D, D)
+    B = unpack_cplx(b_ri)
+    th = (2.0 * jnp.pi / grid) * jnp.arange(grid, dtype=ftype)
+
+    def row(tx):
+        # phases for this row of the grid: (grid, nw)
+        phi = tx * wvecs[None, :, 0] + th[:, None] * wvecs[None, :, 1]
+        cw = jnp.cos(phi).astype(H0.real.dtype)
+        sw = jnp.sin(phi).astype(H0.real.dtype)
+        H = (H0[None]
+             + jnp.einsum("bw,wij->bij", jax.lax.complex(cw, 0 * cw), A)
+             + jnp.einsum("bw,wij->bij", jax.lax.complex(sw, 0 * sw), B))
+        w, v = eigh_batched(H)
+        return w[:, : q + 1], v[:, :q, :]
+
+    ws, vs = jax.lax.map(row, th)  # (g, g, q+1), (g, g, q, D)
+    min_gap = jnp.min(ws[..., q] - ws[..., q - 1])
+
+    def link(va, vb):
+        # det of the q x q multiplet overlap <va_m | vb_n>
+        O = jnp.einsum("...md,...nd->...mn", jnp.conj(va), vb)
+        if q == 1:
+            return O[..., 0, 0]
+        if q == 2:
+            return (O[..., 0, 0] * O[..., 1, 1]
+                    - O[..., 0, 1] * O[..., 1, 0])
+        return jnp.linalg.det(O)
+
+    ux = link(vs, jnp.roll(vs, -1, axis=0))  # link along theta_x
+    uy = link(vs, jnp.roll(vs, -1, axis=1))
+    prod = (ux * jnp.roll(uy, -1, axis=0)
+            * jnp.conj(jnp.roll(ux, -1, axis=1)) * jnp.conj(uy))
+    flux = jnp.angle(prod)
+    # the package plaquette convention (ops/berry.py via chern_number)
+    # has the opposite orientation to the raw Fukui-Hatsugai sum here;
+    # the minus sign makes U = 0 equal flows.chern_number exactly
+    return -jnp.sum(flux) / (2.0 * jnp.pi), min_gap
+
+
+def many_body_chern(model, supercell, nelec, u=0.0, interactions=None,
+                    spinful=False, grid=6, multiplet=1, gap_tol=1e-8):
+    """Many-body Chern number of an interacting ground multiplet by
+    twisted boundary conditions (Niu-Thouless-Wu).
+
+    The model is glued onto an ``L1 x L2`` torus (``supercell``) and
+    the ``nelec``-particle ground multiplet (lowest ``multiplet``
+    states; use > 1 for topologically degenerate phases) is tracked
+    over a ``grid x grid`` mesh of twist angles; the result is the
+    lattice-gauge plaquette Chern number of that rank-``multiplet``
+    bundle -- exactly integer by construction, and exactly the filled
+    single-particle band Chern number at ``u = 0`` (tested against
+    :func:`pythtb_tpu.flows.chern_number`).
+
+    ``interactions``: iterable of ``(V, i, j, R)`` density-density
+    terms ``V n_i(c) n_j(c+R)`` tiled over the torus.  ``u``: Hubbard U
+    (forces the spin-doubled mode set for nspin == 1 models).
+
+    Emits a warning when the multiplet is not gapped everywhere on the
+    twist torus (splitting to state ``multiplet`` below ``gap_tol``):
+    the invariant is then undefined.
+
+    Beyond-reference capability (the reference is single-particle
+    only); the twist machinery itself mirrors its flux-insertion
+    discussion for Berry phases (pythtb.py:2863-3068).
+    """
+    if model._dim_r != 2 or model._dim_k != 2:
+        raise PythtbError("many_body_chern: needs a 2-D periodic model")
+    q = int(multiplet)
+    if q < 1:
+        raise PythtbError("many_body_chern: multiplet must be >= 1")
+    H0, wraps, A_mb, B_mb, basis, _ = _twist_setup(
+        model, supercell, nelec, u, interactions, spinful
+    )
+    D = len(basis)
+    if q + 1 > D:
+        raise PythtbError("many_body_chern: multiplet+1 exceeds sector dim")
+    if not wraps:
+        raise PythtbError(
+            "many_body_chern: no boundary-wrapping hops on this "
+            "supercell (model has no hoppings?)"
+        )
+    ftype = config.float_dtype()
+    c, gap = jax.device_get(_twist_chern_dev(
+        jnp.asarray(host_pack(H0), ftype),
+        jnp.asarray(host_pack(np.stack(A_mb)), ftype),
+        jnp.asarray(host_pack(np.stack(B_mb)), ftype),
+        jnp.asarray(np.asarray(wraps, dtype=np.float64), ftype),
+        int(grid), q,
+    ))
+    if float(gap) < gap_tol:
+        warnings.warn(
+            "many_body_chern: ground multiplet not gapped on the twist "
+            "torus (min splitting %.2e); the invariant is undefined -- "
+            "increase multiplet or move away from the transition"
+            % float(gap), stacklevel=2)
+    return float(c)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _twist_phase_dev(h0_ri, a_ri, b_ri, wvecs, grid):
+    """Many-body Berry phase of the ground state around one twist
+    handle: grid-point batched eigh + cumulative link product, one
+    program.  Returns ``(phase, min_gap)``."""
+    from .ops.eigh import eigh_batched
+
+    ftype = config.float_dtype()
+    H0 = unpack_cplx(h0_ri)
+    A = unpack_cplx(a_ri)
+    B = unpack_cplx(b_ri)
+    th = (2.0 * jnp.pi / grid) * jnp.arange(grid, dtype=ftype)
+    phi = th[:, None] * wvecs[None, :]  # (grid, nw)
+    cw = jnp.cos(phi).astype(H0.real.dtype)
+    sw = jnp.sin(phi).astype(H0.real.dtype)
+
+    def point(c_s):
+        cb, sb = c_s
+        H = (H0
+             + jnp.einsum("w,wij->ij", jax.lax.complex(cb, 0 * cb), A)
+             + jnp.einsum("w,wij->ij", jax.lax.complex(sb, 0 * sb), B))
+        w, v = eigh_batched(H[None])
+        return w[0, :2], v[0, 0]
+
+    ws, vs = jax.lax.map(point, (cw, sw))  # (grid, 2), (grid, D)
+    links = jnp.einsum("gd,gd->g", jnp.conj(vs), jnp.roll(vs, -1, axis=0))
+    phase = -jnp.sum(jnp.angle(links))
+    min_gap = jnp.min(ws[:, 1] - ws[:, 0])
+    return phase, min_gap
+
+
+def twist_berry_phase(model, supercell, nelec, direction=0, u=0.0,
+                      interactions=None, spinful=False, grid=12,
+                      gap_tol=1e-8):
+    """Many-body Berry phase of the interacting ground state as one
+    twist angle winds 0 -> 2 pi (flux insertion through handle
+    ``direction`` of the glued torus).
+
+    This is the interacting generalization of the reference's
+    Berry-phase polarization (pythtb.py:2863-3067): at ``u = 0`` on an
+    ``(L,)`` ring it reproduces the occupied-band Wilson loop on the
+    L-point k-grid, and with inversion symmetry it stays quantized to
+    {0, pi} under interactions (tested on interacting SSH).  Returned
+    in (-pi, pi] like ``wf_array.berry_phase``.
+    """
+    d = int(direction)
+    H0, wraps, A_mb, B_mb, basis, _ = _twist_setup(
+        model, supercell, nelec, u, interactions, spinful
+    )
+    if len(basis) < 2:
+        raise PythtbError("twist_berry_phase: sector dimension < 2")
+    if not wraps:
+        raise PythtbError("twist_berry_phase: no boundary-wrapping hops")
+    wv = np.asarray(wraps, dtype=np.float64)[:, d]
+    ftype = config.float_dtype()
+    phase, gap = jax.device_get(_twist_phase_dev(
+        jnp.asarray(host_pack(H0), ftype),
+        jnp.asarray(host_pack(np.stack(A_mb)), ftype),
+        jnp.asarray(host_pack(np.stack(B_mb)), ftype),
+        jnp.asarray(wv, ftype),
+        int(grid),
+    ))
+    if float(gap) < gap_tol:
+        warnings.warn(
+            "twist_berry_phase: ground state not gapped along the twist "
+            "loop (min gap %.2e); the phase is undefined" % float(gap),
+            stacklevel=2)
+    return float((phase + np.pi) % (2.0 * np.pi) - np.pi)
+
+
+def resta_polarization(model, supercell, nelec, direction=0, u=0.0,
+                       interactions=None, spinful=False):
+    """Many-body electronic polarization by Resta's twist-free formula
+    ``P = (1 / 2 pi) Im log <e^{2 pi i X / L}>`` on the glued torus
+    (X = position operator along ``direction`` in cell units).
+
+    The expectation is diagonal in the Fock basis, so this costs one
+    untwisted ground-state solve.  At ``u = 0`` the Slater-determinant
+    identity ``<e^{2 pi i X / L}> = det(U_occ^dag D U_occ)`` (D the
+    single-particle phase operator) makes this EXACTLY the discrete
+    position-convention (Convention-II) Wilson loop on the L-point
+    grid -- an algebraic identity, tested at 1e-12.  Note the orbital
+    embedding enters (unlike :func:`twist_berry_phase`): inversion
+    quantizes P only up to the embedding offset (SSH with orbitals at
+    0 and 1/2 reads +-1/4, and the topological-trivial DIFFERENCE is
+    the quantized 1/2).  Returned in [-1/2, 1/2) cell units.
+    """
+    H0, wraps, A_mb, B_mb, basis, fracpos = _twist_setup(
+        model, supercell, nelec, u, interactions, spinful
+    )
+    evals, evecs = solve_sector(H0)
+    psi2 = np.abs(evecs[0]) ** 2
+    occ = _occupations(basis, len(fracpos))
+    X = occ @ fracpos[:, int(direction)]  # per-Fock-state total position
+    z = np.sum(psi2 * np.exp(2j * np.pi * X))
+    if abs(z) < 1e-12:
+        warnings.warn(
+            "resta_polarization: |<e^{2 pi i X/L}>| ~ 0 (metallic or "
+            "too-small torus); the phase is undefined", stacklevel=2)
+    p = np.angle(z) / (2.0 * np.pi)
+    return float((p + 0.5) % 1.0 - 0.5)
