@@ -43,7 +43,8 @@ from . import config
 from .model import PythtbError
 from .utils.xfer import host_pack, host_unpack, pack_cplx, unpack_cplx
 
-__all__ = ["landauer_transmission", "thermoelectrics", "lead_blocks", "mode_count"]
+__all__ = ["landauer_transmission", "thermoelectrics", "lead_blocks",
+           "mode_count", "multi_terminal", "buttiker", "hall_bar"]
 
 
 def lead_blocks(lead_model):
@@ -394,6 +395,408 @@ def mode_count(lead_model, energies, nk=512, stability_h=None):
         hi = count(energies + h)
         out = np.where((out == lo) & (out == hi), out, -1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# multi-terminal Landauer-Buttiker
+#
+# The two-terminal machinery above chains principal layers; a Hall bar
+# needs leads hanging off arbitrary edges of a finite scattering
+# region.  multi_terminal() takes the device as ONE dense Hermitian
+# matrix plus a list of (H00, Hin, W) leads -- H00 the lead surface
+# layer, Hin the hop from the surface INTO the next-deeper layer, W the
+# (S, N) coupling <lead surface | H | device> -- and returns the full
+# T_pq(E) matrix in one device program (every lead decimated by the
+# shared Sancho-Rubio scan, the device solved dense, Caroli traces for
+# all pairs).  buttiker() inverts the Landauer-Buttiker current
+# relations for terminal potentials; hall_bar() builds the standard
+# cross geometry from any 2-D model with nearest-cell hops.  The
+# flagship oracle (tests): a Haldane Hall cross with leads of the same
+# Chern insulator reads R_xy = -h/(C e^2) with R_xx = 0 -- exact
+# quantization without any magnetic gauge bookkeeping, robust to
+# device disorder until the gap closes.
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _multi_terminal_jit(Hd_ri, leads_ri, energies, eta, iters, mesh=None):
+    """T_pq(E) for all terminal pairs in one program.
+
+    ``leads_ri``: tuple of (H00_ri, Hin_ri, W_ri) pytrees -- lead
+    sizes may differ, so leads are decimated separately (the per-lead
+    scan is the same fixed-depth Sancho-Rubio as the two-terminal
+    path).  Energy batch mesh-shardable like _landauer_jit."""
+    hp = jax.lax.Precision.HIGHEST
+    mm = partial(jnp.matmul, precision=hp)
+    Hd = unpack_cplx(Hd_ri)  # (N, N)
+    N = Hd.shape[-1]
+    ctype = Hd.dtype
+    eyeN = jnp.eye(N, dtype=ctype)
+    w = (energies.astype(jnp.real(jnp.zeros(0, ctype)).dtype)
+         + 1j * jnp.asarray(eta, ctype))
+    wIN = w[:, None, None] * eyeN  # (E, N, N)
+    if mesh is not None:
+        from .ops.solver import shard_grid_axis0
+
+        wIN = shard_grid_axis0(wIN, mesh)
+
+    Sig = jnp.zeros(wIN.shape, ctype)
+    Gammas = []
+    res = jnp.zeros((), jnp.real(jnp.zeros(0, ctype)).dtype)
+    for H00_ri, Hin_ri, W_ri in leads_ri:
+        H00 = unpack_cplx(H00_ri)
+        Hin = unpack_cplx(Hin_ri)
+        W = unpack_cplx(W_ri)  # (S, N)
+        S = H00.shape[-1]
+        eyeS = jnp.eye(S, dtype=ctype)
+        wIS = w[:, None, None] * eyeS
+        if mesh is not None:
+            from .ops.solver import shard_grid_axis0
+
+            wIS = shard_grid_axis0(wIS, mesh)
+        g, r = _sancho_scan(H00, Hin[None], wIS[None], iters)
+        g = g[0]
+        res = jnp.maximum(res, r)
+        Wb = jnp.broadcast_to(W[None], wIN.shape[:1] + W.shape)
+        Sg = mm(jnp.conj(jnp.swapaxes(Wb, -1, -2)), mm(g, Wb))
+        Sig = Sig + Sg
+        Gammas.append(1j * (Sg - jnp.conj(jnp.swapaxes(Sg, -1, -2))))
+
+    G = jnp.linalg.solve(wIN - Hd[None] - Sig,
+                         jnp.broadcast_to(eyeN, wIN.shape))
+    Gd = jnp.conj(jnp.swapaxes(G, -1, -2))
+    nl = len(Gammas)
+    rows = []
+    for p in range(nl):
+        row = []
+        GpG = mm(Gammas[p], G)  # (E, N, N)
+        for q in range(nl):
+            if q == p:
+                row.append(jnp.zeros(wIN.shape[:1], Gd.real.dtype))
+                continue
+            t = jnp.einsum("eab,ebc,eca->e", GpG, Gammas[q], Gd,
+                           precision=hp)
+            row.append(jnp.real(t))
+        rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(rows, axis=-2), res  # (E, p, q)
+
+
+def multi_terminal(device_h, leads, energies, eta=1e-6, iters=60):
+    """Multi-terminal transmission matrix ``T_pq(E)`` (p != q:
+    transmission INTO terminal p FROM terminal q; diagonal returned 0).
+
+    :param device_h: dense Hermitian (N, N) scattering-region matrix
+      (e.g. from ``ed.dense_h`` of a finite flake, plus disorder)
+    :param leads: list of ``(H00, Hin, W)`` per terminal: ``H00`` the
+      (S, S) lead surface-layer block, ``Hin`` the (S, S) hop from the
+      surface layer INTO the next layer deeper in the lead, ``W`` the
+      (S, N) coupling ``<lead surface | H | device>``.  Use
+      :func:`hall_bar` to build these for standard geometries.
+    :param energies: (nE,) energies
+    :returns: (nE, nleads, nleads) float array
+
+    The whole computation -- every lead's Sancho-Rubio decimation, the
+    dense device Green's function, and all Caroli traces -- is ONE
+    device program batched over energies (mesh-sharded over E under
+    ``use_mesh``).  Sum rules ``sum_q T_pq == sum_q T_qp`` (S-matrix
+    unitarity) and the two-terminal reduction to
+    :func:`landauer_transmission` are pinned in the tests.
+    """
+    from .parallel import mesh as pmesh
+
+    Hd = np.asarray(device_h, dtype=np.complex128)
+    N = Hd.shape[0]
+    if Hd.shape != (N, N) or np.abs(Hd - Hd.conj().T).max() > 1e-10:
+        raise PythtbError("multi_terminal: device_h must be Hermitian")
+    if len(leads) < 2:
+        raise PythtbError("multi_terminal needs at least 2 leads")
+    packed = []
+    for li, (H00, Hin, W) in enumerate(leads):
+        H00 = np.asarray(H00, dtype=np.complex128)
+        Hin = np.asarray(Hin, dtype=np.complex128)
+        W = np.asarray(W, dtype=np.complex128)
+        S = H00.shape[0]
+        if H00.shape != (S, S) or Hin.shape != (S, S):
+            raise PythtbError(
+                "multi_terminal: lead %d blocks must be square and "
+                "matching" % li)
+        if np.abs(H00 - H00.conj().T).max() > 1e-10:
+            raise PythtbError("multi_terminal: lead %d H00 not Hermitian"
+                              % li)
+        if W.shape != (S, N):
+            raise PythtbError(
+                "multi_terminal: lead %d coupling must be (%d, %d), got "
+                "%r" % (li, S, N, W.shape))
+        packed.append((host_pack(H00), host_pack(Hin), host_pack(W)))
+    energies = np.atleast_1d(np.asarray(energies, dtype=np.float64))
+    ftype = config.float_dtype()
+
+    def run(Es, et):
+        T, res = jax.device_get(_multi_terminal_jit(
+            host_pack(Hd), tuple(packed), jnp.asarray(Es, ftype),
+            jnp.asarray(float(et), ftype), int(iters),
+            pmesh.current_mesh()))
+        return np.array(T, dtype=np.float64), float(res)
+
+    T, res = run(energies, eta)
+    # The fixed-depth Sancho-Rubio recursion overflows to NaN at
+    # isolated energies when eta is very small (slowly-decaying
+    # channels near band edges; same mechanism as thermoelectrics'
+    # escalation above).  Recompute only the failing energies at
+    # escalated eta so the rest of the batch keeps full accuracy.
+    import warnings
+
+    bad = ~np.isfinite(T).all(axis=(1, 2))
+    n_bad0 = int(bad.sum())
+    esc = float(eta)
+    for _ in range(2):
+        if not bad.any():
+            break
+        esc *= 32.0
+        T[bad], _ = run(energies[bad], esc)
+        bad = ~np.isfinite(T).all(axis=(1, 2))
+    if n_bad0:
+        warnings.warn(
+            "multi_terminal: decimation overflowed at %d of %d energies "
+            "at eta=%.1e; recomputed them at escalated eta=%.1e%s" % (
+                n_bad0, len(energies), eta, esc,
+                " (%d still non-finite -- raise eta)" % int(bad.sum())
+                if bad.any() else ""),
+            UserWarning, stacklevel=2)
+    elif not res < np.sqrt(float(np.finfo(T.dtype).eps)):
+        warnings.warn(
+            "multi_terminal: a lead decimation has not converged "
+            "(residual coupling %.1e) -- increase iters or eta."
+            % res, UserWarning, stacklevel=2)
+    return T
+
+
+def buttiker(T, source, drain, current=1.0):
+    """Terminal potentials from the Landauer-Buttiker current
+    relations ``I_p = (e^2/h) [ sum_q T_qp V_p - sum_q T_pq V_q ]``
+    with unit current driven ``source -> drain``, every other terminal
+    a floating voltage probe (I = 0), and the drain grounded.
+
+    :param T: (nleads, nleads) transmission matrix at one energy (or a
+      Fermi-window average), ``T[p, q]`` = into p from q
+    :param current: driven current in ``e^2/h * energy`` units
+    :returns: (nleads,) potentials ``V_p`` with ``V[drain] = 0``; e.g.
+      a Hall resistance is ``(V[pa] - V[pb]) / current`` in h/e^2.
+
+    The solve is gauge-consistent by construction (the conductance
+    matrix has exact zero row sums, so only potential DIFFERENCES
+    matter) and current-conserving (column sums vanish when T
+    satisfies the unitarity sum rule -- warned otherwise).
+    """
+    import warnings
+
+    T = np.asarray(T, dtype=np.float64)
+    nl = T.shape[0]
+    if T.shape != (nl, nl):
+        raise PythtbError("buttiker: T must be square (one energy)")
+    s, d = int(source), int(drain)
+    if s == d or not (0 <= s < nl and 0 <= d < nl):
+        raise PythtbError("buttiker: bad source/drain")
+    sumrule = np.abs(T.sum(axis=0) - T.sum(axis=1)).max()
+    # threshold sized for f32 device transmissions (~1e-6 roundoff per
+    # entry); a GENUINE unitarity violation (truncated decimation,
+    # wrong coupling blocks) is orders of magnitude above it
+    if sumrule > 1e-4 * max(T.max(), 1.0):
+        warnings.warn(
+            "buttiker: T violates the unitarity sum rule by %.1e; "
+            "potentials will not conserve current exactly" % sumrule,
+            UserWarning, stacklevel=2)
+    # G V = I with G_pp = sum_q T_pq, G_pq = -T_pq: EXACT zero row sums
+    # (gauge invariance by construction; the row/column choice is
+    # equivalent under the unitarity sum rule, warned above when T
+    # violates it numerically)
+    G = -T.copy()
+    G[np.diag_indices(nl)] = T.sum(axis=1)
+    I = np.zeros(nl)
+    I[s] = float(current)
+    I[d] = -float(current)
+    keep = [p for p in range(nl) if p != d]
+    V = np.zeros(nl)
+    V[keep] = np.linalg.solve(G[np.ix_(keep, keep)], I[keep])
+    return V
+
+
+def hall_bar(model, size, lead_width=None, disorder=0.0, seed=0):
+    """Four-terminal Hall-cross geometry from a 2-D periodic model.
+
+    The scattering region is an ``Lx x Ly`` open flake of the model;
+    four semi-infinite leads of the SAME model attach flush to the
+    west/east edges (full height, extending along -x/+x) and the
+    south/north edges (full width, extending along -y/+y).  Returns
+    ``(device_h, leads, info)`` ready for :func:`multi_terminal`, with
+    ``leads`` ordered ``[W, E, S, N]``.
+
+    Using leads of the same gapped model is the gauge-free way to read
+    quantized Hall response: inside the bulk gap each lead carries
+    only the chiral edge channels, so for a Chern insulator
+    ``buttiker`` gives ``R_xy = (V_N - V_S)/I = -h/(C e^2)`` exactly
+    and zero longitudinal drop (tests).
+
+    :param model: 2-D periodic model whose hops reach at most one cell
+      in each direction (``|R_d| <= 1``; raises otherwise)
+    :param size: (Lx, Ly) device cells
+    :param lead_width: cells per transverse lead direction (default:
+      the full matching edge)
+    :param disorder: Anderson onsite disorder strength W in the DEVICE
+      region only (uniform in [-W/2, W/2] per site, both spin
+      components alike)
+    :param seed: disorder RNG seed
+    :returns: ``(device_h, leads, info)``; ``info["site"](x, y, orb)``
+      maps device coordinates to the flat mode index
+    """
+    if model._dim_k != 2 or model._dim_r != 2:
+        raise PythtbError("hall_bar needs a 2-D periodic model")
+    Lx, Ly = (int(x) for x in size)
+    if Lx < 2 or Ly < 2:
+        raise PythtbError("hall_bar: size must be at least 2 x 2")
+    norb = model._norb
+    nspin = model._nspin
+    hops = []
+    for h in model._hoppings:
+        amp = np.asarray(h[0], dtype=complex)
+        i, j, R = h[1], h[2], np.asarray(h[3], dtype=np.int64)
+        if np.abs(R).max() > 1:
+            raise PythtbError(
+                "hall_bar: hop %r reaches beyond the nearest cell; the "
+                "flush lead attachment assumes |R_d| <= 1" % (h,))
+        hops.append((amp, i, j, tuple(int(x) for x in R)))
+    ons = [np.asarray(model._site_energies[i], dtype=complex)
+           for i in range(norb)]
+
+    def block(nr, nc):
+        if nspin == 1:
+            return np.zeros((nr * norb, nc * norb), dtype=complex)
+        return np.zeros((2 * nr * norb, 2 * nc * norb), dtype=complex)
+
+    def put(M, a, b, amp):
+        if nspin == 1:
+            M[a, b] += amp
+        else:
+            M[2 * a: 2 * a + 2, 2 * b: 2 * b + 2] += amp
+
+    def put_h(M, a, b, amp):
+        put(M, a, b, amp)
+        put(M, b, a, amp.conj().T if nspin == 2 else np.conj(amp))
+
+    # ---- device flake: site = (y * Lx + x) * norb + orb ------------
+    def dsite(x, y, o):
+        return (y * Lx + x) * norb + o
+
+    Nsite = Lx * Ly * norb
+    Hd = block(Lx * Ly, Lx * Ly)
+    for y in range(Ly):
+        for x in range(Lx):
+            for o in range(norb):
+                a = dsite(x, y, o)
+                put(Hd, a, a,
+                    ons[o] if nspin == 1 or np.ndim(ons[o]) == 2
+                    else ons[o] * np.eye(2))
+    for amp, i, j, (rx, ry) in hops:
+        for y in range(Ly):
+            y2 = y + ry
+            if not 0 <= y2 < Ly:
+                continue
+            for x in range(Lx):
+                x2 = x + rx
+                if not 0 <= x2 < Lx:
+                    continue
+                put_h(Hd, dsite(x, y, i), dsite(x2, y2, j), amp)
+    if np.ndim(disorder) == 0 and float(disorder) != 0.0:
+        delta = np.random.default_rng(seed).uniform(
+            -float(disorder) / 2.0, float(disorder) / 2.0, Nsite)
+        if nspin == 1:
+            Hd[np.diag_indices(Nsite)] += delta
+        else:
+            Hd[np.diag_indices(2 * Nsite)] += np.repeat(delta, 2)
+
+    # ---- lead column/row blocks ------------------------------------
+    # a lead along +-x: transverse cells indexed by y (width Wy); H00
+    # is one column with open transverse edges, Hx the hop from a
+    # column to the NEXT column toward +x.
+    def strip_blocks(width, axis):
+        H00 = block(width, width)
+        Hfwd = block(width, width)
+        for t in range(width):
+            for o in range(norb):
+                a = t * norb + o
+                put(H00, a, a,
+                    ons[o] if nspin == 1 or np.ndim(ons[o]) == 2
+                    else ons[o] * np.eye(2))
+        for amp, i, j, R in hops:
+            ra = R[axis]        # along the lead
+            rt = R[1 - axis]    # transverse
+            for t in range(width):
+                t2 = t + rt
+                if not 0 <= t2 < width:
+                    continue
+                a, b = t * norb + i, t2 * norb + j
+                if ra == 0:
+                    put_h(H00, a, b, amp)
+                elif ra == 1:
+                    put(Hfwd, a, b, amp)
+                else:
+                    put(Hfwd, b, a,
+                        amp.conj().T if nspin == 2 else np.conj(amp))
+        return H00, Hfwd
+
+    # ---- couplings device <-> lead surface --------------------------
+    # W rows: lead surface sites; columns: device sites.  Every hop is
+    # first canonicalized so its lead->device crossing points along the
+    # needed direction (a device->lead hop is the Hermitian partner of
+    # a lead->device hop with (amp^dag, j, i, -R)); then one uniform
+    # loop fills W_{s,n} = <lead s | H | device n>.
+    def canonical(axis, sign):
+        """Hops re-expressed so R[axis] == sign (lead -> device)."""
+        out = []
+        for amp, i, j, R in hops:
+            if R[axis] == sign:
+                out.append((amp, i, j, R[1 - axis]))
+            elif R[axis] == -sign:
+                out.append((amp.conj().T if nspin == 2 else np.conj(amp),
+                            j, i, -R[1 - axis]))
+        return out
+
+    def coupling(side, width, offset):
+        S = (2 if nspin == 2 else 1) * width * norb
+        Ndev = (2 if nspin == 2 else 1) * Nsite
+        W = np.zeros((S, Ndev), dtype=complex)
+        axis = 0 if side in ("W", "E") else 1
+        # direction of the lead->device crossing along `axis`
+        sign = 1 if side in ("W", "S") else -1
+        edge = {"W": 0, "E": Lx - 1, "S": 0, "N": Ly - 1}[side]
+        tmax = Ly if axis == 0 else Lx
+        for amp, i, j, rt in canonical(axis, sign):
+            for t in range(width):
+                td = offset + t + rt  # transverse device coordinate
+                if not 0 <= td < tmax:
+                    continue
+                dev = dsite(edge, td, j) if axis == 0 else dsite(td, edge, j)
+                put(W, t * norb + i, dev, amp)
+        return W
+
+    wy = int(lead_width) if lead_width is not None else Ly
+    wx = int(lead_width) if lead_width is not None else Lx
+    if wy > Ly or wx > Lx:
+        raise PythtbError("hall_bar: lead_width exceeds the device edge")
+    offy = (Ly - wy) // 2
+    offx = (Lx - wx) // 2
+    H00y, Hx = strip_blocks(wy, 0)   # leads along x (W/E)
+    H00x, Hy = strip_blocks(wx, 1)   # leads along y (S/N)
+    Hxd = Hx.conj().T
+    Hyd = Hy.conj().T
+    leads = [
+        (H00y, Hxd, coupling("W", wy, offy)),   # west: deeper = -x
+        (H00y, Hx, coupling("E", wy, offy)),    # east: deeper = +x
+        (H00x, Hyd, coupling("S", wx, offx)),   # south: deeper = -y
+        (H00x, Hy, coupling("N", wx, offx)),    # north: deeper = +y
+    ]
+    info = {"order": ["W", "E", "S", "N"], "site": dsite,
+            "size": (Lx, Ly), "lead_width": (wy, wy, wx, wx)}
+    return Hd, leads, info
 
 
 def thermoelectrics(lead_model, mu, temperature, device=None,

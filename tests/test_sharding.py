@@ -414,3 +414,17 @@ def test_eph_linewidths_sharded_matches(mesh8):
         g1 = eph.linewidths(m, fc, 1.5, kp, mu=0.0, temperature=0.15,
                             nkq=(10, 9), sigma=0.12)
     np.testing.assert_allclose(g0, g1, atol=1e-12)
+
+
+def test_multi_terminal_sharded_matches(mesh8):
+    """negf.multi_terminal under a mesh shards the energy batch of the
+    all-leads decimation + dense device solve; T_pq unchanged."""
+    from pythtb_tpu import negf
+
+    sq = ptt.models.square(t=-1.0)
+    Hd, leads, _ = negf.hall_bar(sq, (4, 4))
+    Es = np.linspace(-1.0, 1.0, 13)  # 13: not divisible by 8
+    base = negf.multi_terminal(Hd, leads, Es, eta=1e-5)
+    with use_mesh(mesh8):
+        sharded = negf.multi_terminal(Hd, leads, Es, eta=1e-5)
+    np.testing.assert_allclose(base, sharded, atol=1e-12)

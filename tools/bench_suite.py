@@ -764,6 +764,50 @@ def run_suite(start_after=None, start_from=None, only=None):
                "on-device %.3f s incl. host Schur prep); mean orbital "
                "weight %.4f" % (wall_dev, wsum))
 
+    @row("hall_bar_qwz_4terminal_41E")
+    def _r43():
+        import warnings as _w
+
+        from pythtb_tpu import negf
+
+        mq = ptt.tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]],
+                          [[0.0, 0.0], [0.0, 0.0]])
+        mq.set_onsite([-1.0, 1.0])
+        for (a, i, j, R) in [
+                (0.5, 0, 0, [1, 0]), (-0.5, 1, 1, [1, 0]),
+                (0.5, 0, 0, [0, 1]), (-0.5, 1, 1, [0, 1]),
+                (0.5j, 0, 1, [1, 0]), (0.5j, 1, 0, [1, 0]),
+                (0.5, 0, 1, [0, 1]), (-0.5, 1, 0, [0, 1])]:
+            mq.set_hop(a, i, j, R)
+        Hd, leads, _ = negf.hall_bar(mq, (8, 8))
+        Es = np.linspace(-0.8, 0.8, 41)
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            wall, T = _timed(
+                lambda: negf.multi_terminal(Hd, leads, Es, eta=1e-6))
+            V = negf.buttiker(T[20], source=0, drain=1)
+        rxy = float(V[3] - V[2])
+        report("hall_bar_qwz_4terminal_41E", None, wall,
+               abs(rxy - 1.0) < 5e-3,
+               "4 leads decimated + 128-mode device solved + all "
+               "Caroli traces, 41 E one program; quantized "
+               "R_xy=%.5f h/e^2 (x64: 1.000001)" % rxy)
+
+    @row("many_body_chern_2x2_interacting")
+    def _r44():
+        from pythtb_tpu import ed
+
+        v = [(0.5, 0, 1, (0, 0)), (0.5, 1, 0, (1, 0)),
+             (0.5, 1, 0, (0, 1))]
+        wall, c = _timed(
+            lambda: ed.many_body_chern(hal, (2, 2), nelec=4,
+                                       interactions=v, grid=6))
+        report("many_body_chern_2x2_interacting", None, wall,
+               abs(c + 1.0) < 5e-3,
+               "Niu-Thouless-Wu twist torus: 36-point grid of 70-dim "
+               "many-body eigh + plaquette links, one program; "
+               "C=%.6f (x64: -1)" % c)
+
     # ---- selection + guarded execution ---------------------------------
     names = [n for n, _ in ROWS]
     todo = list(ROWS)

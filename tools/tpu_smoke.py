@@ -886,6 +886,56 @@ def main():
           "max dev %.1e pade rel %.1e peaks %s (x64: A0 0.32984, "
           "int 0.97735, Ak 0.02404, pade 3.9e-3)" % (dv55, pd55, pk55))
 
+    # 56. multi-terminal Hall bar: QWZ Chern cross reads the quantized
+    # R_xy = +h/e^2 from the Buttiker inversion (vs x64 pins; the f32
+    # decimation may escalate eta internally -- that is the tested
+    # production path)
+    from pythtb_tpu import negf
+
+    m56 = ptt.tb_model(2, 2, [[1.0, 0.0], [0.0, 1.0]],
+                       [[0.0, 0.0], [0.0, 0.0]])
+    m56.set_onsite([-1.0, 1.0])
+    for (a56, i56, j56, R56) in [
+            (0.5, 0, 0, [1, 0]), (-0.5, 1, 1, [1, 0]),
+            (0.5, 0, 0, [0, 1]), (-0.5, 1, 1, [0, 1]),
+            (0.5j, 0, 1, [1, 0]), (0.5j, 1, 0, [1, 0]),
+            (0.5, 0, 1, [0, 1]), (-0.5, 1, 0, [0, 1])]:
+        m56.set_hop(a56, i56, j56, R56)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        Hd56, leads56, _ = negf.hall_bar(m56, (8, 8))
+        T56 = negf.multi_terminal(Hd56, leads56, np.array([0.0]),
+                                  eta=1e-6)
+        V56 = negf.buttiker(T56[0], source=0, drain=1)
+    rxy56 = V56[3] - V56[2]
+    sr56 = float(np.abs(T56[0].sum(0) - T56[0].sum(1)).max())
+    check("multi-terminal Hall bar f32",
+          abs(rxy56 - 1.0) < 5e-3 and abs(T56[0][0, 2] - 1.0) < 5e-3
+          and sr56 < 1e-4,
+          "Rxy=%.5f T_WS=%.5f sumrule=%.1e (x64: 1.000001, 0.999998)"
+          % (rxy56, T56[0][0, 2], sr56))
+
+    # 57. many-body twist topology (ed.py): interacting Haldane torus
+    # Chern, SSH twist Berry phase, Resta polarization -- all
+    # device-batched twist-grid eigh programs, vs x64 pins
+    from pythtb_tpu import ed as _ed
+    from pythtb_tpu.models.library import haldane as _hal, ssh as _ssh
+
+    v57 = [(0.5, 0, 1, (0, 0)), (0.5, 1, 0, (1, 0)),
+           (0.5, 1, 0, (0, 1))]
+    c57 = _ed.many_body_chern(_hal(), (2, 2), nelec=4,
+                              interactions=v57, grid=6)
+    p57 = _ed.twist_berry_phase(_ssh(delta=-0.3), (6,), nelec=6,
+                                grid=12,
+                                interactions=[(0.8, 0, 1, (0,)),
+                                              (0.8, 1, 0, (1,))])
+    r57 = _ed.resta_polarization(_ssh(delta=-0.3), (6,), 6)
+    dv57 = max(abs(c57 + 1.0),
+               min(abs(abs(p57) - np.pi), abs(p57)) / np.pi,
+               abs(r57 - 0.25))
+    check("many-body twist topology f32", dv57 < 5e-3,
+          "max dev %.1e (x64: C=-1, phase=-pi, P=1/4)" % dv57)
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
