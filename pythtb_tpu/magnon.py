@@ -16,13 +16,21 @@ Conventions (all pinned by the oracle tier in
 
 * local frames: moment direction ``v_i`` (unit), transverse frame
   ``u_i = e1 + i e2`` with ``(e1, e2, v)`` right-handed, so
-  ``S_i ~ sqrt(S/2) (u a + conj(u) a^dag) + v (S - n)``;
+  ``S_i ~ sqrt(S/2) (conj(u) a + u a^dag) + v (S - n)`` -- the
+  STANDARD Holstein-Primakoff assignment with ``S^+_local ~ a``
+  (an up-moment's ``S^+`` annihilates magnons).  The conjugated
+  frame is a consistent quantization too but relabels every band
+  ``omega(k) -> omega(-k)``; sorted-energy oracles cannot see the
+  difference, so the momentum label is pinned by a translation-
+  eigenvalue oracle (``tests/test_magnon_sf.py``): ``bands(q)[n]``
+  is the energy of the exact one-magnon eigenstate with Bloch
+  momentum ``+q`` (``T|psi> = e^{-2 pi i q}|psi>``);
 * dynamical matrix (Toth & Lake, J. Phys. CM 27, 166002 (2015)
   structure): each physical bond is symmetrized into two directed
   entries carrying half the coupling, and per DIRECTED entry
 
-  ``A(k)_ij += sqrt(S_i S_j) conj(u_i)^T J'_b u_j e^{2 pi i k d_b}``
-  ``B(k)_ij += sqrt(S_i S_j) conj(u_i)^T J'_b conj(u_j) e^{2 pi i k d_b}``
+  ``A(k)_ij += sqrt(S_i S_j) u_i^T J'_b conj(u_j) e^{2 pi i k d_b}``
+  ``B(k)_ij += sqrt(S_i S_j) u_i^T J'_b u_j e^{2 pi i k d_b}``
   ``C_ii    += 2 S_j v_i^T J'_b v_j``            (J' = J/2)
 
   plus ``C_ii -= h . v_i`` (Zeeman), assembled into
@@ -70,7 +78,8 @@ from .model import PythtbError
 from .parallel import mesh as pmesh
 from .utils.xfer import host_unpack, pack_cplx
 
-__all__ = ["spin_model", "bands", "chern", "thermal_hall", "berry_curvature"]
+__all__ = ["spin_model", "bands", "chern", "thermal_hall",
+           "berry_curvature", "structure_factor"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -234,8 +243,12 @@ class spin_model:
             iidx.append(i)
             jidx.append(j)
             dvec.append(d[: self._dim_k])
-            a_amp.append(pref * (np.conj(u[i]) @ Jm @ u[j]))
-            b_amp.append(pref * (np.conj(u[i]) @ Jm @ np.conj(u[j])))
+            # standard HP frame (S^+_local ~ a): the a^dag_i a_j
+            # coefficient is u_i^T J conj(u_j); the conjugated frame
+            # relabels omega(k) -> omega(-k) (caught by the exact
+            # translation-eigenvalue oracle in test_magnon_sf.py)
+            a_amp.append(pref * (u[i] @ Jm @ np.conj(u[j])))
+            b_amp.append(pref * (u[i] @ Jm @ u[j]))
             # n_i coefficient -S_j v_i J v_j (full J); each directed
             # entry carries J/2 and only touches its own i slot
             Cdiag[i] += 2.0 * S[j] * (v[i] @ Jm @ v[j])
@@ -244,16 +257,14 @@ class spin_model:
             if np.max(np.abs(Am)) > 0:
                 # normal-ordered HP: (v.S)^2 -> -(2S-1) n (so S = 1/2
                 # single-ion terms drop out exactly); transverse parts
-                # give n coeff S Re[u^H A u] and a^dag a^dag coeff
-                # (S/2) u^H A conj(u) (single slot, halved vs the
-                # bond-pair splitting)
+                # (standard frame) give n coeff S Re[u^T A conj(u)]
+                # and a^dag a^dag coeff (S/2) u^T A u (single slot,
+                # halved vs the bond-pair splitting)
                 iidx.append(i)
                 jidx.append(i)
                 dvec.append(np.zeros(self._dim_k))
-                a_amp.append(S[i] * np.real(np.conj(u[i]) @ Am @ u[i]))
-                b_amp.append(
-                    0.5 * S[i] * (np.conj(u[i]) @ Am @ np.conj(u[i]))
-                )
+                a_amp.append(S[i] * np.real(u[i] @ Am @ np.conj(u[i])))
+                b_amp.append(0.5 * S[i] * (u[i] @ Am @ u[i]))
                 Cdiag[i] += (2.0 * S[i] - 1.0) * (v[i] @ Am @ v[i])
             Cdiag[i] -= self._field[i] @ v[i]
         if not iidx:
@@ -479,3 +490,104 @@ def thermal_hall(model, temperatures, nk=41, shift=1e-8):
             #          = -T sum_plaq wt * F / (2 pi)^2
             kap[ti] += -T * np.sum(wt * flux) / (2.0 * np.pi) ** 2
     return kap if len(kap) > 1 else float(kap[0])
+
+
+def structure_factor(model, qpts, omegas=None, eta=0.02,
+                     temperature=0.0, shift=1e-9, polarization=True):
+    """One-magnon dynamical spin structure factor ``S(q, omega)``.
+
+    The inelastic-neutron-scattering observable of :class:`spin_model`
+    at LSWT level (beyond-reference capability; the reference at
+    ``/root/reference/pythtb.py`` has no spin models at all).  With
+    ``S^a(q) = N^{-1/2} sum_{R,i} e^{+2 pi i q.(R+t_i)} S^a_{R,i}``
+    (momentum +q transferred TO the sample), the transverse one-magnon
+    part is
+
+    ``S^{ab}(q, w) = sum_n conj(F^a_n(q)) F^b_n(q) delta(w - w_n(q))``
+
+    where ``F^a_n(q) = sum_i sqrt(S_i/2) [conj(u_i^a) conj(X(q)_{N+i, N+n})
+    + u_i^a conj(X(q)_{i, N+n})]`` follows from the bosonic
+    particle-hole symmetry ``h(-q) = sigma1 conj(h(q)) sigma1``: the
+    creation columns of ``X(-q)`` are the sigma1-conjugated positive
+    branch of ``X(q)``, so the weights come from the SAME batched Colpa
+    program that :func:`bands` runs (per-mode phases cancel in
+    ``conj(F) F``).  The longitudinal ``v_i (S - n)`` part (elastic
+    Bragg + two-magnon continuum) is NOT included.
+
+    Conventions are pinned by the exact one-flip oracle in
+    ``tests/test_magnon.py``: for a ferromagnet the polarized state is
+    an exact eigenstate, so ``|<n| S^a(q) |0>|^2`` from the full
+    Pauli-kron Hamiltonian must match exactly -- including a DM chain
+    with ``w(q) != w(-q)`` (pins the momentum label) and a two-site
+    basis (pins the ``t_i`` phases).
+
+    :param model: :class:`spin_model`
+    :param qpts: (nq, dim_k) reduced momentum transfers
+    :param omegas: optional (nw,) energy-transfer grid; when given the
+        return value is the broadened intensity map
+    :param eta: Lorentzian HWHM for the broadened map
+    :param temperature: when > 0, the map includes the detailed-balance
+        Bose factors: ``(1 + g(w_n(q)))`` on the loss side and the
+        anti-Stokes gain peak at ``-w_n(-q)`` with weight ``g``
+    :param shift: Goldstone regularization (see :func:`bands`)
+    :param polarization: apply the unpolarized-neutron projector
+        ``sum_ab (delta_ab - qhat_a qhat_b) S^{ab}`` (Cartesian qhat
+        from the reciprocal lattice; at q = 0 the isotropic average
+        ``(2/3) tr S`` is used).  ``False`` sums the trace.
+    :returns: ``(w, Sab)`` when ``omegas`` is None -- magnon energies
+        (nq, nsite) and complex mode weights (nq, nsite, 3, 3) -- else
+        the real intensity map (nq, nw).
+    """
+    qpts = np.atleast_2d(np.asarray(qpts, dtype=float))
+    if qpts.shape[1] != model._dim_k:
+        raise PythtbError("structure_factor: qpts must have dim_k "
+                          "columns")
+    nq = qpts.shape[0]
+    want_gain = omegas is not None and temperature > 0
+    qs = np.concatenate([qpts, -qpts], axis=0) if want_gain else qpts
+    w, X = _solve(model, qs, shift, True, pmesh.current_mesh())
+    n = model._nsite
+    u, _ = model._frames()
+    pref = np.sqrt(model._S / 2.0)  # (nsite,)
+    # creation amplitudes from the positive branch of X(q):
+    # F^a_n = sum_i pref_i [u_i^a conj(X_{N+i,N+n}) + conj(u_i^a) conj(X_{i,N+n})]
+    Xp = np.conj(X[:, :, n:])  # (nQ, 2n, n) conj positive columns
+    F = np.einsum("i,ia,qin->qna", pref, np.conj(u), Xp[:, n:, :]) \
+        + np.einsum("i,ia,qin->qna", pref, u, Xp[:, :n, :])
+    Sab = np.einsum("qna,qnb->qnab", np.conj(F), F)  # (nQ, n, 3, 3)
+    if omegas is None:
+        return w, Sab
+
+    def _project(Sab_q, qred):
+        if not polarization:
+            return np.real(np.einsum("naa->n", Sab_q))
+        qc = qred @ np.linalg.inv(model._lat).T[: model._dim_k]
+        qn = np.linalg.norm(qc)
+        if qn < 1e-12:
+            return (2.0 / 3.0) * np.real(np.einsum("naa->n", Sab_q))
+        qh = np.zeros(3)
+        qh[: len(qc)] = qc / qn
+        proj = np.eye(3) - np.outer(qh, qh)
+        return np.real(np.einsum("nab,ab->n", Sab_q, proj))
+
+    omegas = np.asarray(omegas, dtype=float)
+    out = np.zeros((nq, len(omegas)))
+    for qi in range(nq):
+        wt = _project(Sab[qi], qpts[qi])  # (n,)
+        wn = w[qi]
+        if temperature > 0:
+            g = 1.0 / np.expm1(
+                np.minimum(np.maximum(wn, 1e-12) / temperature, 500.0))
+            wt = wt * (1.0 + g)
+        lor = (eta / np.pi) / ((omegas[None, :] - wn[:, None]) ** 2
+                               + eta ** 2)
+        out[qi] = wt @ lor
+        if want_gain:
+            wtg = _project(Sab[nq + qi], -qpts[qi])
+            wng = w[nq + qi]
+            gg = 1.0 / np.expm1(
+                np.minimum(np.maximum(wng, 1e-12) / temperature, 500.0))
+            lorg = (eta / np.pi) / ((omegas[None, :] + wng[:, None]) ** 2
+                                    + eta ** 2)
+            out[qi] += (wtg * gg) @ lorg
+    return out
