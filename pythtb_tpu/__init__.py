@@ -33,7 +33,7 @@ from .utils.continuity import no_2pi
 from .wf_array import wf_array
 from .w90 import w90
 from . import models, parallel
-from . import bdg, boltzmann, disorder, dmft, dynamics, ed, eph, entanglement, exciton, floquet, geometry, impurity, magnetic, magnon, meanfield, negf, optical, phonon, realspace, response, surface, symmetry, unfold, wannier
+from . import bdg, boltzmann, disorder, dmft, dynamics, ed, eph, entanglement, exciton, fermisurface, floquet, geometry, impurity, localization, magnetic, magnon, meanfield, negf, optical, phonon, realspace, response, surface, symmetry, unfold, wannier
 from .family import family, ModelFamily
 
 __version__ = "0.2.0"
@@ -44,6 +44,7 @@ __all__ = [
     "tb_model",
     "bdg",
     "boltzmann",
+    "fermisurface",
     "disorder",
     "wf_array",
     "w90",

@@ -59,7 +59,8 @@ from .geometry import _prep
 from .model import PythtbError
 from .parallel import mesh as pmesh
 
-__all__ = ["transport_coefficients", "transport_distribution"]
+__all__ = ["transport_coefficients", "transport_distribution",
+           "edelstein"]
 
 _DEG_TOL = 1e-7
 
@@ -279,3 +280,88 @@ def _tdf_jit(static, data, nk, lat, energies, smear, mesh=None):
     g = jnp.exp(-0.5 * x * x) / (smear * np.sqrt(2.0 * np.pi))
     return jnp.einsum("ban,bcn,ebn->eac", vd, vd, g,
                       precision=jax.lax.Precision.HIGHEST) / B
+
+
+@partial(jax.jit, static_argnums=(0, 2, 6))
+def _edelstein_jit(static, data, nk, lat, mus, kt, mesh=None):
+    """Raw Edelstein kernel K[m, a, c] = (1/N_k) sum_kn (-f')
+    <n|s_a|n> v_c^n (spin in hbar/2*Pauli/2 units, velocity Cartesian;
+    host applies charge / tau / volume factors)."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble, assemble_dk
+    from .ops.solver import device_uniform_grid, shard_grid_axis0
+
+    hp = jax.lax.Precision.HIGHEST
+    kpts = device_uniform_grid(nk, jnp.zeros((static.dim_k,),
+                                             config.float_dtype()))
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
+    evals, vecs = eigh_batched(assemble(static, data, kpts))
+    latj = jnp.asarray(lat, config.float_dtype()).astype(
+        config.complex_dtype())
+    dH = assemble_dk(static, data, kpts)
+    dHc = jnp.einsum("ra,brij->baij", latj, dH, precision=hp) \
+        / (2.0 * np.pi)
+    vd = jnp.real(jnp.einsum("bns,bast,bnt->ban", jnp.conj(vecs), dHc,
+                             vecs, precision=hp))
+    # spin expectations: row-convention eigenvectors, spin-fastest
+    # component layout (comp = 2*orb + spin)
+    B, S = evals.shape
+    vc = vecs.reshape(B, S, S // 2, 2)
+    cdt = vecs.dtype
+    sig = jnp.asarray(np.stack([
+        [[0, 1], [1, 0]], [[0, -1j], [1j, 0]], [[1, 0], [0, -1]],
+    ]) / 2.0, cdt)
+    sd = jnp.real(jnp.einsum("bnor,xrs,bnos->bxn", jnp.conj(vc), sig,
+                             vc, precision=hp))
+    x = (evals[None, :, :] - mus[:, None, None]) / kt
+    f = jax.nn.sigmoid(-x)
+    w = f * (1.0 - f) / kt  # -df/de
+    K = jnp.einsum("bxn,bcn,mbn->mxc", sd, vd, w, precision=hp) / B
+    return K
+
+
+def edelstein(model, mus, temperature, nk, tau=1.0):
+    """Edelstein (inverse spin-galvanic) tensor of a spinful model:
+    the RTA spin accumulation per electric field,
+
+    ``<s_a> = alpha_ab E_b``,  ``alpha_ab = q tau / (N_k V_c)
+        sum_kn (-df/de) <nk|s_a|nk> v_b^{nk}``
+
+    with s in hbar/2-Pauli units (s = sigma/2), q = -1, hbar = 1.
+    Nonzero only when inversion symmetry is broken (e.g. Rashba SOC);
+    the committed oracles (``tests/test_edelstein.py``) check the
+    exact inversion-symmetric zero, Rashba C4 antisymmetry
+    ``alpha_xy = -alpha_yx``, linearity in the SOC strength, and a
+    differential T -> 0 cross-check against an INDEPENDENT
+    Fermi-surface line integral built from
+    :func:`pythtb_tpu.fermisurface.fermi_surface` contours.
+
+    :param model: fully periodic :class:`tb_model` with nspin == 2
+    :param mus: chemical potentials (scalar or 1-D)
+    :param temperature: k_B T > 0
+    :param nk: k-grid (int or per-direction sizes)
+    :param tau: relaxation time
+    :returns: (M, 3, dim_k) array alpha[mu, spin_axis, field_axis]
+    """
+    static, data, lat, _ = _prep(model, "edelstein")
+    if static.nspin != 2:
+        raise PythtbError("edelstein requires a spinful model "
+                          "(nspin == 2)")
+    if np.ndim(nk) == 0:
+        nk = [int(nk)] * static.dim_k
+    nk = tuple(int(n) for n in nk)
+    if len(nk) != static.dim_k or min(nk) < 2:
+        raise PythtbError("nk must give %d sizes >= 2" % static.dim_k)
+    kt = float(temperature)
+    if kt <= 0:
+        raise PythtbError("temperature must be positive")
+    mus = np.atleast_1d(np.asarray(mus, dtype=float))
+    ftype = config.float_dtype()
+    K = np.asarray(jax.device_get(_edelstein_jit(
+        static, data, nk, jnp.asarray(lat, ftype),
+        jnp.asarray(mus, ftype), jnp.asarray(kt, ftype),
+        pmesh.current_mesh())), dtype=np.float64)
+    vol = abs(np.linalg.det(lat))
+    q = -1.0
+    return q * float(tau) * K / vol

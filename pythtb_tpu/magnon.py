@@ -322,7 +322,11 @@ def _lswt_solve_jit(nsite, kpts, iidx, jidx, dvec, a_ri, b_ri, cdiag,
     sg = jnp.concatenate(
         [jnp.ones(nsite, h.real.dtype), -jnp.ones(nsite, h.real.dtype)]
     )
-    T = K * sg[None, None, :] @ jnp.swapaxes(jnp.conj(K), 1, 2)
+    # precision=HIGHEST: the TPU default bf16 matmul pass turns this
+    # 2n x 2n product (which feeds eigh) into ~1e-2 weight errors on
+    # the kagome BdG (measured on chip; CPU f32 is 9e-6)
+    T = jnp.einsum("bij,bkj->bik", K * sg[None, None, :], jnp.conj(K),
+                   precision=_HP)
     lam, W = jnp.linalg.eigh(T)  # ascending: n negative, n positive
     omega = lam[:, nsite:]  # positive branch, ascending
     if not want_vectors:

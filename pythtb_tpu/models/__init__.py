@@ -10,6 +10,15 @@ be further edited (``mode="reset"/"add"``), cut, super-celled, etc.
 """
 
 from .moire import sk_graphene, tbg, tbg_angle
+from .quasicrystal import (
+    ammann_beenker,
+    aubry_andre,
+    fibonacci_chain,
+    fibonacci_word,
+    multigrid_tiling,
+    penrose,
+    vertex_areas,
+)
 from .library import (
     apply_strain,
     bbh,
@@ -59,4 +68,11 @@ __all__ = [
     "sk_graphene",
     "apply_strain",
     "triaxial_graphene_flake",
+    "multigrid_tiling",
+    "penrose",
+    "ammann_beenker",
+    "aubry_andre",
+    "fibonacci_chain",
+    "fibonacci_word",
+    "vertex_areas",
 ]

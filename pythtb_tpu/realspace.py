@@ -30,6 +30,15 @@ TPU-first:
 * :func:`bott_index` -- the Loring-Hastings Bott index on a disordered
   torus (the finite-size proxy for the Chern number that needs no
   translation invariance).
+* :func:`sector_marker` / :func:`spin_chern_marker` -- the Prodan
+  sector construction (PRB 80, 125327 (2009)) fused with the
+  Bianco-Resta marker: split the occupied space by the sign of a
+  projected grading ``P O P`` (spin Sz, a mirror, ...) and compute
+  each sector's local Chern marker.  This is the real-space QSH / Z2
+  diagnostic: it works on disordered flakes and quasicrystals where
+  no Brillouin zone (and hence no k-space ``flows.spin_chern``)
+  exists, and its bulk average matches ``flows.spin_chern`` sector
+  for sector on clean samples (committed oracle).
 
 Conventions: ``hbar = e = 1`` internally; 2-D conductivities are
 returned in units of e^2/h.  Complex data crosses the host<->device
@@ -58,6 +67,8 @@ __all__ = [
     "kpm_ldos",
     "chern_marker",
     "bott_index",
+    "sector_marker",
+    "spin_chern_marker",
 ]
 
 
@@ -584,20 +595,82 @@ def _marker_jit(static, data, nocc, X, Y):
     from .ops.eigh import eigh_batched
     from .ops.hamiltonian import assemble
 
-    hp = jax.lax.Precision.HIGHEST
     H = assemble(static, data, jnp.zeros((1, 0), config.float_dtype()))
     evals, vecs = eigh_batched(H)
     W = vecs[0, :nocc, :]  # (nocc, S), rows = states
+    return _marker_core(W, X, Y), evals[0]
+
+
+def _marker_core(W, X, Y):
+    """Occupied-basis Bianco-Resta contraction (W rows = states)."""
+    hp = jax.lax.Precision.HIGHEST
     cW = jnp.conj(W)
     A = jnp.einsum("ns,s,ps->np", cW, X, W, precision=hp)
     B = jnp.einsum("ps,s,ms->pm", cW, Y, W, precision=hp)
     Cm = jnp.einsum("ns,s,ms->nm", cW, X * Y, W, precision=hp)
     K = Cm - jnp.einsum("np,pm->nm", A, B, precision=hp)
     diag = jnp.einsum("ns,nm,ms->s", W, K, cW, precision=hp)
-    return jnp.imag(diag), evals[0]
+    return jnp.imag(diag)
 
 
-def chern_marker(model, nocc=None, fermi=None):
+@jax.jit
+def _marker_W_jit(W_ri, X, Y):
+    """Marker contraction from host-supplied occupied states (the
+    ``eigensolver="host"`` path)."""
+    return _marker_core(unpack_cplx(W_ri), X, Y)
+
+
+def _use_host_eigh(eigensolver, caller):
+    """Resolve the marker ``eigensolver`` knob ("auto"/"host"/
+    "device")."""
+    if eigensolver not in ("auto", "host", "device"):
+        raise PythtbError(
+            '%s: eigensolver must be "auto", "host" or "device"'
+            % caller)
+    if eigensolver == "auto":
+        return np.dtype(config.float_dtype()) == np.float32
+    return eigensolver == "host"
+
+
+def _host_eigh_ell(h):
+    """Host float64 eigensolve of an ELL-table sample (same densify
+    semantics as ``_dense_eigh_jit`` / ``_dense_eigh_spin_jit``)."""
+    cols = np.asarray(h.cols)
+    vals = host_unpack(np.asarray(h.vals, dtype=np.float64))
+    norb = cols.shape[0]
+    rows = np.repeat(np.arange(norb), cols.shape[1])
+    if h.nspin == 1:
+        dense = np.zeros((norb, norb), dtype=complex)
+        np.add.at(dense, (rows, cols.ravel()), vals.reshape(-1))
+    else:
+        blk = np.zeros((norb, norb, 2, 2), dtype=complex)
+        np.add.at(blk, (rows, cols.ravel()), vals.reshape(-1, 2, 2))
+        dense = blk.transpose(0, 2, 1, 3).reshape(2 * norb, 2 * norb)
+    evals, vecs = np.linalg.eigh(dense)
+    return evals, vecs.T  # rows = states
+
+
+def _host_occ_states(model, nocc):
+    """Host float64 dense eigensolve; returns (evals, W) with W rows =
+    states in the package's orb-major (spin-fastest) flattening.
+
+    Exists because the axon TPU's f32 eigh is unreliable on dense
+    clustered spectra: on a 354-state Penrose + flux model the on-chip
+    eigenvalues deviated up to 0.181 (3% of ||H||) from x64 while the
+    ASSEMBLY was exact to 4e-8 (measured 2026-08-20; CPU f32 agreed
+    with x64 to print precision).  Quasicrystals and strongly
+    disordered samples are exactly the dense-spectrum cases real-space
+    markers exist for, so marker wrappers default to this path on f32
+    backends (``eigensolver="auto"``).
+    """
+    from .ed import dense_h
+
+    H = dense_h(model)
+    evals, vecs = np.linalg.eigh(H)
+    return evals, vecs.T[:nocc]  # rows = states
+
+
+def chern_marker(model, nocc=None, fermi=None, eigensolver="auto"):
     """Bianco-Resta local Chern marker of a finite 2-D flake.
 
     ``c(r) = -(4 pi / A_c) Im <r| P X Q Y P |r>`` summed over the
@@ -615,6 +688,12 @@ def chern_marker(model, nocc=None, fermi=None):
       program)
     :param fermi: Fermi energy -- used to count nocc (costs an extra
       eigensolve; give nocc directly when known)
+    :param eigensolver: ``"device"`` (eigh + contraction in one
+      program), ``"host"`` (float64 host eigh feeding the device
+      contraction), or ``"auto"`` (default) -- host on f32 backends,
+      device on x64.  See :func:`_host_occ_states` for the measured
+      TPU f32 eigh failure on dense clustered spectra that makes
+      "host" the safe f32 default.
     :returns: ``(norb,)`` marker per orbital site
     """
     if model._dim_k != 0:
@@ -639,14 +718,14 @@ def chern_marker(model, nocc=None, fermi=None):
     if model._nspin == 2:
         pos = np.repeat(pos, 2, axis=0)
     ftype = config.float_dtype()
-    static, data = model._get_finalized()
-    imdiag, _ = _marker_jit(
-        static,
-        data,
-        nocc,
-        jnp.asarray(pos[:, 0], ftype),
-        jnp.asarray(pos[:, 1], ftype),
-    )
+    Xj = jnp.asarray(pos[:, 0], ftype)
+    Yj = jnp.asarray(pos[:, 1], ftype)
+    if _use_host_eigh(eigensolver, "chern_marker"):
+        _, W = _host_occ_states(model, nocc)
+        imdiag = _marker_W_jit(jnp.asarray(host_pack(W), ftype), Xj, Yj)
+    else:
+        static, data = model._get_finalized()
+        imdiag, _ = _marker_jit(static, data, nocc, Xj, Yj)
     imdiag = np.asarray(jax.device_get(imdiag), dtype=np.float64)
     cell_area = abs(np.linalg.det(lat))
     c = -4.0 * np.pi / cell_area * imdiag
@@ -687,7 +766,7 @@ def _dense_eigh_spin_jit(cols, vals_ri):
     return evals[0], pack_cplx(vecs[0])
 
 
-def bott_index(sample, nocc=None, fermi=None):
+def bott_index(sample, nocc=None, fermi=None, eigensolver="auto"):
     """Loring-Hastings Bott index of a 2-D torus sample.
 
     With ``U = exp(2 pi i Theta_x)``, ``V = exp(2 pi i Theta_y)``
@@ -705,17 +784,22 @@ def bott_index(sample, nocc=None, fermi=None):
     :param sample: 2-D :class:`TorusSample` (disordered or clean)
     :param nocc: occupied state count, or
     :param fermi: Fermi energy used to count occupied states
+    :param eigensolver: "device" / "host" / "auto" (default: host
+      float64 eigh on f32 backends -- see :func:`_host_occ_states`)
     :returns: the Bott index (float; near-integer when gapped)
     """
     if sample.theta.shape[1] != 2:
         raise PythtbError("bott_index requires a 2-D torus sample")
     h = sample.h
-    if h.nspin == 2:
-        evals, W_ri = _dense_eigh_spin_jit(h.cols, h.vals)
+    if _use_host_eigh(eigensolver, "bott_index"):
+        evals, W = _host_eigh_ell(h)
     else:
-        evals, W_ri = _dense_eigh_jit(h.cols, h.vals)
-    evals = np.asarray(jax.device_get(evals), dtype=np.float64)
-    W = host_unpack(np.asarray(jax.device_get(W_ri)))
+        if h.nspin == 2:
+            evals, W_ri = _dense_eigh_spin_jit(h.cols, h.vals)
+        else:
+            evals, W_ri = _dense_eigh_jit(h.cols, h.vals)
+        evals = np.asarray(jax.device_get(evals), dtype=np.float64)
+        W = host_unpack(np.asarray(jax.device_get(W_ri)))
     if (nocc is None) == (fermi is None):
         raise PythtbError("give exactly one of nocc / fermi")
     if nocc is None:
@@ -734,3 +818,192 @@ def bott_index(sample, nocc=None, fermi=None):
     Mb = V @ U @ np.conj(V.T) @ np.conj(U.T)
     lam = np.linalg.eigvals(Mb)
     return float(np.sum(np.angle(lam)) / (2.0 * np.pi))
+
+
+# --------------------------------------------------------------------
+# sector (spin) Chern markers -- real-space QSH diagnostics
+# --------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _sector_marker_jit(static, data, nocc, split, X, Y, op_ri):
+    """Dense eigensolve + Prodan sector split + per-sector Bianco-Resta
+    contraction, one program.
+
+    ``M = W* O W^T`` is the grading projected into the occupied space
+    (rows of W = occupied states); its eigenvectors rotate W into the
+    minus/plus sector bases ``V``.  Each sector's marker uses
+    ``K = <a|XY|b> - <a|X|p><p|Y|b>`` with p running over THAT sector
+    only, i.e. ``Q_s = 1 - P_s`` exactly (the complement includes both
+    the unoccupied space and the other sector)."""
+    from .ops.eigh import eigh_batched
+    from .ops.hamiltonian import assemble
+
+    hp = jax.lax.Precision.HIGHEST
+    H = assemble(static, data, jnp.zeros((1, 0), config.float_dtype()))
+    evals, vecs = eigh_batched(H)
+    W = vecs[0, :nocc, :]  # (nocc, S)
+    op = unpack_cplx(op_ri)
+    M = jnp.einsum("ns,st,mt->nm", jnp.conj(W), op, W, precision=hp)
+    M = 0.5 * (M + jnp.conj(M.T))
+    sig, U = jnp.linalg.eigh(M)  # ascending
+
+    def marker_of(V):
+        cV = jnp.conj(V)
+        A = jnp.einsum("as,s,bs->ab", cV, X, V, precision=hp)
+        B = jnp.einsum("bs,s,cs->bc", cV, Y, V, precision=hp)
+        Cm = jnp.einsum("as,s,bs->ab", cV, X * Y, V, precision=hp)
+        K = Cm - jnp.einsum("ab,bc->ac", A, B, precision=hp)
+        return jnp.imag(jnp.einsum("as,ab,bs->s", V, K, cV,
+                                   precision=hp))
+
+    V_minus = jnp.einsum("na,ns->as", U[:, :split], W, precision=hp)
+    V_plus = jnp.einsum("na,ns->as", U[:, split:], W, precision=hp)
+    return (marker_of(V_minus), marker_of(V_plus), sig, evals[0])
+
+
+def sector_marker(model, op, nocc=None, fermi=None, split=None,
+                  eigensolver="auto"):
+    """Per-site local Chern markers of the Prodan eigensectors of a
+    grading operator ``op`` projected into the occupied space of a
+    FINITE 2-D model -- :func:`flows.sector_chern` without a Brillouin
+    zone.
+
+    Splits the occupied space by the spectrum of ``P O P`` (``split``
+    lowest eigenstates -> the minus sector, rest -> plus) and computes
+    the Bianco-Resta marker of each sector projector.  In the bulk of
+    a clean topological sample the markers plateau at the sector Chern
+    numbers of the periodic parent (the committed oracle compares both
+    engines on Kane-Mele at ~1% -- including signs); they stay
+    quantized under TRS-preserving disorder, vacancies, or on
+    quasicrystals, where no k-space method applies.
+
+    :param model: finite model (``dim_k == 0``, ``dim_r == 2``)
+    :param op: (nsta, nsta) Hermitian grading, or a length-nsta
+      diagonal, in the flattened (orb x spin, spin fastest) space --
+      same convention as :func:`flows.sector_chern`
+    :param nocc: occupied state count (even, typically), or
+    :param fermi: Fermi energy used to count occupied states
+    :param split: minus-sector size (default ``nocc // 2``); a warning
+      reports when the projected spectrum does not straddle zero there
+    :param eigensolver: "device" / "host" / "auto" (default: host
+      float64 eigh + sector split feeding the device contraction on
+      f32 backends -- see :func:`_host_occ_states`)
+    :returns: dict with ``c_minus`` / ``c_plus`` ((norb,) per-site
+      markers, spin-summed), ``sector_marker`` (their half-difference),
+      ``total_marker`` (their sum -- its BULK AVERAGE matches
+      :func:`chern_marker`'s, but pointwise the two differ by
+      cross-sector terms ``P_+ X Q Y P_-`` that integrate to zero;
+      each sector marker alone sums to exactly zero over the whole
+      sample, like the total one), ``gap`` (P O P spectral gap at the
+      split)
+    """
+    if model._dim_k != 0:
+        raise PythtbError("sector_marker requires a finite model (dim_k == 0)")
+    if model._dim_r != 2:
+        raise PythtbError("sector_marker requires 2-D positions (dim_r == 2)")
+    if (nocc is None) == (fermi is None):
+        raise PythtbError("give exactly one of nocc / fermi")
+    nsta = model._norb * model._nspin
+    if fermi is not None:
+        evals = model.solve_all()
+        nocc = int(np.count_nonzero(evals < fermi))
+    nocc = int(nocc)
+    if not (1 < nocc < nsta):
+        raise PythtbError("nocc must be in 2..nsta-1")
+    split = nocc // 2 if split is None else int(split)
+    if not (1 <= split <= nocc - 1):
+        raise PythtbError("split must be in [1, %d]" % (nocc - 1))
+    op = np.asarray(op, dtype=np.complex128)
+    if op.ndim == 1:
+        op = np.diag(op)
+    if op.shape != (nsta, nsta):
+        raise PythtbError("op must be (%d, %d) (or a length-%d diagonal)"
+                          % (nsta, nsta, nsta))
+    if np.abs(op - op.conj().T).max() > 1e-12:
+        raise PythtbError("op must be Hermitian (for a spinful mirror M "
+                          "with M^2 = -1, pass 1j * M)")
+    lat = np.asarray(model._lat, dtype=np.float64)
+    pos = np.asarray(model._orb, dtype=np.float64) @ lat
+    if model._nspin == 2:
+        pos = np.repeat(pos, 2, axis=0)
+    ftype = config.float_dtype()
+    Xj = jnp.asarray(pos[:, 0], ftype)
+    Yj = jnp.asarray(pos[:, 1], ftype)
+    if _use_host_eigh(eigensolver, "sector_marker"):
+        _, W = _host_occ_states(model, nocc)  # (nocc, S) float64
+        M = np.einsum("ns,st,mt->nm", np.conj(W), op, W)
+        M = 0.5 * (M + np.conj(M.T))
+        sig, U = np.linalg.eigh(M)
+        V_minus = np.einsum("na,ns->as", U[:, :split], W)
+        V_plus = np.einsum("na,ns->as", U[:, split:], W)
+        im_m = jax.device_get(_marker_W_jit(
+            jnp.asarray(host_pack(V_minus), ftype), Xj, Yj))
+        im_p = jax.device_get(_marker_W_jit(
+            jnp.asarray(host_pack(V_plus), ftype), Xj, Yj))
+    else:
+        static, data = model._get_finalized()
+        im_m, im_p, sig, _ = jax.device_get(_sector_marker_jit(
+            static, data, nocc, split, Xj, Yj,
+            jnp.asarray(host_pack(op), ftype),
+        ))
+    sig = np.asarray(sig, dtype=np.float64)
+    gap = float(sig[split] - sig[split - 1])
+    import warnings
+
+    if gap < 1e-3:
+        warnings.warn(
+            "sector_marker: the P O P spectrum is (nearly) gapless at the "
+            "split (min gap %.2e) -- the sector markers are ill-defined "
+            "for this model/operator/filling." % gap,
+            UserWarning, stacklevel=2)
+    elif not (sig[split - 1] < 0.0 < sig[split]):
+        warnings.warn(
+            "sector_marker: the P O P spectrum does not straddle zero at "
+            "the requested split (eigenvalues around it in [%.3f, %.3f]) "
+            "-- the +- sector labels are arbitrary; check `split`."
+            % (float(sig[split - 1]), float(sig[split])),
+            UserWarning, stacklevel=2)
+    cell_area = abs(np.linalg.det(lat))
+    cm = -4.0 * np.pi / cell_area * np.asarray(im_m, dtype=np.float64)
+    cp = -4.0 * np.pi / cell_area * np.asarray(im_p, dtype=np.float64)
+    if model._nspin == 2:
+        cm = cm.reshape(-1, 2).sum(axis=1)
+        cp = cp.reshape(-1, 2).sum(axis=1)
+    return {
+        "c_minus": cm,
+        "c_plus": cp,
+        "sector_marker": 0.5 * (cp - cm),
+        "total_marker": cp + cm,
+        "gap": gap,
+    }
+
+
+def spin_chern_marker(model, nocc=None, fermi=None, eigensolver="auto"):
+    """Per-site SPIN Chern marker of a finite spinful 2-D model: the
+    Prodan P Sz P sector split of :func:`sector_marker` with the spin
+    grading ``diag(+1, -1)`` per orbital -- the real-space Z2 / QSH
+    diagnostic (``spin marker mod 2`` reads the Z2 index in the bulk).
+
+    Works where :func:`flows.spin_chern` cannot: disordered flakes,
+    vacancies, quasicrystalline QSH insulators.  Robust beyond Sz
+    conservation (Rashba) as long as the reported ``gap`` stays open.
+
+    :returns: dict as :func:`sector_marker` (``sector_marker`` is the
+      per-site spin Chern marker)
+    """
+    if model._nspin != 2:
+        raise PythtbError("spin_chern_marker requires a spinful model "
+                          "(nspin = 2)")
+    sz = np.tile([1.0, -1.0], model._norb)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = sector_marker(model, sz, nocc=nocc, fermi=fermi,
+                            eigensolver=eigensolver)
+    for w in caught:
+        msg = str(w.message).replace("sector_marker", "spin_chern_marker"
+                                     ).replace("P O P", "P Sz P")
+        warnings.warn(msg, w.category, stacklevel=2)
+    return out

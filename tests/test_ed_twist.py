@@ -111,6 +111,7 @@ def test_chern_needs_2d():
 # twist_berry_phase
 
 
+@pytest.mark.slow
 def test_ssh_twist_phase_quantized():
     # inversion quantizes the U = 0 twist Berry phase to {0, pi}; the
     # two dimerizations differ by pi
@@ -121,6 +122,7 @@ def test_ssh_twist_phase_quantized():
     assert abs(abs(pa - pb) - np.pi) < 1e-10
 
 
+@pytest.mark.slow
 def test_ssh_twist_phase_interaction_robust():
     # nearest-neighbor V preserves inversion: the phase stays pinned
     inter = [(0.8, 0, 1, (0,)), (0.8, 1, 0, (1,))]

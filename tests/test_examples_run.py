@@ -24,7 +24,8 @@ FAST = [
 SLOW = ["kane_mele", "haldane_hwf", "3site_cycle_fin", "cubic_slab_hwf", "chern_tpu", "fkm_z2", "haldane_phase_diagram", "autodiff_tools", "kane_mele_z2_diagram", "structural_family", "hofstadter", "hofstadter_edge", "large_finite", "peierls_ssh", "pump_tools", "wannier_interp", "fermi_arcs", "topology_tools", "axion_fkm", "orbital_magnetization", "realspace_topology", "kpm_hall", "optical_response", "floquet_graphene", "shift_current", "unfold_disorder", "entanglement_flow", "floquet_anomalous", "quantum_geometry", "twisted_bilayer", "realtime_dynamics", "impurity_states", "invariants_toolbox", "high_harmonics", "pseudo_field", "quantum_transport", "mean_field", "hubbard_ed", "rpa_stoner", "magnon_topology", "majorana", "cpa_alloy",
 "boltzmann_transport", "phonon_bands", "symmetry_indicators",
 "dmft_mott", "eph_linewidths", "excitons_bn", "dmft_arpes",
-"many_body_chern", "hall_bar"]
+"many_body_chern", "hall_bar", "neutron_spectra",
+"fermi_surface_tools", "quasicrystal", "localization"]
 W90 = ["w90", "w90_quick"]
 
 

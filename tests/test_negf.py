@@ -281,6 +281,7 @@ def test_thermoelectrics_gap_returns_nan_with_warning():
     assert abs(rb["G"][1] - 1.0) < 1e-2  # one propagating mode
 
 
+@pytest.mark.slow
 def test_thermoelectrics_resolution_autoscale():
     """A wide mu sweep must not under-resolve the kT-wide Fermi window:
     n_energies is a minimum and the grid is refined to dE <= kT/4

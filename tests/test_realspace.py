@@ -368,3 +368,117 @@ def test_ldos_zero_outside_spectrum():
         3, 1, glue_edgs=True), energies=np.array([lo - 2.0, hi + 2.0]),
         num_moments=32, num_vectors=2)
     assert dos[0] == 0.0 and dos[1] == 0.0
+
+
+class TestSectorMarker:
+    """Real-space QSH diagnostics: Prodan sectors x Bianco-Resta."""
+
+    def test_km_matches_kspace_spin_chern(self):
+        # ORACLE: bulk sector markers == flows.spin_chern sector Chern
+        # numbers of the periodic parent, INCLUDING signs (with Rashba,
+        # so Sz is not conserved and the construction is nontrivial)
+        km = zoo.kane_mele(rashba=0.25)
+        ref = flows.spin_chern(km, occ=(0, 1), nk=(31, 31))
+        fl = km.cut_piece(14, 0).cut_piece(14, 1)
+        nocc = fl._norb * fl._nspin // 2
+        out = realspace.spin_chern_marker(fl, nocc=nocc)
+        pos = np.asarray(fl._orb, float) @ np.asarray(fl._lat, float)
+        r = np.linalg.norm(pos - pos.mean(axis=0), axis=1)
+        bulk = r < 0.3 * r.max()
+        # cell marker = sum over the 2 basis orbitals
+        cp = 2.0 * out["c_plus"][bulk].mean()
+        cm = 2.0 * out["c_minus"][bulk].mean()
+        assert abs(cp - ref["chern_plus"]) < 0.03
+        assert abs(cm - ref["chern_minus"]) < 0.03
+        assert abs(out["gap"]) > 0.5
+
+    def test_trivial_phase_zero(self):
+        fl = zoo.kane_mele(esite=2.5).cut_piece(10, 0).cut_piece(10, 1)
+        nocc = fl._norb * fl._nspin // 2
+        out = realspace.spin_chern_marker(fl, nocc=nocc)
+        pos = np.asarray(fl._orb, float) @ np.asarray(fl._lat, float)
+        r = np.linalg.norm(pos - pos.mean(axis=0), axis=1)
+        bulk = r < 0.3 * r.max()
+        assert abs(2.0 * out["sector_marker"][bulk].mean()) < 0.05
+
+    def test_sector_sum_rules_exact(self):
+        # each sector marker obeys the same exact trace identity as the
+        # total: sum over the whole sample == 0
+        fl = zoo.kane_mele(rashba=0.25).cut_piece(8, 0).cut_piece(8, 1)
+        nocc = fl._norb * fl._nspin // 2
+        out = realspace.spin_chern_marker(fl, nocc=nocc)
+        assert abs(out["c_plus"].sum()) < 1e-9
+        assert abs(out["c_minus"].sum()) < 1e-9
+
+    def test_disorder_robust(self):
+        # TRS-preserving (spin-independent) onsite disorder keeps the
+        # bulk spin marker quantized -- the point of a real-space Z2
+        km = zoo.kane_mele(rashba=0.25)
+        fl = km.cut_piece(12, 0).cut_piece(12, 1)
+        rng = np.random.default_rng(7)
+        fl.set_onsite(rng.uniform(-0.4, 0.4, fl._norb).tolist(),
+                      mode="add")
+        nocc = fl._norb * fl._nspin // 2
+        out = realspace.spin_chern_marker(fl, nocc=nocc)
+        pos = np.asarray(fl._orb, float) @ np.asarray(fl._lat, float)
+        r = np.linalg.norm(pos - pos.mean(axis=0), axis=1)
+        bulk = r < 0.3 * r.max()
+        assert abs(2.0 * out["sector_marker"][bulk].mean() + 1.0) < 0.1
+
+    def test_fermi_equals_nocc_and_validation(self):
+        fl = zoo.kane_mele().cut_piece(5, 0).cut_piece(5, 1)
+        nocc = fl._norb * fl._nspin // 2
+        a = realspace.spin_chern_marker(fl, nocc=nocc)
+        b = realspace.spin_chern_marker(fl, fermi=0.0)
+        np.testing.assert_allclose(a["sector_marker"], b["sector_marker"],
+                                   atol=1e-12)
+        with pytest.raises(Exception):
+            realspace.spin_chern_marker(
+                zoo.haldane().cut_piece(4, 0).cut_piece(4, 1), nocc=8)
+        with pytest.raises(Exception):
+            realspace.sector_marker(fl, np.ones(3), nocc=nocc)
+        with pytest.raises(Exception):
+            realspace.spin_chern_marker(fl, nocc=nocc, fermi=0.0)
+
+    def test_gapless_split_warns(self):
+        # a grading whose projected spectrum does not straddle zero at
+        # the default split must warn
+        fl = zoo.kane_mele().cut_piece(4, 0).cut_piece(4, 1)
+        nocc = fl._norb * fl._nspin // 2
+        op = np.ones(fl._norb * fl._nspin)  # P O P == identity: gapless
+        with pytest.warns(UserWarning):
+            realspace.sector_marker(fl, op, nocc=nocc)
+
+
+def test_marker_host_eigensolver_matches_device():
+    """eigensolver="host" (float64 host eigh feeding the device
+    contraction) agrees with the one-program device path on every
+    marker API.  The host path is the f32-backend default because the
+    axon TPU's f32 eigh deviated by 0.181 (3% of ||H||) on a 354-state
+    Penrose+flux spectrum while its assembly was exact to 4e-8
+    (measured 2026-08-20); CPU f32/x64 agree, which is what this pins.
+    """
+    m = zoo.haldane(delta=0.3, t=-1.0, t2=0.15j)
+    fl = m.cut_piece(5, 0).cut_piece(5, 1)
+    rng = np.random.default_rng(3)
+    fl.set_onsite(rng.uniform(-0.3, 0.3, fl._norb).tolist(), mode="add")
+    cd = realspace.chern_marker(fl, nocc=25, eigensolver="device")
+    ch = realspace.chern_marker(fl, nocc=25, eigensolver="host")
+    np.testing.assert_allclose(ch, cd, atol=1e-8)
+
+    km = zoo.kane_mele(rashba=0.2).cut_piece(4, 0).cut_piece(4, 1)
+    nocc = km._norb * km._nspin // 2
+    sd = realspace.spin_chern_marker(km, nocc=nocc, eigensolver="device")
+    sh = realspace.spin_chern_marker(km, nocc=nocc, eigensolver="host")
+    np.testing.assert_allclose(sh["c_plus"], sd["c_plus"], atol=1e-8)
+    np.testing.assert_allclose(sh["c_minus"], sd["c_minus"], atol=1e-8)
+    assert abs(sh["gap"] - sd["gap"]) < 1e-8
+
+    sample = realspace.torus_sample(m, (4, 4), onsite_disorder=0.5,
+                                    seed=2)
+    bd = realspace.bott_index(sample, nocc=16, eigensolver="device")
+    bh = realspace.bott_index(sample, nocc=16, eigensolver="host")
+    np.testing.assert_allclose(bh, bd, atol=1e-8)
+
+    with pytest.raises(pythtb_tpu.PythtbError):
+        realspace.chern_marker(fl, nocc=25, eigensolver="gpu")

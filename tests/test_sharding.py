@@ -428,3 +428,45 @@ def test_multi_terminal_sharded_matches(mesh8):
     with use_mesh(mesh8):
         sharded = negf.multi_terminal(Hd, leads, Es, eta=1e-5)
     np.testing.assert_allclose(base, sharded, atol=1e-12)
+
+
+def test_dos_linear_sharded_matches(mesh8):
+    """fermisurface.dos_linear under a mesh shards the k-grid axis of
+    the simplex solve; DOS unchanged."""
+    from pythtb_tpu import fermisurface as fs
+
+    g = ptt.models.graphene(t=-1.0)
+    Es = np.linspace(-3.2, 3.2, 41)
+    base = fs.dos_linear(g, Es, nk=36)
+    with use_mesh(mesh8):
+        sharded = fs.dos_linear(g, Es, nk=36)
+    np.testing.assert_allclose(base, sharded, atol=1e-12)
+
+
+def test_edelstein_sharded_matches(mesh8):
+    from pythtb_tpu import boltzmann
+
+    _SY = np.array([[0, -1j], [1j, 0]]) / 2
+    _SX = np.array([[0, 1], [1, 0]], dtype=complex) / 2
+    m = ptt.tb_model(2, 2, np.eye(2), [[0.0, 0.0]], nspin=2)
+    m.set_hop(-1.0 * np.eye(2) - 1j * 0.6 * _SY, 0, 0, [1, 0])
+    m.set_hop(-1.0 * np.eye(2) + 1j * 0.6 * _SX, 0, 0, [0, 1])
+    base = boltzmann.edelstein(m, [-2.0, 0.3], 0.08, 36)
+    with use_mesh(mesh8):
+        sharded = boltzmann.edelstein(m, [-2.0, 0.3], 0.08, 36)
+    np.testing.assert_allclose(base, sharded, atol=1e-12)
+
+
+def test_lyapunov_sharded_matches(mesh8):
+    """localization.lyapunov_spectrum under a mesh shards the energy
+    batch of the transfer-matrix scan; exponents unchanged."""
+    from pythtb_tpu import localization as loc
+
+    ch = ptt.tb_model(1, 1, [[1.0]], [[0.0]])
+    ch.set_hop(-1.0, 0, 0, [1])
+    Es = np.linspace(2.2, 4.2, 16)
+    base = loc.lyapunov_spectrum(ch, Es, 2000, disorder=0.8, seed=2)
+    with use_mesh(mesh8):
+        sharded = loc.lyapunov_spectrum(ch, Es, 2000, disorder=0.8,
+                                        seed=2)
+    np.testing.assert_allclose(base, sharded, atol=1e-12)

@@ -42,6 +42,8 @@ SECTIONS = [
     ("pythtb_tpu.bdg — Bogoliubov-de Gennes superconductors", "pythtb_tpu.bdg", None),
     ("pythtb_tpu.disorder — coherent-potential approximation", "pythtb_tpu.disorder", None),
     ("pythtb_tpu.boltzmann — semiclassical transport", "pythtb_tpu.boltzmann", None),
+    ("pythtb_tpu.fermisurface — Fermi-surface tools", "pythtb_tpu.fermisurface", None),
+    ("pythtb_tpu.localization — Anderson / quasiperiodic localization", "pythtb_tpu.localization", None),
     ("pythtb_tpu.phonon — lattice dynamics", "pythtb_tpu.phonon", None),
     ("pythtb_tpu.eph — electron-phonon coupling", "pythtb_tpu.eph", None),
     ("pythtb_tpu.symmetry — symmetry analysis", "pythtb_tpu.symmetry", None),
@@ -53,6 +55,7 @@ SECTIONS = [
     ("pythtb_tpu.parallel — device meshes", "pythtb_tpu.parallel.mesh", None),
     ("pythtb_tpu.models — model zoo", "pythtb_tpu.models.library", None),
     ("pythtb_tpu.models.moire — twisted bilayers", "pythtb_tpu.models.moire", None),
+    ("pythtb_tpu.models.quasicrystal — aperiodic generators", "pythtb_tpu.models.quasicrystal", None),
     ("pythtb_tpu.utils.serialization — checkpoints", "pythtb_tpu.utils.serialization", None),
     ("pythtb_tpu.utils.profiling — timing helpers", "pythtb_tpu.utils.profiling", None),
 ]

@@ -684,8 +684,9 @@ def main():
     k47 = magnon.thermal_hall(sm47, 0.5, nk=31)
     check("magnon LSWT bands/Chern/kappa_xy f32",
           np.abs(w47 - [1.030385, 2.069615]).max() < 5e-3
-          and c47 == -1.0 and abs(k47 - 0.091425) < 3e-3,
-          "wK=%s C=%.0f kxy=%.5f (x64: [1.03038, 2.06962], -1, 0.09142)"
+          and c47 == 1.0 and abs(k47 + 0.091425) < 3e-3,
+          "wK=%s C=%.0f kxy=%.5f (x64: [1.03038, 2.06962], +1, -0.09142;"
+          " signs re-pinned by the round-5 HP-frame fix)"
           % (np.round(w47, 4), c47, k47))
 
     # 48. BdG superconductivity (f32): Kitaev Majorana number via the
@@ -935,6 +936,136 @@ def main():
                abs(r57 - 0.25))
     check("many-body twist topology f32", dv57 < 5e-3,
           "max dev %.1e (x64: C=-1, phase=-pi, P=1/4)" % dv57)
+
+    # 58. dynamical spin structure factor (f32): FM honeycomb + DM
+    # mode weights (coherence factors) + AFM Bogoliubov tan(ka/2)
+    # trace, vs x64 pins (signs/labels pinned by the exact one-flip
+    # oracle tier in tests/test_magnon_sf.py)
+    sm58 = magnon.spin_model(lat47, [[1 / 3, 1 / 3], [2 / 3, 2 / 3]],
+                             spin=0.5)
+    for (i58, j58, R58) in [(0, 1, [0, 0]), (1, 0, [1, 0]),
+                            (1, 0, [0, 1])]:
+        sm58.set_coupling(-1.0, i58, j58, R58)
+    for dR in ((1, 0), (-1, 1), (0, -1)):
+        sm58.set_coupling(np.zeros((3, 3)), 0, 0, dR, dm=[0, 0, 0.1])
+        sm58.set_coupling(np.zeros((3, 3)), 1, 1, dR, dm=[0, 0, -0.1])
+    sm58.set_field([0, 0, 0.02])
+    w58, S58 = magnon.structure_factor(
+        sm58, np.array([[0.2, 0.1], [1 / 3, 2 / 3]]))
+    tr58 = np.real(np.einsum("qnaa->qn", S58))
+    afm58 = magnon.spin_model([[1.0]], [[0.0], [0.5]], spin=0.5)
+    afm58.set_coupling(1.0, 0, 1, [0])
+    afm58.set_coupling(1.0, 1, 0, [1])
+    afm58.set_moments([[0, 0, 1], [0, 0, -1]])
+    _, Sa58 = magnon.structure_factor(afm58, np.array([[0.3]]),
+                                      shift=1e-7)
+    ta58 = float(np.real(np.einsum("naa->n", Sa58[0])).sum())
+    dv58 = max(
+        float(np.abs(w58 - [[0.21079, 2.82921],
+                            [1.260192, 1.779808]]).max()),
+        float(np.abs(tr58 - [[0.999926, 7.4e-05], [0.5, 0.5]]).max()),
+        abs(ta58 - 0.5095254),
+    )
+    check("spin structure factor f32", dv58 < 5e-3,
+          "max dev %.1e (x64: acoustic-dominant weights, K-split "
+          "0.5/0.5, AFM tan(ka/2)=0.50953)" % dv58)
+
+    # 59. Fermi-surface tools + Edelstein (f32): triangle DOS,
+    # marching-orbit area, cyclotron mass, Rashba alpha_yx vs x64 pins
+    from pythtb_tpu import boltzmann as _bz, fermisurface as _fs
+
+    # DOS probes sit AWAY from the E = 1.0 van Hove saddle: |grad E|
+    # -> 0 there makes the analytic simplex DOS legitimately
+    # f32-sensitive (measured 2% on chip vs 2e-7 at regular energies)
+    g59 = ptt.models.graphene(t=-1.0)
+    d59 = _fs.dos_linear(g59, np.array([0.3, 1.4]), nk=256)
+    sq59 = ptt.tb_model(2, 2, np.eye(2), [[0.0, 0.0]])
+    sq59.set_hop(-1.0, 0, 0, [1, 0])
+    sq59.set_hop(-1.0, 0, 0, [0, 1])
+    A59 = _fs.orbit_areas(sq59, -3.2, 0, nk=301)
+    m59 = _fs.cyclotron_mass(sq59, -3.8, 0, nk=301)
+    sy59 = np.array([[0, -1j], [1j, 0]]) / 2
+    sx59 = np.array([[0, 1], [1, 0]], dtype=complex) / 2
+    ra59 = ptt.tb_model(2, 2, np.eye(2), [[0.0, 0.0]], nspin=2)
+    ra59.set_hop(-1.0 * np.eye(2) - 1j * 0.6 * sy59, 0, 0, [1, 0])
+    ra59.set_hop(-1.0 * np.eye(2) + 1j * 0.6 * sx59, 0, 0, [0, 1])
+    al59 = _bz.edelstein(ra59, [-2.5], 0.05, 128)[0]
+    dv59 = max(
+        float(np.abs(d59 - [0.11369267, 0.42951866]).max()),
+        abs(float(A59[0]) - 2.65025338),
+        abs(float(m59) - 0.51293378),
+        abs(float(al59[1, 0]) - 0.02326588),
+        abs(float(al59[0, 1] + al59[1, 0])),
+    )
+    check("fermi surface / Edelstein f32", dv59 < 5e-3,
+          "max dev %.1e (x64: dos [0.11369, 0.42952], A 2.65025, "
+          "m* 0.51293, alpha_yx 0.0232659)" % dv59)
+
+    # 60. quasicrystal + real-space topology (f32): Penrose field-
+    # induced Chern insulator (tile-share-normalized marker), exact
+    # Aubry duality on the Fibonacci ring, and the Prodan spin Chern
+    # marker on a Kane-Mele flake, vs x64 pins.  The markers exercise
+    # the eigensolver="auto" host-f64-eigh path: the chip's own f32
+    # eigh deviated 0.181 on this exact Penrose+flux spectrum while
+    # its assembly was exact to 4e-8 (measured 2026-08-20), so on f32
+    # backends the occupied states come from the host and only the
+    # position contractions run on device
+    from pythtb_tpu.models import quasicrystal as _qc
+    from pythtb_tpu import magnetic as _mg, realspace as _rs
+
+    m60, til60 = _qc.penrose(9.0, return_tiling=True)
+    pos60 = til60["verts"]
+    owned60 = _qc.vertex_areas(til60)
+    r60 = np.linalg.norm(pos60, axis=1)
+    mb60 = _mg.peierls_model(m60, 0.1, dirs=(0, 1))
+    c60 = _rs.chern_marker(mb60, nocc=29)
+    C60 = float(c60[r60 < 4.5].sum() / owned60[r60 < 4.5].sum())
+    ea60 = np.sort(_qc.aubry_andre(89, 1.3, t=1.0).solve_all())
+    eb60 = np.sort(_qc.aubry_andre(89, 4.0 / 1.3, t=1.0).solve_all())
+    dual60 = float(np.abs(ea60 - (1.3 / 2.0) * eb60).max())
+    fl60 = ptt.models.kane_mele(rashba=0.25).cut_piece(10, 0).cut_piece(10, 1)
+    out60 = _rs.spin_chern_marker(fl60, nocc=fl60._norb * fl60._nspin // 2)
+    pp60 = np.asarray(fl60._orb, float) @ np.asarray(fl60._lat, float)
+    rr60 = np.linalg.norm(pp60 - pp60.mean(axis=0), axis=1)
+    cp60 = 2.0 * float(out60["c_plus"][rr60 < 0.3 * rr60.max()].mean())
+    check("quasicrystal + real-space QSH f32",
+          abs(C60 - 0.950915) < 0.03 and dual60 < 1e-3
+          and abs(cp60 + 0.914036) < 0.03
+          and abs(out60["gap"] - 1.775511) < 5e-3,
+          "Penrose C=%.4f (x64 0.9509) dual=%.1e KM c+=%.4f "
+          "(x64 -0.9140) gap=%.4f" % (C60, dual60, cp60, out60["gap"]))
+
+    # 61. localization (f32): transfer-matrix Lyapunov exponents --
+    # clean-chain arccosh values, the Aubry-Andre exact gamma =
+    # ln(lam/2) at a spectrum energy, and a disordered 4-leg strip
+    # (largest exponent + localization length) vs x64 pins with the
+    # same PRNG draws (threefry is backend-deterministic)
+    from pythtb_tpu import localization as _loc
+
+    ch61 = ptt.tb_model(1, 1, [[1.0]], [[0.0]])
+    ch61.set_hop(-1.0, 0, 0, [1])
+    ly61 = _loc.lyapunov_spectrum(ch61, [2.5, 3.5], 40000)
+    beta61 = (np.sqrt(5) - 1) / 2
+    pot61 = 3.0 * np.cos(2 * np.pi * beta61 * np.arange(40000) + 0.3)
+    aa61 = _loc.lyapunov_spectrum(ch61, [0.0049479317], 40000,
+                                  potential=pot61)
+    sq61 = ptt.tb_model(2, 2, np.eye(2), [[0.0, 0.0]])
+    sq61.set_hop(-1.0, 0, 0, [1, 0])
+    sq61.set_hop(-1.0, 0, 0, [0, 1])
+    st61 = sq61.cut_piece(4, 1)
+    lys61 = _loc.lyapunov_spectrum(st61, [1.2], 30000, disorder=1.0,
+                                   seed=5)
+    xi61 = 1.0 / lys61[0, 0, 3]
+    dv61 = max(
+        float(np.abs(ly61[0, :, 0] - [0.69315716, 1.15881413]).max()),
+        abs(float(aa61[0, 0, 0]) - 0.40555643),
+        abs(float(lys61[0, 0, 0]) - 0.87305737),
+    )
+    check("localization Lyapunov f32",
+          dv61 < 3e-3 and abs(xi61 - 135.160) / 135.160 < 0.2,
+          "max dev %.1e xi=%.1f (x64: chain [0.693157, 1.158814], "
+          "AA 0.405556=ln1.5, strip gmax 0.873057, xi 135.2)"
+          % (dv61, xi61))
 
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
