@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "solve_window", "wilson_window", "chern_window", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "solve_window", "wilson_window", "chern_window", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases", "find_nodes"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -1518,6 +1518,154 @@ def spin_hall_conductivity(model, occ, nk=(101, 101)):
         _spin_hall_jit(static, data, nk, occ, jnp.asarray(lat))
     )
     return float(out)
+
+
+@partial(jax.jit, static_argnames=("static", "nk", "band"))
+def _node_gap_grid_jit(static, data, nk, band):
+    """Direct gap e_{band+1} - e_band on a uniform reduced-coordinate
+    grid (device iota; only the program, not the grid, crosses the
+    tunnel).  Returns the (nk_1, ..., nk_d) gap array."""
+    from .ops.hamiltonian import assemble as _assemble
+
+    kpts = device_uniform_grid(nk, (0.0,) * len(nk))
+    w = jnp.linalg.eigvalsh(_assemble(static, data, kpts))
+    return (w[:, band + 1] - w[:, band]).reshape(nk)
+
+
+@partial(jax.jit, static_argnames=("static", "band", "steps"))
+def _node_refine_jit(static, data, k0, band, steps, step0, decay):
+    """Batched normalized-gradient descent on the direct gap.
+
+    The gap at a conical (Dirac/Weyl) touching is non-smooth --
+    g(k) ~ |v.(k - k*)| -- so curvature-based methods are useless but
+    normalized descent with a geometrically decaying step converges
+    linearly: step_i = step0 * decay^i traces a net distance bounded by
+    step0/(1-decay) while the decay floor sets the final resolution.
+    Gap gradient by Hellmann-Feynman from the analytic dH/dk
+    (ops/hamiltonian.assemble_dk): d(gap)/dk_a =
+    <u_{b+1}|dH_a|u_{b+1}> - <u_b|dH_a|u_b>.  One lax.scan, the whole
+    candidate batch per step."""
+    from .ops.hamiltonian import assemble as _assemble
+    from .ops.hamiltonian import assemble_dk as _assemble_dk
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(k, i):
+        w, v = eigh_batched(_assemble(static, data, k))
+        dH = _assemble_dk(static, data, k)  # (B, dim, nsta, nsta)
+        vn = v[:, :, band]
+        vm = v[:, :, band + 1]
+        gm = jnp.real(jnp.einsum("bn,banm,bm->ba", jnp.conj(vm), dH, vm,
+                                 precision=hp))
+        gn = jnp.real(jnp.einsum("bn,banm,bm->ba", jnp.conj(vn), dH, vn,
+                                 precision=hp))
+        g = gm - gn  # (B, dim) gradient of the gap
+        norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        step = step0 * decay ** i
+        k_new = k - step * g / jnp.where(norm > 1e-30, norm, 1.0)
+        gap = w[:, band + 1] - w[:, band]
+        return k_new, gap
+
+    k_fin, gaps = jax.lax.scan(body, k0, jnp.arange(steps))
+    # one last exact gap at the final points
+    w = jnp.linalg.eigvalsh(_assemble(static, data, k_fin))
+    return k_fin, w[:, band + 1] - w[:, band], w[:, band]
+
+
+def find_nodes(model, band=None, nk=24, gap_tol=1e-5, steps=120,
+               merge_tol=1e-3, return_energies=False):
+    """Locate band-touching points (Dirac/Weyl nodes, band crossings)
+    between band ``band`` and ``band + 1`` anywhere in the BZ.
+
+    Two stages, both single compiled programs: (1) the direct gap on a
+    coarse uniform ``nk^dim_k`` grid; every axis-aligned local minimum
+    (periodic neighbor comparison on host) seeds a candidate; (2) all
+    candidates refine together by normalized Hellmann-Feynman gradient
+    descent with a geometrically decaying step (conical minima are
+    non-smooth, see ``_node_refine_jit``).  Refined points are wrapped
+    to [0, 1), merged within ``merge_tol`` (minimum-image metric in
+    reduced coordinates), and filtered to ``gap < gap_tol``.
+
+    Nodal LINES (not isolated points) show up as chains of merged
+    points along the line -- raise ``nk`` to trace them.  No reference
+    counterpart (the reference locates crossings by eye from band
+    plots).
+
+    :param band: lower band index of the pair (default ``nsta//2 - 1``,
+        the half-filling gap)
+    :param nk: scan grid per periodic direction (int or per-axis tuple)
+    :param gap_tol: keep refined points with direct gap below this
+    :param steps: refinement iterations (final resolution ~
+        ``h * (1e-7/h)^(steps/steps)`` -- the decay is sized so the
+        last step is ~1e-7 in reduced coordinates)
+    :param merge_tol: duplicate-merge radius in reduced coordinates
+    :param return_energies: also return the band-``band`` energy at
+        each node
+    :returns: ``(kpts (M, dim_k), gaps (M,))`` sorted by gap, plus
+        ``energies (M,)`` if requested.  Empty arrays when the pair is
+        gapped everywhere on the scan scale.
+    """
+    static, data = model._get_finalized()
+    dim = static.dim_k
+    if dim < 1:
+        raise ValueError("find_nodes requires at least one periodic direction")
+    if band is None:
+        band = static.nsta // 2 - 1
+    band = int(band)
+    if not (0 <= band < static.nsta - 1):
+        raise ValueError("band must satisfy 0 <= band < nsta - 1")
+    nk = tuple(int(x) for x in np.atleast_1d(nk))
+    if len(nk) == 1:
+        nk = nk * dim
+    if len(nk) != dim or any(n < 3 for n in nk):
+        raise ValueError("nk must give >= 3 points per periodic direction")
+
+    gaps = np.asarray(jax.device_get(_node_gap_grid_jit(static, data, nk, band)))
+    # axis-aligned periodic local minima
+    is_min = np.ones(nk, dtype=bool)
+    for ax in range(dim):
+        is_min &= gaps <= np.roll(gaps, 1, axis=ax)
+        is_min &= gaps <= np.roll(gaps, -1, axis=ax)
+    idx = np.argwhere(is_min)
+    ftype = np.float64 if config.float_dtype() == jnp.float64 else np.float32
+    if idx.size == 0:
+        empty = (np.zeros((0, dim), ftype), np.zeros((0,), ftype))
+        return empty + (np.zeros((0,), ftype),) if return_energies else empty
+    k0 = idx.astype(np.float64) / np.asarray(nk, np.float64)
+
+    h = float(max(1.0 / n for n in nk))
+    decay = float((1e-7 / h) ** (1.0 / max(steps, 1)))
+    k_fin, g_fin, e_fin = jax.device_get(_node_refine_jit(
+        static, data, jnp.asarray(k0, config.float_dtype()), band,
+        int(steps), h, decay))
+    k_fin = np.asarray(k_fin, np.float64) % 1.0
+    g_fin = np.asarray(g_fin, np.float64)
+    e_fin = np.asarray(e_fin, np.float64)
+
+    keep = g_fin < float(gap_tol)
+    k_fin, g_fin, e_fin = k_fin[keep], g_fin[keep], e_fin[keep]
+    # merge duplicates (minimum-image in reduced coordinates), keeping
+    # the smallest-gap representative of each cluster
+    order = np.argsort(g_fin, kind="stable")
+    sel_k, sel_g, sel_e = [], [], []
+    for i in order:
+        dup = False
+        for kk in sel_k:
+            d = k_fin[i] - kk
+            d -= np.round(d)
+            if np.linalg.norm(d) < merge_tol:
+                dup = True
+                break
+        if not dup:
+            sel_k.append(k_fin[i])
+            sel_g.append(g_fin[i])
+            sel_e.append(e_fin[i])
+    kpts = np.asarray(sel_k, np.float64).reshape(-1, dim)
+    gsel = np.asarray(sel_g, np.float64)
+    esel = np.asarray(sel_e, np.float64)
+    if return_energies:
+        return kpts, gsel, esel
+    return kpts, gsel
 
 
 def anomalous_nernst(model, mu, temperature, nk=(101, 101),
