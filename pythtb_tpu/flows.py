@@ -29,7 +29,7 @@ from .ops.eigh import eigh_batched
 from .ops.hamiltonian import assemble
 from .parallel import mesh as pmesh
 
-__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "solve_window", "wilson_window", "chern_window", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases", "find_nodes"]
+__all__ = ["berry_flux_grid", "chern_number", "chern_fn", "z2_fn", "z2_invariant", "density_of_states", "projected_dos", "energy_fn", "band_velocities", "solve_lowest", "solve_window", "wilson_window", "chern_window", "kpm_dos", "wilson_flow", "anomalous_hall", "anomalous_nernst", "thermal_hall", "berry_dipole", "spin_hall_conductivity", "quadrupole", "spin_chern", "sector_chern", "valley_chern", "orbital_magnetization", "second_chern", "axion_theta", "parity_z2", "parity_polarization", "polarization", "spin_texture", "gauge_phases", "find_nodes", "node_chirality"]
 
 
 def gauge_phases(model, dims, flatten=True):
@@ -1553,8 +1553,9 @@ def _node_refine_jit(static, data, k0, band, steps, step0, decay):
     def body(k, i):
         w, v = eigh_batched(_assemble(static, data, k))
         dH = _assemble_dk(static, data, k)  # (B, dim, nsta, nsta)
-        vn = v[:, :, band]
-        vm = v[:, :, band + 1]
+        # eigh_batched returns ROW eigenvectors: v[b, s, :] is state s
+        vn = v[:, band, :]
+        vm = v[:, band + 1, :]
         gm = jnp.real(jnp.einsum("bn,banm,bm->ba", jnp.conj(vm), dH, vm,
                                  precision=hp))
         gn = jnp.real(jnp.einsum("bn,banm,bm->ba", jnp.conj(vn), dH, vn,
@@ -1666,6 +1667,97 @@ def find_nodes(model, band=None, nk=24, gap_tol=1e-5, steps=120,
     if return_energies:
         return kpts, gsel, esel
     return kpts, gsel
+
+
+@partial(jax.jit, static_argnames=("static", "nf", "band"))
+def _node_chirality_jit(static, data, k0, band, radius, nf):
+    """Total Berry flux of bands 0..band through the 6 faces of a cube
+    of half-width ``radius`` centered at ``k0`` (reduced coordinates),
+    in units of 2 pi.  Face grids are oriented so that each face's
+    (axis0, axis1) pair is right-handed with the OUTWARD normal
+    (ey x ez = +ex etc.), making the result the enclosed monopole
+    charge in the same orientation convention as the package's slice
+    Chern numbers: C(k_z just above a node) - C(just below) = chi.
+    One program: all 6 faces assembled and diagonalized in a single
+    batch; plaquette phases are gauge-invariant per plaquette so
+    per-face eigh gauges never matter.  Also returns the minimum
+    direct gap on the cube surface (a vanishing surface gap means the
+    cube clips another node -- the charge is then ill-defined)."""
+    from .ops.hamiltonian import assemble as _assemble
+
+    ftype = config.float_dtype()
+    offs = (jax.lax.iota(ftype, nf) / (nf - 1.0) * 2.0 - 1.0) * radius
+
+    def face(d, s, a, b):
+        U, V = jnp.meshgrid(offs, offs, indexing="ij")
+        k = jnp.broadcast_to(k0, (nf, nf, 3)).astype(ftype)
+        k = k.at[..., d].add(s * radius)
+        k = k.at[..., a].add(U)
+        k = k.at[..., b].add(V)
+        return k
+
+    faces = jnp.stack([
+        face(0, +1.0, 1, 2), face(0, -1.0, 2, 1),
+        face(1, +1.0, 2, 0), face(1, -1.0, 0, 2),
+        face(2, +1.0, 0, 1), face(2, -1.0, 1, 0),
+    ])  # (6, nf, nf, 3)
+    w, v = eigh_batched(_assemble(static, data, faces.reshape(-1, 3)))
+    # eigh_batched returns ROW eigenvectors: v[b, s, :] is state s
+    states = v[:, : band + 1, :].reshape(6, nf, nf, band + 1, static.nsta)
+    ph = plaquette_phases(states)
+    surf_gap = jnp.min(w[:, band + 1] - w[:, band])
+    return jnp.sum(ph) / (2.0 * np.pi), surf_gap, jnp.max(jnp.abs(ph))
+
+
+def node_chirality(model, k0, band=None, radius=0.02, nf=10):
+    """Topological charge (chirality) of a 3-D band-touching point:
+    the Chern number of bands ``0..band`` over a small closed cube
+    enclosing the node at reduced coordinates ``k0``.
+
+    Orientation is pinned to the package slice-Chern convention by
+    Gauss's law: ``chern_fn`` of the (k_x, k_y) slice just above the
+    node minus the slice just below equals the returned charge (+-1
+    for a simple Weyl node; the two members of a TRS-breaking pair sum
+    to zero).  Combine with :func:`find_nodes` to classify every node
+    in the BZ.  No reference counterpart.
+
+    :param k0: node position, reduced coordinates (from ``find_nodes``)
+    :param band: lower band of the touching pair (default
+        ``nsta//2 - 1``)
+    :param radius: cube half-width in reduced coordinates -- must
+        enclose ONLY this node; the surface gap is checked and a
+        warning raised when another touching sits on/inside the cube
+    :param nf: face grid points per edge
+    :returns: integer charge
+    """
+    import warnings
+
+    static, data = model._get_finalized()
+    if static.dim_k != 3:
+        raise ValueError("node_chirality requires a 3-D periodic model")
+    if band is None:
+        band = static.nsta // 2 - 1
+    band = int(band)
+    if not (0 <= band < static.nsta - 1):
+        raise ValueError("band must satisfy 0 <= band < nsta - 1")
+    k0 = np.asarray(k0, np.float64).reshape(3)
+    chi, surf_gap, max_ph = jax.device_get(_node_chirality_jit(
+        static, data, jnp.asarray(k0, config.float_dtype()), band,
+        float(radius), int(nf)))
+    chi = float(chi)
+    if float(max_ph) > 0.5 * np.pi:
+        warnings.warn(
+            "node_chirality: a surface plaquette carries %.2f rad of "
+            "flux (band-pair surface gap %.2e) -- another touching "
+            "sits on or near the cube; shrink radius, re-center, or "
+            "raise nf.  The charge is unreliable."
+            % (float(max_ph), float(surf_gap)))
+    out = int(round(chi))
+    if abs(chi - out) > 0.05:
+        warnings.warn(
+            "node_chirality: non-integer total flux %.4f (unresolved "
+            "curvature -- raise nf or shrink radius)" % chi)
+    return out
 
 
 def anomalous_nernst(model, mu, temperature, nk=(101, 101),

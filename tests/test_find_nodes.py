@@ -107,3 +107,42 @@ def test_refinement_beats_grid_resolution():
     assert best < 1e-6
     # and the gap at the refined point reflects that accuracy
     assert np.min(gaps) < 1e-5
+
+
+def test_weyl_chirality_signs_vs_slice_chern():
+    """Gauss-law sign oracle: the cube charge of each Weyl node equals
+    the package's own slice-Chern difference across it.  For the zoo
+    model the kz ~ 1/2 slices carry C = -1 and the outer slices 0, so
+    chi(0,0,1/4) = -1 and chi(0,0,3/4) = +1; the pair sums to zero."""
+    m = models.weyl()
+    chi_lo = flows.node_chirality(m, [0.0, 0.0, 0.25], band=0)
+    chi_hi = flows.node_chirality(m, [0.0, 0.0, 0.75], band=0)
+    def slice_chern(kz):
+        return flows.chern_number(m.reduce_dim(2, kz), occ=[0],
+                                  nk=(21, 21))
+    c_below = slice_chern(0.15)
+    c_mid = slice_chern(0.5)
+    c_above = slice_chern(0.85)
+    assert chi_lo == int(round(float(c_mid - c_below)))
+    assert chi_hi == int(round(float(c_above - c_mid)))
+    assert chi_lo == -1 and chi_hi == 1
+
+
+def test_chirality_pipeline_with_find_nodes():
+    """find_nodes -> node_chirality composes: both charges, net zero."""
+    m = models.weyl()
+    kpts, _ = flows.find_nodes(m, band=0, nk=12, gap_tol=1e-4)
+    chis = [flows.node_chirality(m, k, band=0) for k in kpts]
+    assert sorted(chis) == [-1, 1]
+
+
+def test_chirality_surface_clip_warns():
+    """A cube so large it clips the partner node must warn."""
+    m = models.weyl()
+    with pytest.warns(UserWarning):
+        flows.node_chirality(m, [0.0, 0.0, 0.25], band=0, radius=0.5)
+
+
+def test_chirality_requires_3d():
+    with pytest.raises(Exception):
+        flows.node_chirality(_graphene(), [1.0 / 3.0, 2.0 / 3.0], band=0)
