@@ -969,6 +969,32 @@ def run_suite(start_after=None, start_from=None, only=None):
                "(16x16 blocks, QR/8), one scan program; clean-strip "
                "analytic dev %.1e" % dev50)
 
+    @row("weyl_node_search_40cube")
+    def _r51():
+        import pythtb_tpu.models as zoo51
+
+        wy51 = zoo51.weyl()
+
+        def _pipeline():
+            kpts, gaps = flows.find_nodes(wy51, band=0, nk=40,
+                                          gap_tol=0.05)
+            chis = [flows.node_chirality(wy51, k, band=0)
+                    for k in kpts]
+            return kpts, gaps, chis
+
+        wall, (kn51, _gn51, ch51) = _timed(_pipeline, n=2)
+        tg51 = [np.array([0.0, 0.0, 0.25]), np.array([0.0, 0.0, 0.75])]
+        dev51 = 1e9
+        if kn51.shape[0] == 2:
+            dev51 = max(
+                min(np.linalg.norm((k - t) - np.round(k - t))
+                    for t in tg51) for k in kn51)
+        report("weyl_node_search_40cube", None, wall,
+               kn51.shape[0] == 2 and dev51 < 2e-3
+               and sorted(ch51) == [-1, 1],
+               "64k-point gap scan + HF descent + 2 cube charges; "
+               "node dev %.1e, charges %s" % (dev51, sorted(ch51)))
+
     # ---- selection + guarded execution ---------------------------------
     names = [n for n, _ in ROWS]
     todo = list(ROWS)

@@ -1067,6 +1067,30 @@ def main():
           "AA 0.405556=ln1.5, strip gmax 0.873057, xi 135.2)"
           % (dv61, xi61))
 
+    # 62. node finder + chirality (f32): graphene Dirac points located
+    # to <2e-3 reduced coords (f32 refinement floor); Weyl pair charges
+    # +-1 by closed-cube flux, signs per the slice-Chern convention
+    # (kz=1/4 node carries -1 for the zoo model)
+    import pythtb_tpu.models as models62
+    gr62 = models62.graphene()
+    kn62, gn62 = flows.find_nodes(gr62, band=0, nk=18, gap_tol=0.05)
+    dev62 = 1e9
+    if kn62.shape[0] == 2:
+        tg62 = [np.array([1 / 3, 2 / 3]), np.array([2 / 3, 1 / 3])]
+        dev62 = max(
+            min(np.linalg.norm((k - t) - np.round(k - t)) for t in tg62)
+            for k in kn62)
+    wy62 = models62.weyl()
+    kw62, _ = flows.find_nodes(wy62, band=0, nk=12, gap_tol=0.05)
+    chis62 = sorted(flows.node_chirality(wy62, k, band=0) for k in kw62)
+    lo62 = [flows.node_chirality(wy62, k, band=0) for k in kw62
+            if abs(k[2] - 0.25) < 0.1]
+    check("node finder + chirality f32",
+          kn62.shape[0] == 2 and dev62 < 2e-3 and chis62 == [-1, 1]
+          and lo62 == [-1],
+          "graphene dev %.1e, weyl charges %s (x64: 1e-7, [-1, +1], "
+          "kz=1/4 node = -1)" % (dev62, chis62))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
