@@ -1520,14 +1520,18 @@ def spin_hall_conductivity(model, occ, nk=(101, 101)):
     return float(out)
 
 
-@partial(jax.jit, static_argnames=("static", "nk", "band"))
-def _node_gap_grid_jit(static, data, nk, band):
+@partial(jax.jit, static_argnames=("static", "nk", "band", "mesh"))
+def _node_gap_grid_jit(static, data, nk, band, mesh=None):
     """Direct gap e_{band+1} - e_band on a uniform reduced-coordinate
     grid (device iota; only the program, not the grid, crosses the
-    tunnel).  Returns the (nk_1, ..., nk_d) gap array."""
+    tunnel).  Returns the (nk_1, ..., nk_d) gap array.  Under a mesh
+    the flattened k batch carries a GSPMD sharding annotation."""
     from .ops.hamiltonian import assemble as _assemble
+    from .ops.solver import shard_grid_axis0
 
     kpts = device_uniform_grid(nk, (0.0,) * len(nk))
+    if mesh is not None:
+        kpts = shard_grid_axis0(kpts, mesh)
     w = jnp.linalg.eigvalsh(_assemble(static, data, kpts))
     return (w[:, band + 1] - w[:, band]).reshape(nk)
 
@@ -1621,7 +1625,8 @@ def find_nodes(model, band=None, nk=24, gap_tol=1e-5, steps=120,
     if len(nk) != dim or any(n < 3 for n in nk):
         raise ValueError("nk must give >= 3 points per periodic direction")
 
-    gaps = np.asarray(jax.device_get(_node_gap_grid_jit(static, data, nk, band)))
+    gaps = np.asarray(jax.device_get(_node_gap_grid_jit(
+        static, data, nk, band, mesh=pmesh.current_mesh())))
     # axis-aligned periodic local minima
     is_min = np.ones(nk, dtype=bool)
     for ax in range(dim):

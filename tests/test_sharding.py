@@ -470,3 +470,19 @@ def test_lyapunov_sharded_matches(mesh8):
         sharded = loc.lyapunov_spectrum(ch, Es, 2000, disorder=0.8,
                                         seed=2)
     np.testing.assert_allclose(base, sharded, atol=1e-12)
+
+
+def test_find_nodes_sharded_matches(mesh8):
+    """The node-finder gap scan shards over the k batch; the located
+    nodes are identical with and without the mesh (18x18 scan: 324
+    points, not divisible by 8 -> GSPMD padding)."""
+    from pythtb_tpu import flows
+    from pythtb_tpu import models
+
+    m = models.graphene()
+    k0, g0 = flows.find_nodes(m, band=0, nk=18, gap_tol=1e-4)
+    with use_mesh(mesh8):
+        k1, g1 = flows.find_nodes(m, band=0, nk=18, gap_tol=1e-4)
+    assert k0.shape == k1.shape == (2, 2)
+    np.testing.assert_allclose(k0, k1, atol=1e-10)
+    np.testing.assert_allclose(g0, g1, atol=1e-10)
