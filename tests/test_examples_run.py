@@ -25,7 +25,7 @@ SLOW = ["kane_mele", "haldane_hwf", "3site_cycle_fin", "cubic_slab_hwf", "chern_
 "boltzmann_transport", "phonon_bands", "symmetry_indicators",
 "dmft_mott", "eph_linewidths", "excitons_bn", "dmft_arpes",
 "many_body_chern", "hall_bar", "neutron_spectra",
-"fermi_surface_tools", "quasicrystal", "localization"]
+"fermi_surface_tools", "quasicrystal", "localization", "weyl_nodes"]
 W90 = ["w90", "w90_quick"]
 
 
