@@ -60,7 +60,7 @@ from .model import PythtbError
 from .parallel import mesh as pmesh
 
 __all__ = ["transport_coefficients", "transport_distribution",
-           "edelstein"]
+           "edelstein", "magnetotransport"]
 
 _DEG_TOL = 1e-7
 
@@ -365,3 +365,190 @@ def edelstein(model, mus, temperature, nk, tau=1.0):
     vol = abs(np.linalg.det(lat))
     q = -1.0
     return q * float(tau) * K / vol
+
+
+def _chambers_orbit(v, dt, tau):
+    """One periodic orbit's contribution ``oint dt v_a(t) J_b(t)`` to
+    the Chambers tensor, with ``J(t) = integral_0^inf e^{-s/tau}
+    v(t - s) ds`` solved by an EXACT exponential integrator on the
+    native (non-uniform) orbit time grid: on each segment ``v`` is
+    linear in t, so ``J_{i+1} = E_i J_i + A_i v_i + C_i v_{i+1}`` in
+    closed form (E = e^{-dt/tau}); the periodic fixed point comes from
+    one pass (J_N = P J_0 + b -> J_0 = b / (1 - P)).  Exact in BOTH
+    limits: dt >> tau reduces to J = tau v (Drude), dt << tau to the
+    continuum orbit average -- no resampling resolution to tune.
+
+    v: (m, 2) velocities at the orbit nodes in traversal order;
+    dt: (m,) time from node i to node i+1 (wrapping at m-1).
+    """
+    m = v.shape[0]
+    x = dt / tau
+    one_m_E = -np.expm1(-x)            # 1 - e^{-dt/tau}, no cancellation
+    E = 1.0 - one_m_E
+    # segment integral  int_0^dt e^{-(dt-u)/tau} v(u) du  with v linear:
+    #   A v_i + C v_{i+1}
+    C = tau - tau * tau * one_m_E / dt
+    A = tau * one_m_E - C
+    Jp = np.zeros(2)
+    P = 1.0
+    b = np.zeros(2)
+    vn = np.roll(v, -1, axis=0)
+    # one period: J_N = P J_0 + b
+    for i in range(m):
+        b = E[i] * b + A[i] * v[i] + C[i] * vn[i]
+        P *= E[i]
+    J0 = b / max(1.0 - P, 1e-300)
+    # second pass: accumulate the trapezoid quadrature of v_a J_b
+    out = np.zeros((2, 2))
+    J = J0
+    for i in range(m):
+        Jn = E[i] * J + A[i] * v[i] + C[i] * vn[i]
+        out += 0.5 * dt[i] * (np.outer(v[i], J) + np.outer(vn[i], Jn))
+        J = Jn
+    return out
+
+
+def magnetotransport(model, ef, bfields, tau=1.0, nk=301, bands=None):
+    """Finite-field RTA conductivity tensor ``sigma_ab(B)`` of a 2-D
+    metal by the Chambers path-integral solution of the Boltzmann
+    equation (T = 0, B along z, hbar = 1, q = -1):
+
+    ``sigma_ab(B) = spin q^2 / (2 pi)^2 sum_orbits oint (dl/|v|)
+        v_a(k) integral_0^inf ds e^{-s/tau} v_b(k(-s))``
+
+    where ``k(t)`` follows the semiclassical orbit ``dk/dt =
+    q v x B`` -- i.e. the iso-energy contour itself, traversed at
+    speed ``|B||v|``.  The Fermi surface comes from the marching-
+    squares engine (:func:`pythtb_tpu.fermisurface.fermi_surface`),
+    CLOSED and OPEN (zone-traversing) orbits both: an open orbit is
+    periodic in the extended zone (velocities repeat after one
+    winding), so the memory integral folds into one period either way
+    (periodic fixed point of the segment recurrence).  The memory
+    integral is solved by an exact exponential integrator on the
+    native orbit time grid (see :func:`_chambers_orbit`) -- no
+    resampling resolution to tune, exact in both the ``dt >> tau``
+    (Drude) and ``dt << tau`` (continuum) limits.
+
+    Physics this reproduces (all committed oracles,
+    ``tests/test_magnetotransport.py``):
+
+    * Drude collapse for a closed near-circular pocket:
+      ``sigma_xx = sigma_0 / (1 + (w_c tau)^2)``,
+      ``sigma_xy = -sign(q B) ... w_c tau``-scaled, with
+      ``w_c = |B| / m*`` the cyclotron frequency from
+      :func:`pythtb_tpu.fermisurface.cyclotron_mass`;
+    * ``B -> 0``: ``sigma`` matches :func:`transport_coefficients`
+      at low T, and ``d sigma_xy / dB`` matches its low-field
+      ``sigma_hall`` -- two completely independent formulations
+      (orbit memory integral vs inverse-mass-tensor grid sum);
+    * ``B -> inf`` with only closed orbits: ``sigma_xy -> q n / B``
+      (tau-independent), ``sigma_xx ~ 1/B^2``;
+    * open orbits: the longitudinal conductivity along the open
+      direction saturates instead of vanishing -- the classic
+      open-orbit magnetoresistance signature.
+
+    :param model: fully periodic 2-D :class:`tb_model`
+    :param ef: Fermi energy (T = 0 contour level)
+    :param bfields: magnetic fields B_z (scalar or 1-D array; sign
+        respected)
+    :param tau: relaxation time
+    :param nk: marching-squares grid resolution
+    :param bands: band indices to include (default: all bands crossing
+        ``ef``)
+    :returns: dict with ``Bs`` (nB,), ``sigma`` (nB, 2, 2) in the same
+        e^2 units as :func:`transport_coefficients`, and ``orbits``
+        (count of (closed, open) contours used)
+    """
+    from .fermisurface import fermi_surface, fermi_velocity
+
+    static, data, lat, _ = _prep(model, "magnetotransport")
+    if static.dim_k != 2:
+        raise PythtbError("magnetotransport: dim_k == 2 required")
+    tau = float(tau)
+    if tau <= 0:
+        raise PythtbError("tau must be positive")
+    Bs = np.atleast_1d(np.asarray(bfields, dtype=float))
+    if np.any(Bs == 0.0):
+        raise PythtbError(
+            "magnetotransport: B = 0 is singular in the orbit "
+            "parametrization; use transport_coefficients for the "
+            "zero-field tensor (the B -> 0 limit is smooth)")
+    G = 2.0 * np.pi * np.linalg.inv(np.asarray(lat, dtype=float)).T
+
+    conts = fermi_surface(model, ef, nk=nk, bands=bands)
+    spin = 2.0 if static.nspin == 1 else 1.0
+    sigma = np.zeros((Bs.shape[0], 2, 2))
+    n_closed = n_open = 0
+    for b, lines in conts.items():
+        for pts, closed in lines:
+            if pts.shape[0] < 8:
+                continue  # marching artifact: too short to integrate
+            if closed:
+                n_closed += 1
+            else:
+                # genuinely open orbits end one winding away from the
+                # start; anything else is a truncated chain
+                W = np.round(pts[-1] - pts[0])
+                if not np.all(np.abs(pts[-1] - pts[0] - W) < 0.25) \
+                        or np.all(W == 0):
+                    warnings.warn(
+                        "magnetotransport: skipping a non-periodic "
+                        "open chain on band %d (raise nk)" % b,
+                        stacklevel=2)
+                    continue
+                n_open += 1
+                pts = pts[:-1] if np.all(
+                    np.abs(pts[-1] - W - pts[0]) < 1e-9) else pts
+            # drop zero-length segments (marching chains can emit
+            # duplicate nodes at cell corners -> dt = 0 -> NaN)
+            step = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+            keep = np.concatenate([[True], step > 1e-10])
+            pts = pts[keep]
+            if closed and np.linalg.norm(pts[-1] - pts[0]) < 1e-10:
+                pts = pts[:-1]  # explicit closing node: wrap handles it
+            if pts.shape[0] < 8:
+                continue
+            kc = pts @ G  # Cartesian contour points
+            v = fermi_velocity(model, pts % 1.0, bands=[b])[:, :, 0]
+            speed = np.linalg.norm(v, axis=1)
+            if np.any(speed < 1e-12):
+                warnings.warn(
+                    "magnetotransport: orbit touches a van Hove "
+                    "point (|v| = 0); its contribution is skipped",
+                    stacklevel=2)
+                continue
+            # segment from point i to i+1 (wrap: closed -> start;
+            # open -> start shifted by the winding vector)
+            nxt = np.roll(kc, -1, axis=0)
+            if not closed:
+                nxt[-1] = kc[0] + W @ G
+            dl = np.linalg.norm(nxt - kc, axis=1)
+            # traversal orientation for B > 0: dk/dt = q v x B with
+            # q = -1, B = +z  ->  dk/dt = (-v_y, v_x) * B
+            tang = nxt - kc
+            kdot = np.stack([-v[:, 1], v[:, 0]], axis=1)
+            orient = np.sum(np.einsum("ia,ia->i", tang, kdot))
+            if orient < 0.0:
+                # reversed point order: segment j runs q_j -> q_{j+1}
+                # = old segment m-2-j, and the wrap segment is shared
+                v = v[::-1]
+                speed = speed[::-1]
+                dl = np.roll(dl[::-1], -1)
+            # time along the orbit at |B| = 1 (scales as 1/|B|)
+            dt1 = dl / speed
+            for iB, Bz in enumerate(Bs):
+                if Bz < 0.0:
+                    # field reversal runs the same contour backwards
+                    v_s = v[::-1]
+                    dt_s = np.roll(dt1[::-1], -1) / abs(Bz)
+                else:
+                    v_s = v
+                    dt_s = dt1 / abs(Bz)
+                contrib = abs(Bz) * _chambers_orbit(v_s, dt_s, tau)
+                sigma[iB] += spin * contrib / (2.0 * np.pi) ** 2
+    if n_closed + n_open == 0:
+        warnings.warn("magnetotransport: no Fermi-surface orbit at "
+                      "ef = %g (insulator or ef outside bands); sigma "
+                      "is zero" % ef, stacklevel=2)
+    return {"Bs": Bs, "sigma": sigma, "tau": tau,
+            "orbits": (n_closed, n_open)}
