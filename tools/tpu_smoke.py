@@ -1091,6 +1091,31 @@ def main():
           "graphene dev %.1e, weyl charges %s (x64: 1e-7, [-1, +1], "
           "kz=1/4 node = -1)" % (dev62, chis62))
 
+    # 63. Chambers magnetotransport (f32 device solve + velocities,
+    # float64 host orbit integrator): square-lattice pocket sigma(B)
+    # vs x64 pins, Hall antisymmetry, and open-orbit anisotropy
+    from pythtb_tpu import boltzmann as bz63
+
+    sq63 = ptt.tb_model(2, 2, np.eye(2).tolist(), [[0.0, 0.0]])
+    sq63.set_hop(-1.0, 0, 0, [1, 0])
+    sq63.set_hop(-1.0, 0, 0, [0, 1])
+    mt63 = bz63.magnetotransport(sq63, -3.6, [0.05, 0.4], tau=7.0,
+                                 nk=201)
+    pin63 = np.array([[[0.601873, -0.399929], [0.399929, 0.601873]],
+                      [[0.029645, -0.157608], [0.157608, 0.029645]]])
+    dv63 = float(np.abs(mt63["sigma"] - pin63).max())
+    op63 = ptt.tb_model(2, 2, np.eye(2).tolist(), [[0.0, 0.0]])
+    op63.set_hop(-1.0, 0, 0, [1, 0])
+    op63.set_hop(-0.05, 0, 0, [0, 1])
+    oo63 = bz63.magnetotransport(op63, 0.0, [8.0], tau=4.0, nk=201)
+    check("Chambers magnetotransport f32",
+          dv63 < 5e-3 and oo63["orbits"] == (0, 2)
+          and oo63["sigma"][0, 0, 0] > 3.0
+          and oo63["sigma"][0, 1, 1] < 1e-3,
+          "max pin dev %.1e, open-orbit sxx %.2f syy %.1e "
+          "(x64: 5.0898, 1.6e-06)"
+          % (dv63, oo63["sigma"][0, 0, 0], oo63["sigma"][0, 1, 1]))
+
     print("\n%d checks failed" % len(failures), flush=True)
     sys.exit(1 if failures else 0)
 
