@@ -55,6 +55,8 @@ magnetic-translation correction term).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 import jax
@@ -68,6 +70,7 @@ __all__ = [
     "peierls_model",
     "hofstadter_fn",
     "hofstadter_butterfly",
+    "streda_labels",
 ]
 
 
@@ -310,3 +313,58 @@ def hofstadter_butterfly(model, q, dirs=(0, 1), nk=4, p_values=None):
         kpts = np.stack([g.ravel() for g in grids], axis=-1)
     evals = np.asarray(jax.device_get(fn(p_values, kpts)), dtype=np.float64)
     return p_values / float(q), evals
+
+
+def streda_labels(model, p, q, nk=31, dirs=(0, 1), gap_tol=None):
+    """Chern labels of the Hofstadter gaps at flux ``p/q``: the Streda
+    quantum numbers that color the butterfly (the slope of each gap's
+    integrated density of states with flux, ``t_r = dN_r/dphi``).
+
+    Builds the magnetic supercell (:func:`magnetic_supercell`), scans
+    the ``q * nsta`` magnetic subbands on an ``nk x nk`` mesh, and for
+    every OPEN spectral gap r computes the total Chern number of the
+    bands below it with the package plaquette engine
+    (:func:`pythtb_tpu.flows.chern_number` on the occupied set --
+    intra-set subband touchings are harmless because only the gap
+    above needs to be open).  For the square lattice the result obeys
+    the TKNN Diophantine equation ``r = s q + t p`` with ``|t| <=
+    q/2`` -- the committed oracle (``tests/test_streda.py``); here the
+    labels are COMPUTED, so the function applies to any 2-D model
+    (honeycomb, spinful, multi-orbital), where the naive Diophantine
+    branch choice can fail.
+
+    :param p, q: integer flux ``p/q`` per ``dirs`` plaquette
+    :param nk: Chern / gap-scan mesh per direction (supercell BZ)
+    :param dirs: the two periodic directions threaded by the flux
+    :param gap_tol: minimum indirect gap treated as open (default
+      ``1e-6 * bandwidth``)
+    :returns: dict with ``gaps`` (list of (bottom, top) energies of
+      each open gap), ``labels`` (int Chern label below each gap),
+      ``filling`` (bands below each gap), ``phi`` = p/q
+    """
+    from . import flows
+
+    sc = magnetic_supercell(model, p, q, dirs=dirs)
+    kpts = np.stack(np.meshgrid(np.arange(nk) / nk, np.arange(nk) / nk,
+                                indexing="ij"), axis=-1).reshape(-1, 2)
+    ev = sc.solve_all(kpts)  # (nsta_sc, NK)
+    bmax = ev.max(axis=1)
+    bmin = ev.min(axis=1)
+    if gap_tol is None:
+        gap_tol = 1e-6 * float(ev.max() - ev.min())
+    gaps, labels, filling = [], [], []
+    for r in range(ev.shape[0] - 1):
+        lo, hi = float(bmax[r]), float(bmin[r + 1])
+        if hi - lo <= gap_tol:
+            continue
+        c = flows.chern_number(sc, occ=list(range(r + 1)), nk=(nk, nk))
+        ci = int(round(c))
+        if abs(c - ci) > 0.05:
+            warnings.warn(
+                "streda_labels: non-integer Chern %.3f below the gap "
+                "at filling %d (raise nk)" % (c, r + 1), stacklevel=2)
+        gaps.append((lo, hi))
+        labels.append(ci)
+        filling.append(r + 1)
+    return {"phi": float(p) / float(q), "gaps": gaps,
+            "labels": labels, "filling": filling}
