@@ -54,7 +54,7 @@ from .model import PythtbError
 from .parallel import mesh as pmesh
 
 __all__ = ["fermi_surface", "dos_linear", "fermi_velocity",
-           "orbit_areas", "cyclotron_mass"]
+           "orbit_areas", "cyclotron_mass", "extremal_orbits"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -438,3 +438,121 @@ def cyclotron_mass(model, ef, band, nk=201, de=None):
     if len(a_p) == 0 or len(a_m) == 0:
         raise PythtbError("cyclotron_mass: no closed orbit at ef +- de")
     return float((a_p[0] - a_m[0]) / (2.0 * de) / (2.0 * np.pi))
+
+
+def extremal_orbits(model, ef, band, slice_dir=2, n_slices=48, nk=151,
+                    assume_orthogonal=False):
+    """Extremal cyclotron-orbit cross sections of a 3-D Fermi surface
+    -- the quantities quantum-oscillation (dHvA / SdH) experiments
+    measure: ``F = (hbar / 2 pi e) A_extremal`` per extremum of the
+    orbit area ``A(k_slice)`` along the field direction.
+
+    The field is taken along lattice direction ``slice_dir``, which
+    must be orthogonal to the other two lattice vectors (cubic /
+    tetragonal / orthorhombic, or hexagonal with the c-axis field) --
+    then every constant-``k_slice`` plane is a semiclassical orbit
+    plane and in-plane areas follow from the 2-D reciprocal sublattice.
+    ONE batched device solve covers the full ``n_slices x nk x nk``
+    grid; each slice is contoured by the marching-squares engine and
+    the largest closed orbit's shoelace area is tracked.  Extrema of
+    the periodic ``A(k_slice)`` curve (belly maxima, neck minima --
+    the corrugated-cylinder pair) are refined by a parabolic fit.
+
+    :param model: 3-D periodic :class:`tb_model`
+    :param ef: Fermi energy
+    :param band: band index
+    :param slice_dir: lattice direction of B (reduced axis to freeze)
+    :param n_slices: slices along the field direction
+    :param nk: in-plane marching grid
+    :param assume_orthogonal: skip the orthogonality validation
+    :returns: list of dicts ``{"k_slice", "area", "kind"}`` with kind
+      "max" (belly) or "min" (neck), sorted by area descending; empty
+      when no slice carries a closed orbit.  Areas are Cartesian
+      (lattice-constant units); multiply by ``(hbar/2 pi e) (2 pi /
+      a)^2`` for physical dHvA frequencies.
+    """
+    static, _, lat, _ = _prep(model, "extremal_orbits")
+    if static.dim_k != 3:
+        raise PythtbError("extremal_orbits: dim_k == 3 required")
+    slice_dir = int(slice_dir)
+    others = [d for d in range(3) if d != slice_dir]
+    lat = np.asarray(lat, dtype=float)
+    if not assume_orthogonal:
+        for o in others:
+            c = abs(np.dot(lat[slice_dir], lat[o]))
+            if c > 1e-8 * np.linalg.norm(lat[slice_dir]) * \
+                    np.linalg.norm(lat[o]):
+                raise PythtbError(
+                    "extremal_orbits: lattice vector %d (field "
+                    "direction) must be orthogonal to vector %d so "
+                    "that fixed-k planes are orbit planes" %
+                    (slice_dir, o))
+    # in-plane reciprocal area per unit reduced square: express the two
+    # in-plane lattice vectors in an orthonormal basis of their plane
+    a1, a2 = lat[others[0]], lat[others[1]]
+    e1 = a1 / np.linalg.norm(a1)
+    e2p = a2 - np.dot(a2, e1) * e1
+    e2 = e2p / np.linalg.norm(e2p)
+    L2 = np.array([[np.dot(a1, e1), np.dot(a1, e2)],
+                   [np.dot(a2, e1), np.dot(a2, e2)]])
+    detB = abs(np.linalg.det(2.0 * np.pi * np.linalg.inv(L2).T))
+
+    # one batched solve over the full (n_slices, nk, nk) grid
+    fr = [None] * 3
+    gs, g1, g2 = (np.arange(n_slices) / n_slices,
+                  np.arange(nk) / nk, np.arange(nk) / nk)
+    fr[slice_dir], fr[others[0]], fr[others[1]] = np.meshgrid(
+        gs, g1, g2, indexing="ij")
+    kpts = np.stack([f.ravel() for f in fr], axis=-1)
+    ev = np.asarray(model.solve_all(kpts), dtype=float)  # (nsta, B)
+    if not (0 <= band < ev.shape[0]):
+        raise PythtbError("extremal_orbits: band index out of range")
+    e3 = ev[band].reshape(n_slices, nk, nk)
+
+    areas = np.full(n_slices, np.nan)
+    for s in range(n_slices):
+        e = e3[s]
+        if not (e.min() < ef < e.max()):
+            continue
+        if np.any(e == ef):
+            e = np.where(e == ef, np.nextafter(ef, np.inf), e)
+        lines, closed = _chain_segments(_march_cell_segments(e, ef))
+        best = 0.0
+        for pts, cl in zip(lines, closed):
+            if not cl or pts.shape[0] < 3:
+                continue
+            x, y = pts[:, 0], pts[:, 1]
+            a = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+            best = max(best, a * detB)
+        if best > 0.0:
+            areas[s] = best
+
+    out = []
+    for s in range(n_slices):
+        if np.isnan(areas[s]):
+            continue
+        am = areas[(s - 1) % n_slices]
+        ap = areas[(s + 1) % n_slices]
+        if np.isnan(am) or np.isnan(ap):
+            continue  # pocket edge: the boundary slice is never extremal
+        if areas[s] >= am and areas[s] >= ap and (areas[s] > am or
+                                                  areas[s] > ap):
+            kind = "max"
+        elif areas[s] <= am and areas[s] <= ap and (areas[s] < am or
+                                                    areas[s] < ap):
+            kind = "min"
+        else:
+            continue
+        # parabolic refinement of the extremum position and value
+        denom = am - 2.0 * areas[s] + ap
+        if abs(denom) > 1e-300:
+            d = 0.5 * (am - ap) / denom
+            d = float(np.clip(d, -0.5, 0.5))
+        else:
+            d = 0.0
+        kz = (gs[s] + d / n_slices * 1.0) % 1.0
+        a_ref = areas[s] - 0.25 * (am - ap) * d
+        out.append({"k_slice": float(kz), "area": float(a_ref),
+                    "kind": kind})
+    out.sort(key=lambda r: -r["area"])
+    return out
